@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine query: the Spark plan plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL the driver hash-compares against.
+  *
+  * @param headline include in Bench's timed set (heavy exploratory queries
+  *                 can opt out; correctness still checks them via Verify).
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = true)
+
+/** Central query registry. Each operator module under `graft.ops` contributes
+  * a map of named queries; SparkEntry/Verify/Bench all read from here.
+  */
+object Registry {
+  lazy val all: Map[String, QueryDef] = Seq(
+    ops.EventBars.queries
+  ).reduce(_ ++ _)
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` normalized to TimestampType (microseconds).
+    *
+    * The driver's parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default (PARQUET_TYPE_ILLEGAL); with `nanosAsLong` it surfaces as a
+    * LongType of epoch-nanos, converted here via `timestamp_micros`. The data
+    * carries no sub-microsecond component (ns % 1000 == 0 across all SFs), so
+    * the conversion is lossless and matches DuckDB's reading of the column.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("ts") / 1000 cast "long"))
+  }
+}
