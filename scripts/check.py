@@ -26,6 +26,8 @@ ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
 
 
 def run_verify():
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
     cmd = (["java"] + ADD_OPENS +
@@ -39,6 +41,7 @@ def run_verify():
     if r.returncode != 0:
         print(r.stderr[-4000:])
         sys.exit(f"Verify failed rc={r.returncode}")
+    open(f"{OUT}/.sfdir", "w").write(SF)
 
 
 def canon(rows, cols):
@@ -62,6 +65,12 @@ def main():
     import duckdb
     if '--skip-verify' not in sys.argv:
         run_verify()
+    else:
+        dumped = open(f"{OUT}/.sfdir").read() if \
+            os.path.exists(f"{OUT}/.sfdir") else '?'
+        if dumped != SF:
+            sys.exit(f"stale dump: {OUT} was produced from {dumped}, "
+                     f"not {SF} — rerun without --skip-verify")
     con = duckdb.connect()
     for t in glob.glob(f"{SF}/*.parquet"):
         name = os.path.basename(t).replace('.parquet', '')
@@ -70,7 +79,8 @@ def main():
     results = sorted(os.listdir(OUT))
     fails = 0
     for name in results:
-        if name == 'oracle_sql.json' or (ONLY and name not in ONLY):
+        if name == 'oracle_sql.json' or name.startswith('.') \
+                or (ONLY and name not in ONLY):
             continue
         got_rel = con.sql(
             f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
