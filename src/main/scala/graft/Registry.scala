@@ -19,7 +19,8 @@ final case class QueryDef(
 object Registry {
   lazy val all: Map[String, QueryDef] = Seq(
     ops.EventBars.queries,
-    ops.CoreRelational.queries
+    ops.CoreRelational.queries,
+    ops.EventOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

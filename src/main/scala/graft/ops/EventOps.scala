@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time operators over the `events` stream table — the windowed/
+  * stateful family the reference's batch-watermark design hints at but never
+  * implements (SURVEY.md §2.8 "Streaming"). Batch forms here; the Structured
+  * Streaming variants live in `graft.streaming`.
+  *
+  * All outputs avoid raw TimestampType columns (parquet TIMESTAMP(UTC) vs
+  * DuckDB naive-timestamp round-trips disagree); window starts surface as
+  * epoch-second longs or DATE.
+  */
+object EventOps {
+
+  private def dsum(e: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(e.cast(DecimalType(25, scale))).cast("double")
+
+  /** Tumbling 1-day event-time windows per event type: Spark's `window()`
+    * producing one row per (day, type). Epoch-aligned, so identical to
+    * date_trunc in any engine.
+    */
+  def tumblingDaily(s: SparkSession, dir: String): DataFrame =
+    Registry.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      .select(
+        to_date(col("w.start")).as("day"),
+        col("event_type"), col("n_events"), col("sum_value"),
+        col("min_value"), col("max_value"))
+      .orderBy("day", "event_type")
+
+  private val tumblingDailyOracle = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
+  min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+  /** Sliding windows (6h length, 3h slide): every event lands in exactly two
+    * epoch-aligned windows. Spark's `window(ts, "6 hours", "3 hours")`; the
+    * oracle reproduces the two 3h-grid assignments with UNION ALL.
+    */
+  def slidingActivity(s: SparkSession, dir: String): DataFrame =
+    Registry.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start_epoch", "event_type")
+
+  private val slidingActivityOracle = """
+WITH assigned AS (
+  SELECT CAST(floor(epoch(ts) / 10800) AS BIGINT) * 10800 AS window_start_epoch,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT CAST(floor(epoch(ts) / 10800) AS BIGINT) * 10800 - 10800,
+         event_type, value
+  FROM events)
+SELECT window_start_epoch, event_type, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY 1, 2 ORDER BY window_start_epoch, event_type
+"""
+
+  /** Session windows: Spark's native `session_window` (30-minute inactivity
+    * gap) per user. The oracle rebuilds sessions relationally: a lag-gap
+    * indicator cumulated into session ids — same semantics, pure SQL.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Registry.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start_epoch"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_epoch")
+
+  private val sessionizeOracle = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, session_start_epoch
+"""
+
+  /** JSON extraction (events.props is a JSON string): typed `from_json`
+    * projection — schema declared, no inference scan — aggregated per type.
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Registry.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        sum("k").as("sum_k"),
+        count(col("k")).as("n_with_k"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+
+  private val jsonPropsOracle = """
+SELECT event_type,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  count(json_extract_string(props, '$.k')) AS n_with_k,
+  count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+  /** As-of join: enrich each event with the latest *prior calendar day's*
+    * closing value for its user (reference analog: event → last daily OHLCV
+    * bar, SURVEY.md §2.8 "Joins").
+    *
+    * Spark has no asof-join operator; rather than a driver-side loop, this
+    * uses the scalable union+window encoding: daily closes become "state"
+    * rows, events become "probe" rows, one sort per user orders state before
+    * the probes of later days, and `last_value(ignoreNulls)` propagates the
+    * most recent close forward. One shuffle on user_id, no skew-prone
+    * range-join explosion — survives arbitrarily many days per user.
+    */
+  def asofPrevClose(s: SparkSession, dir: String): DataFrame = {
+    val ev = Registry.events(s, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("value"))
+
+    // Daily close = value of the last event of the day (max_by over ts;
+    // deterministic — no (user_id, ts) ties in the data).
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max_by(col("value"), col("ts")).as("close_value"))
+
+    // kind 1 = state (daily close), kind 0 = probe (event). Within a day the
+    // probes sort before the state row, so an event only sees closes of
+    // strictly earlier days — the as-of "strictly before" semantics.
+    val state = daily.select(col("user_id"), col("day"), lit(1).as("kind"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+      col("close_value"))
+    val probe = ev.select(col("user_id"), col("day"), lit(0).as("kind"),
+      col("event_id"), col("value"), lit(null).cast("double").as("close_value"))
+
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("day"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    state.unionByName(probe)
+      .withColumn("prev_close", last(col("close_value"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("event_id"), col("user_id"), col("day"), col("value"),
+        col("prev_close"))
+      .orderBy("event_id")
+  }
+
+  private val asofPrevCloseOracle = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS day, ts, value FROM events),
+daily AS (
+  SELECT user_id, day, max_by(value, ts) AS close_value
+  FROM ev GROUP BY user_id, day)
+SELECT e.event_id, e.user_id, e.day, e.value, d.close_value AS prev_close
+FROM ev e
+ASOF LEFT JOIN daily d
+  ON e.user_id = d.user_id AND d.day < e.day
+ORDER BY e.event_id
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "window_tumbling_daily" -> QueryDef(tumblingDaily, Some(tumblingDailyOracle)),
+    "window_sliding_6h3h" -> QueryDef(slidingActivity, Some(slidingActivityOracle)),
+    "sessionize_30m" -> QueryDef(sessionize, Some(sessionizeOracle)),
+    "json_props_agg" -> QueryDef(jsonProps, Some(jsonPropsOracle)),
+    "asof_prev_close" -> QueryDef(asofPrevClose, Some(asofPrevCloseOracle))
+  )
+}
