@@ -20,7 +20,10 @@ object Registry {
   lazy val all: Map[String, QueryDef] = Seq(
     ops.EventBars.queries,
     ops.CoreRelational.queries,
-    ops.EventOps.queries
+    ops.EventOps.queries,
+    ops.TextOps.queries,
+    ops.Dedup.queries,
+    ops.Similarity.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

