@@ -1,0 +1,140 @@
+package graft.config
+
+import scala.io.Source
+
+/** Job configuration — the reference's YAML sections
+  * (`configs/xetra_report1_config.yaml`) as case classes (≅ the
+  * `XetraSourceConfig`/`XetraTargetConfig` NamedTuples,
+  * `xetra_transformer.py:13-66`). Storage endpoints are plain URIs: the
+  * engine doesn't care whether they're file://, s3a://, or hdfs://.
+  */
+final case class SourceConfig(
+    uri: String,
+    firstExtractDate: String,
+    columns: Seq[String],
+    colDate: String, colIsin: String, colTime: String,
+    colStartPrice: String, colMinPrice: String, colMaxPrice: String,
+    colTradedVol: String)
+
+final case class TargetConfig(
+    uri: String,
+    key: String,
+    keyDateFormat: String,
+    format: String,
+    colIsin: String, colDate: String,
+    colOpPrice: String, colClosPrice: String,
+    colMinPrice: String, colMaxPrice: String,
+    colDailyTradedVol: String, colChPrevClos: String)
+
+final case class MetaConfig(metaUri: String)
+
+final case class JobConfig(source: SourceConfig, target: TargetConfig,
+    meta: MetaConfig)
+
+/** Minimal YAML-subset loader for the flat two-level config shape the
+  * reference uses (sections → scalar or inline-list values). No external
+  * YAML dependency exists in this build (zero-egress, Spark jars only), and
+  * the config grammar genuinely needed is this small; deeper nesting (the
+  * reference's `logging:` section) is ignored — Spark has its own log4j2
+  * config surface.
+  */
+object Configs {
+
+  def load(path: String): JobConfig = {
+    val sections = parse(Source.fromFile(path, "UTF-8").mkString)
+    val s = sections.getOrElse("source",
+      sys.error("config: missing 'source' section"))
+    val t = sections.getOrElse("target",
+      sys.error("config: missing 'target' section"))
+    val m = sections.getOrElse("meta",
+      sys.error("config: missing 'meta' section"))
+    def one(sec: Map[String, Either[String, Seq[String]]], k: String): String =
+      sec.getOrElse(k, sys.error(s"config: missing key '$k'")) match {
+        case Left(v) => v
+        case Right(_) => sys.error(s"config: key '$k' should be scalar")
+      }
+    def list(sec: Map[String, Either[String, Seq[String]]], k: String): Seq[String] =
+      sec.getOrElse(k, sys.error(s"config: missing key '$k'")) match {
+        case Right(v) => v
+        case Left(_) => sys.error(s"config: key '$k' should be a list")
+      }
+    JobConfig(
+      SourceConfig(
+        uri = one(s, "src_uri"),
+        firstExtractDate = one(s, "src_first_extract_date"),
+        columns = list(s, "src_columns"),
+        colDate = one(s, "src_col_date"),
+        colIsin = one(s, "src_col_isin"),
+        colTime = one(s, "src_col_time"),
+        colStartPrice = one(s, "src_col_start_price"),
+        colMinPrice = one(s, "src_col_min_price"),
+        colMaxPrice = one(s, "src_col_max_price"),
+        colTradedVol = one(s, "src_col_traded_vol")),
+      TargetConfig(
+        uri = one(t, "trg_uri"),
+        key = one(t, "trg_key"),
+        keyDateFormat = one(t, "trg_key_date_format"),
+        format = one(t, "trg_format"),
+        colIsin = one(t, "trg_col_isin"),
+        colDate = one(t, "trg_col_date"),
+        colOpPrice = one(t, "trg_col_op_price"),
+        colClosPrice = one(t, "trg_col_clos_price"),
+        colMinPrice = one(t, "trg_col_min_price"),
+        colMaxPrice = one(t, "trg_col_max_price"),
+        colDailyTradedVol = one(t, "trg_col_dail_trad_vol"),
+        colChPrevClos = one(t, "trg_col_ch_prev_clos")),
+      MetaConfig(metaUri = one(m, "meta_uri")))
+  }
+
+  /** section → key → scalar | list. Inline lists only (`[a, b, c]`);
+    * comments and blank lines skipped; quotes stripped.
+    */
+  private[config] def parse(text: String)
+      : Map[String, Map[String, Either[String, Seq[String]]]] = {
+    var section: String = null
+    val out = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, Either[String, Seq[String]]]]
+    for (raw <- text.linesIterator) {
+      val noComment = stripComment(raw)
+      val line = noComment.replaceAll("\\s+$", "")
+      if (line.trim.nonEmpty) {
+        if (!line.startsWith(" ") && line.endsWith(":")) {
+          section = line.dropRight(1).trim
+          out.getOrElseUpdate(section,
+            scala.collection.mutable.Map.empty)
+        } else if (line.startsWith(" ") && section != null && line.contains(":")) {
+          val Array(k, v) = line.split(":", 2)
+          val key = k.trim
+          val value = v.trim
+          if (value.startsWith("[") && value.endsWith("]")) {
+            val items = value.substring(1, value.length - 1).split(",")
+              .map(i => unquote(i.trim)).filter(_.nonEmpty).toSeq
+            out(section)(key) = Right(items)
+          } else if (value.nonEmpty) {
+            out(section)(key) = Left(unquote(value))
+          } // bare "key:" with nested block → ignored (unsupported depth)
+        }
+      }
+    }
+    out.map { case (k, v) => k -> v.toMap }.toMap
+  }
+
+  /** Strip a trailing comment, respecting quotes. */
+  private def stripComment(line: String): String = {
+    var inS = false; var inD = false
+    val b = new StringBuilder
+    for (c <- line) {
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      if (c == '#' && !inS && !inD) return b.toString
+      b.append(c)
+    }
+    b.toString
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 &&
+      ((s.head == '\'' && s.last == '\'') || (s.head == '"' && s.last == '"')))
+      s.substring(1, s.length - 1)
+    else s
+}

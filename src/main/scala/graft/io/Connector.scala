@@ -1,0 +1,80 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Unknown sink format — reference `WrongFormatException`
+  * (`xetra/common/custom_exceptions.py:4-10`), kept as a typed exception for
+  * API parity; supported formats mirror `constants.py:8-14`.
+  */
+class UnsupportedFormatException(fmt: String)
+  extends RuntimeException(s"file format '$fmt' is not supported (csv, parquet)")
+
+/** Storage connector over any Hadoop-supported URI (file://, s3a://, hdfs://)
+  * — the reference's `S3BucketConnector` (`xetra/common/s3.py`) re-expressed
+  * Spark-first: listing stays a driver-side FS call (it only *names* inputs),
+  * while reads/writes are Spark jobs so the actual data path is distributed.
+  * S3 vs local FS is a URI scheme, not logic (SURVEY.md §5.2) — tests run on
+  * file://, production points the same code at s3a://.
+  */
+final class Connector(spark: SparkSession, baseUri: String) {
+
+  private val base = new Path(baseUri)
+  private def fs: FileSystem =
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Object keys under a prefix — reference `list_files_in_prefix`
+    * (`s3.py:52-63`). Drives partition pruning: only pending dates' prefixes
+    * are ever listed or read (the reference's one real optimization,
+    * SURVEY.md §4.1).
+    */
+  def listPrefix(prefix: String): Seq[String] = {
+    val p = new Path(base, prefix)
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) out += f.getPath.toString
+    }
+    out.toSeq.sorted
+  }
+
+  /** Multi-file CSV scan with an explicit schema (no inference pass — two
+    * scans of 100 TB to guess types is wrong; the reference's pandas
+    * inference is replaced by declared types, SURVEY.md §4.4.3). Zero paths
+    * → typed empty relation (reference S4 fallback, improved: schema kept).
+    */
+  def readCsv(paths: Seq[String], schema: StructType,
+      header: Boolean = true, sep: String = ","): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read
+        .schema(schema)
+        .option("header", header.toString)
+        .option("sep", sep)
+        .csv(paths: _*)
+
+  /** Format-dispatched write — reference `write_df_to_s3` (`s3.py:85-107`):
+    * empty frame → skip (S4), unknown format → typed exception (S7). Spark
+    * writes a directory of parts at the key rather than one object — the
+    * correct shape at scale (documented deviation; `coalesce(1)` exists only
+    * in the verify harness).
+    */
+  def write(df: DataFrame, key: String, format: String): Boolean = {
+    val target = new Path(base, key).toString
+    format match {
+      case "csv" | "parquet" =>
+        if (df.isEmpty) false
+        else {
+          val w = df.write.mode("overwrite")
+          (if (format == "csv") w.option("header", "true") else w)
+            .format(format).save(target)
+          true
+        }
+      case other => throw new UnsupportedFormatException(other)
+    }
+  }
+}
