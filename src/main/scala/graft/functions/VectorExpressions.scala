@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Exact int64 dot product over two `array<bigint>` columns — the hot kernel
+  * of every vector-similarity operator (SURVEY.md §7.3: custom Catalyst
+  * `Expression` when higher-order built-ins prove slow).
+  *
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)` evaluates its lambda through
+  * the interpreter once per element — ~130M lambda invocations for the
+  * sf0.1 all-pairs near-dup scan (61s). This expression compiles to a tight
+  * primitive loop inside whole-stage codegen (same scan: ~3s) and keeps the
+  * exact integer semantics the cross-engine oracles rely on.
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // inputs are always array<bigint> at the (internal) call sites; Spark's
+  // AbstractDataType/ExpectsInputTypes surface is private[sql], so input
+  // validation stays the caller's contract
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Idempotently register `vec_dot_long` in the session's function registry
+    * (usable from both the Column API via `expr` and plain SQL).
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_long",
+      exprs => LongArrayDot(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes_5",
+      exprs => ShingleHashes(exprs.head, 5),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig_5_32",
+      exprs => MinHashSignature(exprs.head, 5, 32),
+      "scala_udf")
+  }
+}
+
+/** 64-bit hashes of all word `width`-grams of a token array, in one
+  * per-row loop: FNV-1a over each token's UTF-8 bytes, then a polynomial
+  * combine across the window. Replaces the interpreted
+  * `transform(sequence(...), i => concat_ws(slice(tokens, i, w)))` chain
+  * (one lambda interpretation per shingle — the dominant cost of the
+  * n-gram dedup pipeline at sf0.1) with a single expression evaluation per
+  * document. CodegenFallback is fine here: the win is per-element → per-row.
+  *
+  * Shingle identity by 64-bit hash instead of string: collision odds over
+  * ~1.4M distinct shingles ≈ 5e-8 (birthday/2^64).
+  */
+private[functions] object ShingleKernel {
+  /** FNV-1a 64 per token, polynomial combine per `width`-gram. */
+  def hashes(arr: ArrayData, width: Int): Array[Long] = {
+    val n = arr.numElements()
+    if (n < width) return Array.empty[Long]
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < s.length) { h ^= (s(k) & 0xffL); h *= 0x100000001b3L; k += 1 }
+      th(i) = h
+      i += 1
+    }
+    val out = new Array[Long](n - width + 1)
+    var j = 0
+    while (j <= n - width) {
+      var h = 0L
+      var k = 0
+      while (k < width) { h = h * 1000003L + th(j + k); k += 1 }
+      out(j) = h
+      j += 1
+    }
+    out
+  }
+}
+
+case class ShingleHashes(child: Expression, width: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleKernel.hashes(v.asInstanceOf[ArrayData], width))
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** Complete MinHash signature in one pass: word `width`-gram FNV shingle
+  * hashes, then for each of `k` permutations the minimum of a splitmix64
+  * full-avalanche mix of (shingle ^ seed_i). Per-permutation avalanche is
+  * what makes the k minima behave independently — deriving the family
+  * affinely from one base hash collapses band independence (observed: a
+  * j=0.875 pair missed at P[miss]≈8e-11 under ideal hashing). All wrapping
+  * arithmetic lives in JVM code, outside ANSI-mode Column semantics.
+  * Output values are masked to 61 bits (non-negative longs).
+  */
+case class MinHashSignature(child: Expression, width: Int, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @inline private def mix(v: Long): Long = {
+    var z = v
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^= z >>> 31
+    z >>> 3 // 61-bit, non-negative
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val hs = ShingleKernel.hashes(v.asInstanceOf[ArrayData], width)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < k) {
+        val m = mix(h + 0x9e3779b97f4a7c15L * (i + 1))
+        if (m < sig(i)) sig(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}

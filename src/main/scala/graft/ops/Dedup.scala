@@ -21,18 +21,17 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Registry.table(s, dir, "documents")
 
-  /** Word 5-gram shingle set (distinct) per document. 5-grams keep the
-    * inverted index selective: over a 31-word vocabulary the 5-gram space is
-    * ~2.9e7, so random collisions are rare and candidate pairs stay ~linear
-    * in corpus size (verified: 37 candidate pairs over 500 docs).
+  /** Distinct word 5-gram shingle hashes per document
+    * ([[graft.functions.ShingleHashes]]: one tight per-row loop instead of
+    * one interpreted lambda per shingle — the string-building chain was the
+    * dominant cost of this pipeline at sf0.1). 5-grams keep the inverted
+    * index selective: over a 31-word vocabulary the 5-gram space is ~2.9e7,
+    * so random collisions are rare and candidate pairs stay ~linear in
+    * corpus size (verified: 37 candidate pairs over 500 docs).
     */
-  private val shingles: Column = {
-    val t = split(col("text"), " ")
-    array_distinct(
-      when(size(t) >= 5,
-        transform(sequence(lit(0), size(t) - 5),
-          i => concat_ws(" ", slice(t, i + 1, lit(5)))))
-        .otherwise(array().cast("array<string>")))
+  private def shingles(s: SparkSession): Column = {
+    graft.functions.VectorFunctions.register(s)
+    array_distinct(call_function("shingle_hashes_5", split(col("text"), " ")))
   }
 
   // ------------------------------------------------------------ exact dedup
@@ -78,12 +77,14 @@ ORDER BY kept_doc_id
     * similarity: bit-identical across engines.
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), shingles.as("sh"))
+    val d = docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))
     jaccardFromCandidates(d, candidatesFromIndex(d))
   }
 
   /** Inverted-index candidate pairs with intersection sizes. */
   private def candidatesFromIndex(d: DataFrame): DataFrame = {
+    // shingles are already 64-bit hashes: the self-join shuffle carries
+    // (long, long) rows
     val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
     val a = ex.as("a"); val b = ex.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -128,10 +129,6 @@ ORDER BY i, j
   private val NumHashes = 32
   private val NumBands = 16 // 2 rows per band
 
-  /** Per-(doc, shingle) rows with the 32 md5-derived 60-bit hash values. */
-  private def hashCol(i: Int, c: Column): Column =
-    conv(substring(md5(concat(lit(i + ":"), c)), 1, 15), 16, 10).cast("long")
-
   /** MinHash + LSH near-dup pairs, then *exact* Jaccard verification of the
     * (tiny) candidate set. The final filter equals the exhaustive
     * `jaccardPairs` result whenever LSH recall holds — at j ≥ 0.8 recall is
@@ -139,21 +136,19 @@ ORDER BY i, j
     * correctness check for the whole LSH pipeline.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), shingles.as("sh"))
-    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
-    // signature: 32 column-wise mins over the doc's shingle hashes
-    val sig = ex
+    val d = docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))
+    // whole signature in one per-document pass (MinHashSignature): no
+    // shingle explode, no 32-column min aggregation, no shuffle until bands
+    val sig = docs(s, dir)
+      .select(col("doc_id"),
+        call_function("minhash_sig_5_32", split(col("text"), " ")).as("sig"))
       .select(col("doc_id") +:
-        (0 until NumHashes).map(i => hashCol(i, col("s")).as(s"h$i")): _*)
-      .groupBy("doc_id")
-      .agg(min("h0").as("m0"),
-        (1 until NumHashes).map(i => min(s"h$i").as(s"m$i")): _*)
+        (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     // band keys: hash of each (m_{2b}, m_{2b+1}) pair
     val bands = sig.select(col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"),
-          md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
-            .as("key"))
+          xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     // candidate pairs: docs sharing any band bucket
@@ -243,17 +238,19 @@ SELECT doc_id, simhash FROM sig ORDER BY doc_id
     * for 100 TB is `ann_ivf_label` in Similarity.
     */
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val q = Registry.table(s, dir, "embeddings").select(
       col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+      // squared norm once per row, not once per pair
+      .withColumn("nrm", call_function("vec_dot_long", col("qv"), col("qv")))
     val a = q.as("a"); val b = q.as("b")
-    val dot = aggregate(zip_with(col("a.qv"), col("b.qv"), _ * _),
-      lit(0L), _ + _)
-    val na = aggregate(transform(col("a.qv"), x => x * x), lit(0L), _ + _)
-    val nb = aggregate(transform(col("b.qv"), x => x * x), lit(0L), _ + _)
+    // codegen'd int64 kernel (graft.functions.LongArrayDot): the interpreted
+    // higher-order fold was 20x slower on the all-pairs scan
+    val dot = call_function("vec_dot_long", col("a.qv"), col("b.qv"))
     val cosine = dot.cast("double") /
-      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+      (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double")))
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         cosine.as("cosine"))

@@ -23,19 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  /** Quantized vectors with the squared norm precomputed once per row —
+    * the norm must not be recomputed per candidate pair.
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Registry.table(s, dir, "embeddings").select(
       col("vec_id"), col("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
-
-  /** Exact quantized cosine between two int64 vector columns. */
-  private def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
-    val na = aggregate(transform(a, x => x * x), lit(0L), _ + _)
-    val nb = aggregate(transform(b, x => x * x), lit(0L), _ + _)
-    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+      .withColumn("nrm", call_function("vec_dot_long", col("qv"), col("qv")))
   }
+
+  /** Exact quantized cosine via the codegen'd int64 dot kernel
+    * ([[graft.functions.LongArrayDot]]); `na`/`nb` are the precomputed
+    * per-row norms. Bit-identical to the oracles' list arithmetic.
+    */
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    call_function("vec_dot_long", a, b).cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   private val NumProbes = 10
   private val TopK = 10
@@ -47,11 +53,12 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
     val probes = corpus.filter(col("vec_id") < NumProbes)
-      .select(col("vec_id").as("query_id"), col("qv").as("pq"))
+      .select(col("vec_id").as("query_id"), col("qv").as("pq"),
+        col("nrm").as("pnrm"))
     val scored = corpus.join(broadcast(probes),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("pq"), col("qv")).as("cosine"))
+        cosine(col("pq"), col("qv"), col("pnrm"), col("nrm")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -93,11 +100,11 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
     val corpus = quantized(s, dir)
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("query_id"), col("label").as("cell"),
-        col("qv").as("pq"))
+        col("qv").as("pq"), col("nrm").as("pnrm"))
     val scored = corpus.join(broadcast(probes),
         col("label") === col("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("pq"), col("qv")).as("cosine"))
+        cosine(col("pq"), col("qv"), col("pnrm"), col("nrm")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -141,7 +148,7 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
       .select(col("vec_id").as("plane_id"), col("qv").as("pv"))
     val signs = corpus.join(broadcast(planes), col("vec_id") =!= col("plane_id"))
       .select(col("vec_id"), col("plane_id"),
-        when(aggregate(zip_with(col("qv"), col("pv"), _ * _), lit(0L), _ + _) > 0, 1L)
+        when(call_function("vec_dot_long", col("qv"), col("pv")) > 0, 1L)
           .otherwise(0L).as("bit"))
       .groupBy("vec_id")
       .agg(sum(col("bit") * pow(lit(2.0), col("plane_id")).cast("long"))
