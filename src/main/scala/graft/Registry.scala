@@ -24,7 +24,8 @@ object Registry {
     ops.TextOps.queries,
     ops.Dedup.queries,
     ops.Similarity.queries,
-    ops.Multimodal.queries
+    ops.Multimodal.queries,
+    ops.StatsOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -1,0 +1,242 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical aggregates, pivot, extended window functions, string
+  * functions, and the relational form of the reference's date-gap logic.
+  *
+  * Streaming one-pass moment aggregates (stddev/corr built-ins) accumulate
+  * floating error in engine-specific orders, so cross-engine stats are
+  * derived from *exact decimal power sums* (Σx, Σx², Σxy — order-free) and
+  * only then combined in IEEE double arithmetic: same inputs, same ops,
+  * same bits in any engine. At scale this is also the cheaper plan: one
+  * hash-agg pass producing a handful of exact sums.
+  */
+object StatsOps {
+  import Registry.table
+
+  private def dsum(e: Column, scale: Int): Column =
+    sum(e.cast(DecimalType(30, scale))).cast("double")
+
+  // -------------------------------------------------------- moments / corr
+  /** Mean, sample variance/stddev of order totals and quantity↔price
+    * correlation per order priority, all from exact power sums.
+    */
+  def moments(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val n = count(lit(1)).cast("double")
+    val sx = dsum(col("l_quantity"), 0)
+    val sxx = dsum(col("l_quantity") * col("l_quantity"), 0)
+    val sy = dsum(col("l_extendedprice"), 2)
+    val syy = dsum(col("l_extendedprice") * col("l_extendedprice"), 4)
+    val sxy = dsum(col("l_quantity") * col("l_extendedprice"), 2)
+    li.groupBy("l_returnflag")
+      .agg(
+        n.cast("long").as("n"),
+        (sx / n).as("mean_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).as("var_qty"),
+        sqrt((syy - sy * sy / n) / (n - 1)).as("stddev_price"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val momentsOracle = """
+WITH sums AS (
+  SELECT l_returnflag,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(30,0))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+  CAST(n AS BIGINT) AS n,
+  sx / n AS mean_qty,
+  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+  sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_price,
+  (n * sxy - sx * sy)
+    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+FROM sums ORDER BY l_returnflag
+"""
+
+  // ------------------------------------------------------------------ pivot
+  /** Pivot order status × priority into columns (Spark's `pivot` with an
+    * explicit value list — never let the engine scan for distinct pivot
+    * values at 100 TB). Oracle: conditional aggregation, the portable form.
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy("o_orderpriority")
+
+  private val pivotStatusOracle = """
+SELECT o_orderpriority,
+  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+  // -------------------------------------------------------- window family
+  /** The wider window-function family over customer balances: rank,
+    * dense_rank, percent_rank, cume_dist, ntile, running decimal sum —
+    * all with a unique tiebreaker so every engine agrees.
+    */
+  def windowFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val running = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        sum(col("c_acctbal").cast(DecimalType(30, 2))).over(running)
+          .cast("double").as("running_bal"))
+      .filter(col("rn") <= 50)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  private val windowFamilyOracle = """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    CAST(row_number() OVER w AS BIGINT) AS rn,
+    CAST(rank() OVER w AS BIGINT) AS rnk,
+    CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+    percent_rank() OVER w AS prnk,
+    cume_dist() OVER w AS cdist,
+    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+    CAST(sum(CAST(c_acctbal AS DECIMAL(30,2)))
+      OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      AS running_bal
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC))
+WHERE rn <= 50 ORDER BY c_mktsegment, rn
+"""
+
+  // ------------------------------------------------------ string functions
+  /** Scalar string-function battery over part names (reference §2.8: absent
+    * there, standard here): case mapping, substring, padding, regexp
+    * replace/extract, split/element access, concat, translate, trim.
+    */
+  def stringFunctions(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("type_devoweled"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first_word"),
+        element_at(split(col("p_name"), " "), 1).as("name_first_token"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        translate(col("p_brand"), "#", "N").as("brand_translated"),
+        length(trim(col("p_name"))).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  private val stringFunctionsOracle = """
+SELECT p_partkey,
+  upper(p_brand) AS brand_upper,
+  substr(p_name, 1, 8) AS name_prefix,
+  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+  regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
+  regexp_extract(p_type, '^(\w+)', 1) AS type_first_word,
+  string_split(p_name, ' ')[1] AS name_first_token,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  replace(p_brand, '#', 'N') AS brand_translated,
+  CAST(length(trim(p_name)) AS BIGINT) AS name_len
+FROM part ORDER BY p_partkey
+"""
+
+  // ----------------------------------------- relational date-gap (E4 + A2)
+  /** The reference's watermark gap-detection (`meta_process.py:86-98`) as a
+    * *relational* operator: generate the calendar with `sequence` + explode,
+    * anti-join against observed order dates → missing dates. This is the
+    * form that scales (the MetaStore does it driver-side for parity with
+    * tiny state).
+    */
+  def missingDates(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"))
+    val bounds = o.agg(min("d").as("lo"), max("d").as("hi"))
+    val calendar = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+    calendar.join(o.distinct(), Seq("d"), "left_anti")
+      .orderBy("d")
+  }
+
+  private val missingDatesOracle = """
+WITH bounds AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+         max(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders),
+calendar AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM bounds)
+SELECT d FROM calendar
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE CAST(o_orderdate AS DATE) = d)
+ORDER BY d
+"""
+
+  // ----------------------------------------------- rename + date formatting
+  /** Reference P4 (rename) + E3 (date formatting) as a standalone verified
+    * query: `withColumnsRenamed` + `date_format`/`to_date` round-trips.
+    */
+  def renameAndFormat(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .withColumnsRenamed(Map(
+        "o_orderkey" -> "order_id",
+        "o_totalprice" -> "total_price",
+        "o_orderpriority" -> "priority"))
+      .select(
+        col("order_id"),
+        col("total_price"),
+        col("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date_iso"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"))
+      .orderBy("order_id")
+
+  /** No week-number column: Spark's "ww" is locale week-of-year while
+    * DuckDB's %V is ISO-8601 — they disagree around year boundaries, so the
+    * portable surface sticks to ISO dates, year, quarter.
+    */
+  private val renameAndFormatOracle = """
+SELECT o_orderkey AS order_id,
+  o_totalprice AS total_price,
+  o_orderpriority AS priority,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date_iso,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter
+FROM orders ORDER BY order_id
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "stats_moments_corr" -> QueryDef(moments, Some(momentsOracle)),
+    "pivot_status_priority" -> QueryDef(pivotStatus, Some(pivotStatusOracle)),
+    "window_rank_family" -> QueryDef(windowFamily, Some(windowFamilyOracle)),
+    "string_functions" -> QueryDef(stringFunctions, Some(stringFunctionsOracle)),
+    "missing_dates_relational" -> QueryDef(missingDates, Some(missingDatesOracle)),
+    "rename_date_format" -> QueryDef(renameAndFormat, Some(renameAndFormatOracle))
+  )
+}
