@@ -25,7 +25,8 @@ object Registry {
     ops.Dedup.queries,
     ops.Similarity.queries,
     ops.Multimodal.queries,
-    ops.StatsOps.queries
+    ops.StatsOps.queries,
+    ops.ScalePatterns.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
