@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Plan-quality regression tests: the physical plans the engine is designed
+  * around must not silently degrade (SURVEY.md §4.3 / the 100 TB posture).
+  * These assert on the *executed* plan string, AQE included.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    // AdaptiveSparkPlan.toString prints final AND initial plans — keep only
+    // the final one or exchange counts double
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  /** PushedFilters/ReadSchema from the first parquet scan's metadata (the
+    * toString form truncates them).
+    */
+  private def scanMeta(df: DataFrame): Map[String, String] =
+    // pre-AQE physical plan: AQE wraps stages in leaf QueryStageExec nodes
+    // that hide the scan from collect; pushdown metadata is decided before
+    // AQE anyway
+    df.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }.getOrElse(Map.empty)
+
+  test("filter + projection reach the parquet scan (pushdown + pruning)") {
+    val meta = scanMeta(ops.CoreRelational.filterProject(spark, sfDir))
+    val pushed = meta.getOrElse("PushedFilters", "")
+    assert(pushed.contains("EqualTo(l_returnflag,R)"),
+      s"predicate not pushed: $pushed")
+    // scan must read only the needed columns, not all 11
+    val read = meta.getOrElse("ReadSchema", "")
+    assert(read.split(",").length <= 5, s"scan reads too many columns: $read")
+  }
+
+  test("star join broadcasts every dimension") {
+    val plan = executedPlan(ops.CoreRelational.regionRevenue(spark, sfDir))
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      "customer/nation/region should all broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q1-style aggregation does map-side partial aggregation") {
+    val plan = executedPlan(ops.CoreRelational.pricingSummary(spark, sfDir))
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      "no partial aggregation before the exchange")
+  }
+
+  test("report1 whole pipeline runs in few exchanges (window reuse)") {
+    val plan = executedPlan(ops.EventBars.report1(spark, sfDir))
+    // exactly 3: one (user, date) hash exchange shared by W1/W2 AND the
+    // aggregation (same keys -> reused), one (user) exchange for the lag,
+    // one range exchange for the final orderBy. More means the reuse
+    // regressed.
+    val exchanges = plan.split("Exchange").length - 1
+    assert(exchanges <= 3, s"report1 now has $exchanges exchanges")
+  }
+
+  test("vector kernel participates in codegen (no interpreted fold)") {
+    val df = ops.Similarity.bruteForceTopK(spark, sfDir)
+    val plan = executedPlan(df)
+    assert(plan.contains("vec_dot_long"), "custom kernel missing from plan")
+    assert(!plan.contains("aggregate(zip_with"),
+      "interpreted higher-order fold is back in the hot path")
+  }
+
+  test("broadcast threshold: probes side of ANN is broadcast, corpus streams") {
+    val plan = executedPlan(ops.Similarity.bruteForceTopK(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "probe side should broadcast")
+  }
+
+  test("date-partitioned layout prunes partitions at scan time") {
+    val root = java.nio.file.Files.createTempDirectory("partitioned").toString
+    Registry.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(root)
+    val pruned = spark.read.parquet(root)
+      .filter(col("day") === "2024-01-05")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day") ||
+      plan.contains("day#"),
+      "partition filter missing from scan")
+    // only one of ~30 day-partitions may be read
+    val scanned = "files read: (\\d+)".r.findFirstMatchIn(
+      pruned.queryExecution.executedPlan.metrics.get("numFiles")
+        .map(m => s"files read: ${m.value}").getOrElse(""))
+    scanned.foreach(m => assert(m.group(1).toInt <= 2))
+  }
+}
