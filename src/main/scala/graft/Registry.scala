@@ -26,7 +26,8 @@ object Registry {
     ops.Similarity.queries,
     ops.Multimodal.queries,
     ops.StatsOps.queries,
-    ops.ScalePatterns.queries
+    ops.ScalePatterns.queries,
+    ops.CollectionOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
