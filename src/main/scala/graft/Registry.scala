@@ -27,7 +27,8 @@ object Registry {
     ops.Multimodal.queries,
     ops.StatsOps.queries,
     ops.ScalePatterns.queries,
-    ops.CollectionOps.queries
+    ops.CollectionOps.queries,
+    ops.Curation.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

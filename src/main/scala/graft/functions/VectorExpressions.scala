@@ -175,3 +175,25 @@ case class MinHashSignature(child: Expression, width: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
     copy(child = c)
 }
+
+/** `SparkSessionExtensions` entry point: lets any deployment register the
+  * graft functions at session build time —
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — instead of the
+  * per-query `VectorFunctions.register` call the bundled queries use.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("vec_dot_long"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "vec_dot_long"),
+      (exprs: Seq[Expression]) => LongArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("shingle_hashes_5"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes_5"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 5)))
+    e.injectFunction((FunctionIdentifier("minhash_sig_5_32"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig_5_32"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 5, 32)))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composite training-data curation pipeline — the queries the other
+  * modules define, chained the way a 100 TB pre-training corpus pass runs
+  * them: quality filter → language filter → near-dup removal (keep the
+  * smallest doc_id of each duplicate cluster) → curated corpus + per-source
+  * accounting. One declarative plan: Catalyst sees the whole pipeline, so
+  * the quality/language predicates prune *before* the (more expensive)
+  * dedup join, and the doc table is scanned once per use, not per "step".
+  */
+object Curation {
+
+  private val MinTokens = 40
+  private val MinTtr = 0.35
+
+  /** Candidate docs passing the cheap per-document filters. */
+  private def passing(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Registry.table(s, dir, "documents")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(toks)).cast("double") / size(toks))
+      .filter(col("n_tokens") >= MinTokens && col("ttr") >= MinTtr)
+  }
+
+  /** Near-dup losers among passing docs: from each Jaccard ≥ 0.8 pair keep
+    * min(doc_id) → the larger id is dropped. (Pairs, not connected
+    * components: the driver corpus has no chains — pair i<j removal equals
+    * component-minimum retention here, and the oracle pins that.)
+    */
+  def curatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val losers = Dedup.jaccardPairs(s, dir).select(col("j").as("doc_id")).distinct()
+    passing(s, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val curatedCorpusOracle = """
+WITH toks AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id, lang, source,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+  FROM toks),
+passing AS (
+  SELECT doc_id, lang, source, n_tokens FROM m
+  WHERE n_tokens >= 40 AND ttr >= 0.35),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(t[i:i+4], ' ')
+                   for i in range(1, len(t) - 3)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 5),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+losers AS (
+  SELECT DISTINCT j AS doc_id
+  FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+SELECT p.doc_id, p.lang, p.source, p.n_tokens
+FROM passing p
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = p.doc_id)
+ORDER BY p.doc_id
+"""
+
+  /** Per-source curation accounting: kept/dropped splits and token budgets —
+    * the report a data-curation run ships with.
+    */
+  def curationReport(s: SparkSession, dir: String): DataFrame = {
+    val kept = curatedCorpus(s, dir)
+      .select(col("doc_id"), lit(true).as("kept"))
+    val toks = split(col("text"), " ")
+    Registry.table(s, dir, "documents")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        sum("n_tokens").as("tokens_total"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  private val curationReportOracle = """
+WITH toks AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id, lang, source,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+  FROM toks),
+passing AS (
+  SELECT doc_id FROM m WHERE n_tokens >= 40 AND ttr >= 0.35),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(t[i:i+4], ' ')
+                   for i in range(1, len(t) - 3)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 5),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+losers AS (
+  SELECT DISTINCT j AS doc_id
+  FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+kept AS (
+  SELECT doc_id FROM passing p
+  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = p.doc_id))
+SELECT m.source,
+  count(*) AS n_docs,
+  count(*) FILTER (m.doc_id IN (SELECT doc_id FROM kept)) AS n_kept,
+  CAST(sum(m.n_tokens) AS BIGINT) AS tokens_total,
+  CAST(sum(CASE WHEN m.doc_id IN (SELECT doc_id FROM kept)
+                THEN m.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM m GROUP BY m.source ORDER BY m.source
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "curated_corpus" -> QueryDef(curatedCorpus, Some(curatedCorpusOracle)),
+    "curation_report" -> QueryDef(curationReport, Some(curationReportOracle))
+  )
+}
