@@ -231,7 +231,35 @@ SELECT o_orderkey AS order_id,
 FROM orders ORDER BY order_id
 """
 
+  // ------------------------------------------------------------ percentiles
+  /** Exact percentiles (linear interpolation between order statistics) of
+    * order totals per priority — Spark `percentile` and DuckDB
+    * `quantile_cont` implement the same definition; inputs are 2-decimal
+    * doubles and the interpolation is two IEEE ops on identical values.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        percentile(col("o_totalprice"), lit(0.99)).as("p99"),
+        min("o_totalprice").as("p0"),
+        max("o_totalprice").as("p100"))
+      .orderBy("o_orderpriority")
+
+  private val percentilesOracle = """
+SELECT o_orderpriority,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  quantile_cont(o_totalprice, 0.99) AS p99,
+  min(o_totalprice) AS p0,
+  max(o_totalprice) AS p100
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_percentiles" -> QueryDef(percentiles, Some(percentilesOracle)),
     "stats_moments_corr" -> QueryDef(moments, Some(momentsOracle)),
     "pivot_status_priority" -> QueryDef(pivotStatus, Some(pivotStatusOracle)),
     "window_rank_family" -> QueryDef(windowFamily, Some(windowFamilyOracle)),
