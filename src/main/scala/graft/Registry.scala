@@ -28,7 +28,8 @@ object Registry {
     ops.StatsOps.queries,
     ops.ScalePatterns.queries,
     ops.CollectionOps.queries,
-    ops.Curation.queries
+    ops.Curation.queries,
+    ops.DedupClusters.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
