@@ -20,6 +20,7 @@ class UnsupportedFormatException(fmt: String)
   */
 final class Connector(spark: SparkSession, baseUri: String) {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Connector])
   private val base = new Path(baseUri)
   private def fs: FileSystem =
     base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,8 +68,11 @@ final class Connector(spark: SparkSession, baseUri: String) {
     val target = new Path(base, key).toString
     format match {
       case "csv" | "parquet" =>
-        if (df.isEmpty) false
-        else {
+        if (df.isEmpty) {
+          log.info("empty frame - no file written to {}", target)
+          false
+        } else {
+          log.info("writing {} to {}", format: Any, target: Any)
           val w = df.write.mode("overwrite")
           (if (format == "csv") w.option("header", "true") else w)
             .format(format).save(target)

@@ -42,6 +42,8 @@ class WrongMetaFileException(msg: String) extends RuntimeException(msg)
 final class MetaStore(metaUri: String, conf: Configuration, clock: Clock) {
   import MetaStore._
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[MetaStore])
+
   private def fs: FileSystem = new Path(metaUri).getFileSystem(conf)
 
   private def today: LocalDate = LocalDate.now(clock)
@@ -55,6 +57,8 @@ final class MetaStore(metaUri: String, conf: Configuration, clock: Clock) {
       Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(today)).toSeq
     readProcessedDates() match {
       case None =>
+        log.info("no meta file at {} - cold start, {} dates from {}",
+          metaUri, all.size.toString, firstDate)
         // cold start: full backfill from first_date − 1
         (firstDate, all.map(_.format(DateFmt)))
       case Some(processed) =>
@@ -64,7 +68,11 @@ final class MetaStore(metaUri: String, conf: Configuration, clock: Clock) {
             .minusDays(1)
           val resume = minDate.plusDays(1).format(DateFmt)
           (resume, all.filter(!_.isBefore(minDate)).map(_.format(DateFmt)))
-        } else (Sentinel, Seq.empty)
+        } else {
+          log.info("meta file {} is complete - sentinel, nothing to process",
+            metaUri)
+          (Sentinel, Seq.empty)
+        }
     }
   }
 
@@ -82,7 +90,11 @@ final class MetaStore(metaUri: String, conf: Configuration, clock: Clock) {
             s"meta file columns ${header.mkString(",")} != expected ${Columns.mkString(",")}")
         oldRows ++ newRows
     }
-    if (allRows.nonEmpty) writeRows(allRows)
+    if (allRows.nonEmpty) {
+      log.info("committing {} rows ({} new dates) to {}",
+        allRows.size.toString, dates.size.toString, metaUri)
+      writeRows(allRows)
+    } else log.info("empty meta union - nothing written (reference S4 skip)")
   }
 
   // ------------------------------------------------------------------ IO
