@@ -187,11 +187,34 @@ ASOF LEFT JOIN daily d
 ORDER BY e.event_id
 """
 
+  /** The same as-of semantics through the custom Catalyst operator
+    * ([[graft.plans.AsOfJoin]]: LogicalPlan + Strategy + streaming-merge
+    * SparkPlan) — checked against the identical DuckDB ASOF JOIN oracle as
+    * the built-in-composed variant above, so the custom physical operator
+    * is value-verified end to end.
+    */
+  def asofCustom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Registry.events(s, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("value"))
+    val probe = ev.select("event_id", "user_id", "day", "value")
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max_by(col("value"), col("ts")).as("close_value"))
+      .select(col("user_id").as("r_user_id"), col("day").as("r_day"),
+        col("close_value"))
+    graft.plans.AsOfJoin.dataframe(probe, daily,
+        probe("user_id"), daily("r_user_id"), probe("day"), daily("r_day"))
+      .select(col("event_id"), col("user_id"), col("day"), col("value"),
+        col("close_value").as("prev_close"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, QueryDef] = Map(
     "window_tumbling_daily" -> QueryDef(tumblingDaily, Some(tumblingDailyOracle)),
     "window_sliding_6h3h" -> QueryDef(slidingActivity, Some(slidingActivityOracle)),
     "sessionize_30m" -> QueryDef(sessionize, Some(sessionizeOracle)),
     "json_props_agg" -> QueryDef(jsonProps, Some(jsonPropsOracle)),
-    "asof_prev_close" -> QueryDef(asofPrevClose, Some(asofPrevCloseOracle))
+    "asof_prev_close" -> QueryDef(asofPrevClose, Some(asofPrevCloseOracle)),
+    "asof_custom_strategy" -> QueryDef(asofCustom, Some(asofPrevCloseOracle))
   )
 }

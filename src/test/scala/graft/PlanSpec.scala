@@ -76,6 +76,19 @@ class PlanSpec extends SparkSpec {
       "probe side should broadcast")
   }
 
+  test("custom as-of strategy plans AsOfJoinExec with clustered+sorted children") {
+    val df = ops.EventOps.asofCustom(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin "), "custom operator not planned")
+    // Catalyst must have inserted the key exchanges + (key, time) sorts
+    assert(plan.contains("Exchange hashpartitioning(user_id"))
+    assert(plan.contains("Exchange hashpartitioning(r_user_id"))
+    assert("Sort \\[user_id.*day".r.findFirstIn(plan).isDefined ||
+      plan.contains("Sort [user_id"))
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val root = java.nio.file.Files.createTempDirectory("partitioned").toString
     Registry.events(spark, sfDir)
