@@ -46,8 +46,10 @@ object Registry {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
+    // integer `div`, NOT `/`: double division at epoch-nano magnitude
+    // (~1.7e18 > 2^53) is off by 1ns-truncation for ~1.6% of values
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts") / 1000 cast "long"))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 }

@@ -14,7 +14,12 @@ final case class SourceConfig(
     columns: Seq[String],
     colDate: String, colIsin: String, colTime: String,
     colStartPrice: String, colMinPrice: String, colMaxPrice: String,
-    colTradedVol: String)
+    colTradedVol: String,
+    /** Non-role numeric columns typed DoubleType in the declared schema
+      * (`src_extra_double_cols`, optional). Default covers the reference's
+      * EndPrice, which is read but never used by the report.
+      */
+    extraDoubleCols: Seq[String] = Seq("EndPrice"))
 
 final case class TargetConfig(
     uri: String,
@@ -69,7 +74,12 @@ object Configs {
         colStartPrice = one(s, "src_col_start_price"),
         colMinPrice = one(s, "src_col_min_price"),
         colMaxPrice = one(s, "src_col_max_price"),
-        colTradedVol = one(s, "src_col_traded_vol")),
+        colTradedVol = one(s, "src_col_traded_vol"),
+        extraDoubleCols = s.get("src_extra_double_cols") match {
+          case Some(Right(v)) => v
+          case Some(Left(v)) => Seq(v)
+          case None => Seq("EndPrice")
+        }),
       TargetConfig(
         uri = one(t, "trg_uri"),
         key = one(t, "trg_key"),

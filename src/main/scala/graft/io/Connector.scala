@@ -68,16 +68,22 @@ final class Connector(spark: SparkSession, baseUri: String) {
     val target = new Path(base, key).toString
     format match {
       case "csv" | "parquet" =>
-        if (df.isEmpty) {
-          log.info("empty frame - no file written to {}", target)
-          false
-        } else {
-          log.info("writing {} to {}", format: Any, target: Any)
-          val w = df.write.mode("overwrite")
-          (if (format == "csv") w.option("header", "true") else w)
-            .format(format).save(target)
-          true
-        }
+        // the S4 emptiness probe would otherwise execute the full upstream
+        // plan twice (once to find a first row, once to save) - persist so
+        // the probe's work is reused by the write
+        val cached = df.persist()
+        try {
+          if (cached.isEmpty) {
+            log.info("empty frame - no file written to {}", target)
+            false
+          } else {
+            log.info("writing {} to {}", format: Any, target: Any)
+            val w = cached.write.mode("overwrite")
+            (if (format == "csv") w.option("header", "true") else w)
+              .format(format).save(target)
+            true
+          }
+        } finally cached.unpersist()
       case other => throw new UnsupportedFormatException(other)
     }
   }

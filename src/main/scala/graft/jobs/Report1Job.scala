@@ -36,7 +36,8 @@ final class Report1Job(spark: SparkSession, cfg: JobConfig, clock: Clock) {
     val c = cfg.source
     StructType(cfg.source.columns.map {
       case n if n == c.colStartPrice || n == c.colMinPrice ||
-        n == c.colMaxPrice || n == "EndPrice" => StructField(n, DoubleType)
+        n == c.colMaxPrice || c.extraDoubleCols.contains(n) =>
+        StructField(n, DoubleType)
       case n if n == c.colTradedVol => StructField(n, LongType)
       case n => StructField(n, StringType)
     })

@@ -24,13 +24,6 @@ import org.apache.spark.sql.types.DecimalType
 object CoreRelational {
   import Registry.table
 
-  /** Exact sum of a money-ish double expression: round to the decimal grid
-    * the data lives on (scale covers products of 2-decimal values), sum
-    * exactly, surface as double.
-    */
-  private def dsum(e: Column, scale: Int = 4): Column =
-    sum(e.cast(DecimalType(25, scale))).cast("double")
-
   // ---------------------------------------------------------------- Q1-style
   /** Pricing summary: the reference's A1 multi-aggregate pattern
     * (`xetra_transformer.py:173-185`) widened to TPC-H Q1 shape — partial
@@ -44,7 +37,7 @@ object CoreRelational {
       .agg(
         sum("l_quantity").as("sum_qty"),
         dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
           .as("sum_charge"),
         (sum("l_quantity") / count(lit(1))).as("avg_qty"),
@@ -87,7 +80,7 @@ ORDER BY l_returnflag, l_linestatus
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("r_name", "n_name")
   }

@@ -136,7 +136,11 @@ ORDER BY i, j
     * correctness check for the whole LSH pipeline.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // drop docs with empty shingle sets (<5 tokens): their all-MaxValue
+    // signatures would co-bucket in every band and their 0/0 Jaccard is
+    // NaN, which Spark's NaN-is-largest ordering would pass through >= 0.8
     val d = docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))
+      .filter(size(col("sh")) > 0)
     // whole signature in one per-document pass (MinHashSignature): no
     // shingle explode, no 32-column min aggregation, no shuffle until bands
     val sig = docs(s, dir)

@@ -46,6 +46,10 @@ object DedupClusters {
       labels = next
       iter += 1
     }
+    // wrong-but-silent is the worst failure mode for a dedup pass
+    require(changed == 0,
+      s"label propagation did not converge after $iter iterations " +
+        s"($changed labels still changing) - component diameter exceeds the cap")
     labels
       .select(col("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")

@@ -17,9 +17,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventOps {
 
-  private def dsum(e: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(e.cast(DecimalType(25, scale))).cast("double")
-
   /** Tumbling 1-day event-time windows per event type: Spark's `window()`
     * producing one row per (day, type). Epoch-aligned, so identical to
     * date_trunc in any engine.
@@ -75,7 +72,10 @@ FROM assigned GROUP BY 1, 2 ORDER BY window_start_epoch, event_type
 
   /** Session windows: Spark's native `session_window` (30-minute inactivity
     * gap) per user. The oracle rebuilds sessions relationally: a lag-gap
-    * indicator cumulated into session ids — same semantics, pure SQL.
+    * indicator cumulated into session ids — same semantics, pure SQL. The
+    * gap test is strict `>`: session_window merges when the next event's
+    * window start equals the previous window's end (inclusive merge,
+    * verified empirically), so an exact 30:00 gap stays ONE session.
     */
   def sessionize(s: SparkSession, dir: String): DataFrame =
     Registry.events(s, dir)

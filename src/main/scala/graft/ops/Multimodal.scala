@@ -68,7 +68,7 @@ FROM documents ORDER BY doc_id
     MediaFeatures(
       doc_id = docId,
       n_bytes = bytes.length.toLong,
-      mean_byte = sum.toDouble / bytes.length,
+      mean_byte = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length,
       fake_width = bytes.length % 640,
       fake_frames = bytes.length / 256 + 1)
   }
@@ -99,7 +99,8 @@ WITH codes AS (
   FROM documents)
 SELECT doc_id,
   CAST(n_chars AS BIGINT) AS n_bytes,
-  CAST(list_sum(cs) AS DOUBLE) / n_chars AS mean_byte,
+  CASE WHEN n_chars = 0 THEN 0.0
+       ELSE CAST(list_sum(cs) AS DOUBLE) / n_chars END AS mean_byte,
   CAST(n_chars % 640 AS BIGINT) AS fake_width,
   CAST(n_chars // 256 + 1 AS BIGINT) AS fake_frames
 FROM codes ORDER BY doc_id
@@ -115,9 +116,12 @@ FROM codes ORDER BY doc_id
     media(s, dir)
       .select(col("doc_id"), col("payload").cast("string").as("t"))
       .select(col("doc_id"),
-        posexplode(transform(
+        // empty payload -> empty array -> posexplode emits nothing (the
+        // truncating (len-1)/256 would otherwise give one bogus frame)
+        posexplode(when(length(col("t")) > 0, transform(
           sequence(lit(0), ((length(col("t")) - 1) / 256).cast("int")),
-          i => substring(col("t"), i * 256 + 1, lit(256)))))
+          i => substring(col("t"), i * 256 + 1, lit(256))))
+          .otherwise(array().cast("array<string>"))))
       .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
         md5(col("col")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")

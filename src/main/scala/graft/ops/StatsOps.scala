@@ -19,9 +19,6 @@ import org.apache.spark.sql.types.DecimalType
 object StatsOps {
   import Registry.table
 
-  private def dsum(e: Column, scale: Int): Column =
-    sum(e.cast(DecimalType(30, scale))).cast("double")
-
   // -------------------------------------------------------- moments / corr
   /** Mean, sample variance/stddev of order totals and quantity↔price
     * correlation per order priority, all from exact power sums.

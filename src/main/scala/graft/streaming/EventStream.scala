@@ -38,7 +38,7 @@ object EventStream {
     spark.readStream
       .schema(eventsSchema)
       .parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-day windows per event type with a 30-minute watermark —
@@ -84,6 +84,10 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionFn)
   }
 
+  /** Strict `>`: `session_window` merges sessions whose windows touch
+    * (next.start == prev.end), so an exact-threshold gap stays one
+    * session — verified empirically against the batch operator.
+    */
   private val GapMs = 30L * 60 * 1000
 
   /** Per-user session builder. State (unused across batches for the bounded
