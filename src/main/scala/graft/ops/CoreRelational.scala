@@ -237,6 +237,34 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
+  /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): the
+    * (flag, status) detail cells plus flag-only and status-only margins —
+    * but NOT the grand total, which neither rollup nor cube can express
+    * alone.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  private val groupingSetsOracle = """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  count(*) AS n,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus))
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
   // -------------------------------------------------------- set ops / dedup
   /** INTERSECT: nation keys present in both customer and supplier. */
   def intersectNations(s: SparkSession, dir: String): DataFrame =
@@ -356,6 +384,7 @@ ORDER BY l_orderkey, l_linenumber, l_quantity
     "top25_orders_global" -> QueryDef(top25Orders, Some(top25OrdersOracle)),
     "rollup_revenue" -> QueryDef(rollupRevenue, Some(rollupRevenueOracle)),
     "cube_orders" -> QueryDef(cubeOrders, Some(cubeOrdersOracle)),
+    "grouping_sets_margins" -> QueryDef(groupingSets, Some(groupingSetsOracle)),
     "intersect_nations" -> QueryDef(intersectNations, Some(intersectNationsOracle)),
     "except_urgent_not_low" -> QueryDef(exceptNations, Some(exceptNationsOracle)),
     "union_all_slices" -> QueryDef(unionAllSlices, Some(unionAllSlicesOracle)),
