@@ -36,6 +36,44 @@ class StreamingSpec extends SparkSpec {
     assert(agg.queryExecution.analyzed.toString.contains("30 minutes"))
   }
 
+  test("watermarked stream-stream interval join matches the batch equivalent") {
+    import org.apache.spark.sql.functions._
+    // purchases joined to the same user's signups within the preceding hour
+    val purchases = EventStream.readEvents(spark, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = EventStream.readEvents(spark, eventsPath)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("interval 1 hour"))
+      .select("p_id", "s_id")
+    val got = EventStream.runToMemory(spark, joined, "stream_ss_join",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("p_id", "s_id").collect().map(_.toSeq).toSeq
+
+    val ev = Registry.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val sgn = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+    val expected = p.join(sgn,
+        col("p_user") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("interval 1 hour"))
+      .select("p_id", "s_id")
+      .orderBy("p_id", "s_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals batch session_window") {
     import spark.implicits._
     val stream = EventStream.readEvents(spark, eventsPath)
