@@ -283,7 +283,62 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))
 ORDER BY i, j
 """
 
+  /** SimHash near-dup pairs at Hamming distance ≤ 3, found scalably via
+    * 4-band blocking over the 60-bit signatures: by pigeonhole, any pair
+    * within distance 3 shares at least one intact 15-bit chunk, so banding
+    * has 100% recall for the threshold — the result is EXACT, and the
+    * all-pairs oracle proves it. Candidates are then verified with
+    * `bit_count(xor)`.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhash(s, dir).select("doc_id", "simhash")
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("i"), col("simhash").as("sa")), "i")
+      .join(sigs.select(col("doc_id").as("j"), col("simhash").as("sb")), "j")
+      .select(col("i"), col("j"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("i", "j")
+  }
+
+  private val simhashPairsOracle = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+hashed AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+  FROM tok),
+bits AS (
+  SELECT doc_id, k,
+    sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed, (SELECT unnest(range(0, 60)) AS k)
+  GROUP BY doc_id, k),
+sig AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+         AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS i, b.doc_id AS j,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY i, j
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "dedup_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsOracle)),
     "dedup_exact" -> QueryDef(exactDedup, Some(exactDedupOracle)),
     "dedup_normalized_tokens" -> QueryDef(normalizedDedup, Some(normalizedDedupOracle)),
     "dedup_ngram_jaccard" -> QueryDef(jaccardPairs, Some(jaccardPairsOracle)),
