@@ -72,6 +72,10 @@ object VectorFunctions {
       "minhash_sig_5_32",
       exprs => MinHashSignature(exprs.head, 5, 32),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60",
+      exprs => SimHash60(exprs.head),
+      "scala_udf")
   }
 }
 
@@ -176,6 +180,55 @@ case class MinHashSignature(child: Expression, width: Int, k: Int)
     copy(child = c)
 }
 
+/** 60-bit SimHash signature of a (repeated) token array in one per-row
+  * loop: per-token hash = the first 60 bits of md5 (identical to
+  * `conv(substring(md5(t),1,15),16,10)` and DuckDB's
+  * `CAST('0x'||substr(md5(t),1,15) AS BIGINT)` — the cross-engine-portable
+  * hash the oracles use), ±1 vote per bit position, sign → bit. Replaces a
+  * nested `aggregate(zip_with(transform(sequence(0,59),...)))` chain whose
+  * lambdas interpret once per (token × bit) — the dominant cost of the
+  * simhash pipeline; this is a tight JVM loop per document (per-row
+  * CodegenFallback, so the cost stays per-row).
+  */
+case class SimHash60(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val d = md5.digest(arr.getUTF8String(i).getBytes)
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+      var k = 0
+      while (k < 60) {
+        votes(k) += (((h >>> k) & 1L).toInt << 1) - 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 60) { if (votes(k) > 0) sig |= 1L << k; k += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+}
+
 /** `SparkSessionExtensions` entry point: lets any deployment register the
   * graft functions at session build time —
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -195,5 +248,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("minhash_sig_5_32"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig_5_32"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 5, 32)))
+    e.injectFunction((FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
   }
 }

@@ -179,37 +179,17 @@ ORDER BY i, j
   }
 
   // ---------------------------------------------------------------- SimHash
-  /** Bit-k test without a dynamic shift (Spark's `shiftright` takes only a
-    * literal amount): mask with 2^k from a lookup array — pure int64 ops,
-    * no double round-trip that would mangle 60-bit hashes.
-    */
-  private def bitAt(h: Column, k: Column): Column = {
-    val pows = typedlit((0 until 60).map(i => 1L << i))
-    when(h.bitwiseAND(element_at(pows, (k + 1).cast("int"))) =!= 0L, 1L)
-      .otherwise(0L)
-  }
-
   /** 60-bit SimHash signatures over (repeated) word tokens: per-token
-    * md5-derived hash, ±1 vote per bit, sign → bit. Pure per-document
-    * higher-order expressions — no shuffle, no UDF; the modulus-free integer
-    * votes stay tiny.
+    * md5-derived hash, ±1 vote per bit, sign → bit. One per-document custom
+    * expression ([[graft.functions.SimHash60]]) — no shuffle; the interpreted
+    * higher-order form (token × bit lambda interpretations) was the dominant
+    * cost of the simhash-pairs pipeline at sf0.1.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val hashes = transform(toks,
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val zeros = typedlit(Seq.fill(60)(0L))
-    val votes = aggregate(hashes, zeros,
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(59)),
-          k => bitAt(h, k) * 2 - 1),
-        (a, v) => a + v))
-    val powers = typedlit((0 until 60).map(k => 1L << k))
-    val sig = aggregate(
-      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.register(s)
     docs(s, dir)
-      .select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id"),
+        call_function("simhash60", split(col("text"), " ")).as("simhash"))
       .orderBy("doc_id")
   }
 

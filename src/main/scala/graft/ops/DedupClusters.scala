@@ -9,24 +9,78 @@ import org.apache.spark.sql.functions._
   * Pair-based removal (drop the larger of each pair) over-removes on chains
   * A–B, B–C; component-minimum retention is the correct dedup semantics.
   *
-  * Spark has no built-in connected components, so this is iterative
-  * min-label propagation over DataFrames — the standard scale pattern
-  * (labels converge in O(graph diameter) joins; near-dup graphs are
-  * overwhelmingly tiny stars, so 2-3 iterations in practice). The iteration
-  * driver checks convergence with a count, each step is one shuffle on the
-  * (LSH-bounded, ≪ corpus) edge set. Oracle: recursive transitive closure
-  * in SQL.
+  * Scale design: the edge list is the *near-dup pair set* — LSH/inverted-
+  * index bounded, orders of magnitude smaller than the corpus (it is the
+  * thing dedup exists to keep small). Components are computed with a hybrid:
+  *
+  *  - **edge set fits the driver** (default ≤ 10M edges ≈ a corpus with
+  *    hundreds of millions of near-dup docs): collect ONLY the edges and run
+  *    union-find with path compression — O(E α(E)), zero Spark iterations.
+  *    This is the standard industrial shape (a 100 TB corpus's pair list is
+  *    GBs, not TBs); the corpus itself never moves.
+  *  - **larger**: iterative min-label propagation over DataFrames — labels
+  *    converge in O(graph diameter) shuffle rounds (near-dup graphs are
+  *    overwhelmingly tiny stars: 2-3 rounds), each round one shuffle on the
+  *    edge set. The result is `localCheckpoint`ed and every intermediate
+  *    cache unpersisted, so repeated invocations don't accumulate blocks.
+  *
+  * Oracle: recursive transitive closure in SQL.
   */
 object DedupClusters {
 
   def clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.jaccardPairs(s, dir).select("i", "j")
+    connectedComponents(s, pairs)
+  }
+
+  /** (doc_id, cluster_rep = component-minimum doc_id) for every node that
+    * appears in the `(i, j)` pair list.
+    */
+  def connectedComponents(s: SparkSession, pairs: DataFrame,
+      driverMaxEdges: Long = 10_000_000L): DataFrame = {
+    val dedupedPairs = pairs.select(col("i").cast("long"), col("j").cast("long"))
+      .distinct().persist()
+    try {
+      if (dedupedPairs.count() <= driverMaxEdges)
+        driverUnionFind(s, dedupedPairs)
+      else
+        labelPropagation(s, dedupedPairs)
+    } finally dedupedPairs.unpersist()
+  }
+
+  /** Union-find with path compression over collected edges. The returned
+    * DataFrame is a local relation — no lineage back to the edge scan.
+    */
+  private def driverUnionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    edges.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      // union by min: the representative IS the component minimum
+      if (ri < rj) parent(rj) = ri else if (rj < ri) parent(ri) = rj
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    nodes.sorted.map(n => (n, find(n))).toSeq
+      .toDF("doc_id", "cluster_rep")
+  }
+
+  /** Distributed fallback: iterative min-label propagation. */
+  private def labelPropagation(s: SparkSession, pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.unionByName(
-      pairs.select(col("j").as("i"), col("i").as("j"))).distinct().cache()
+      pairs.select(col("j").as("i"), col("i").as("j"))).distinct().persist()
     val nodes = edges.select(col("i").as("doc_id")).distinct()
 
-    var labels = nodes.withColumn("label", col("doc_id")).cache()
+    var labels = nodes.withColumn("label", col("doc_id")).persist()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -39,7 +93,7 @@ object DedupClusters {
       val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
+        .persist()
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
@@ -50,9 +104,13 @@ object DedupClusters {
     require(changed == 0,
       s"label propagation did not converge after $iter iterations " +
         s"($changed labels still changing) - component diameter exceeds the cap")
-    labels
+    // cut lineage so every cached block can be released before returning
+    val result = labels
       .select(col("doc_id"), col("label").as("cluster_rep"))
-      .orderBy("doc_id")
+      .localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    result.orderBy("doc_id")
   }
 
   private val clustersOracle = """

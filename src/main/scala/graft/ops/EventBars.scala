@@ -59,6 +59,11 @@ WITH bars AS (
          ts, value,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
+  -- mirror of Report1.transform's na.drop("any"): a row whose $.k is
+  -- missing (or any other null) is dropped by the Spark side, so pin the
+  -- same semantics here instead of relying on the data being null-free
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
 ), w AS (
   SELECT user_id, date, value, k,
     first_value(value) OVER (PARTITION BY user_id, date ORDER BY ts

@@ -77,20 +77,32 @@ case class AsOfJoinExec(
       li.map { l =>
         val lk = lkB.eval(l)
         val lt = ltB.eval(l)
-        // advance the right side through every row strictly before (lk, lt)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val r = rBuf.head
-          val rk = rkB.eval(r)
-          val c = keyOrd.compare(rk, lk)
-          if (c < 0 || (c == 0 && timeOrd.compare(rtB.eval(r), lt) < 0)) {
-            val consumed = rBuf.next().copy() // shuffle rows are reused
-            candRow = consumed
-            candKey = rkB.eval(consumed)
-          } else advancing = false
+        if (lk == null || lt == null) {
+          // SQL match semantics: a null key equals nothing and a null time
+          // is unordered — the row joins to nulls. No cursor movement: the
+          // ascending NULLS FIRST child ordering puts these rows first.
+          resultProj(joined(l, nullRight))
+        } else {
+          // advance the right side through every row strictly before (lk, lt)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rkB.eval(r)
+            val rt = if (rk == null) null else rtB.eval(r)
+            if (rk == null || rt == null) {
+              rBuf.next() // unmatchable under SQL semantics: discard
+            } else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0 || (c == 0 && timeOrd.compare(rt, lt) < 0)) {
+                val consumed = rBuf.next().copy() // shuffle rows are reused
+                candRow = consumed
+                candKey = rkB.eval(consumed)
+              } else advancing = false
+            }
+          }
+          val matched = candRow != null && keyOrd.compare(candKey, lk) == 0
+          resultProj(joined(l, if (matched) candRow else nullRight))
         }
-        val matched = candRow != null && keyOrd.compare(candKey, lk) == 0
-        resultProj(joined(l, if (matched) candRow else nullRight))
       }
     }
   }
@@ -115,7 +127,9 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOfJoin {
   /** DataFrame-level entry: `asofJoin(left, right, leftKey = ..., ...)`.
     * Right-side columns should carry distinct names (alias them) — the
-    * output concatenates both schemas.
+    * output concatenates both schemas. Null handling follows SQL match
+    * semantics: a left row with a null key or time joins to nulls; a right
+    * row with a null key or time can never be a match and is skipped.
     */
   def dataframe(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: Column, rightKey: Column,

@@ -73,15 +73,30 @@ object EventStream {
   /** Stateful sessionization (30-minute inactivity gap) with
     * `flatMapGroupsWithState` — the custom-state form of
     * `EventOps.sessionize`. Values are exact cents (long) so stream/batch
-    * parity is bit-exact. Emits every closed session; on a bounded stream
-    * the final open session of each user is flushed when the source drains.
+    * parity is bit-exact.
+    *
+    * Two modes, selected by `flushOpenTails`:
+    *  - `false` (the streaming default): each micro-batch merges the carried
+    *    open tail with the batch's events, emits only sessions *closed by
+    *    observed data* (a newer event > gap after them exists), and keeps the
+    *    still-open tail in state — so a session spanning micro-batch
+    *    boundaries is emitted exactly once, never as duplicate fragments.
+    *    The tail flushes when a later event closes it; an idle user's final
+    *    session stays open (flush it with an event-time timeout in a
+    *    deployment that needs bounded emission latency).
+    *  - `true`: additionally emits each user's open tail and clears state —
+    *    ONLY correct when the source is fully drained in a single trigger
+    *    (e.g. `Trigger.AvailableNow` over a static directory processed as
+    *    one micro-batch); with multiple batches it would re-emit fragments.
     */
-  def sessionize(events: Dataset[StreamEvent]): Dataset[UserSession] = {
+  def sessionize(events: Dataset[StreamEvent],
+      flushOpenTails: Boolean = true): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[StreamEvent], UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionFn)
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        sessionFn(flushOpenTails))
   }
 
   /** Strict `>`: `session_window` merges sessions whose windows touch
@@ -90,11 +105,11 @@ object EventStream {
     */
   private val GapMs = 30L * 60 * 1000
 
-  /** Per-user session builder. State (unused across batches for the bounded
-    * case) carries the open tail so an unbounded deployment keeps sessions
-    * alive between micro-batches.
+  /** Per-user session builder. State carries the open tail (the events of
+    * the most recent, not-yet-closed session) between micro-batches.
     */
-  private def sessionFn(userId: Long, it: Iterator[StreamEvent],
+  private def sessionFn(flushOpenTails: Boolean)(
+      userId: Long, it: Iterator[StreamEvent],
       state: GroupState[List[StreamEvent]]): Iterator[UserSession] = {
     val prev = state.getOption.getOrElse(Nil)
     val all = (prev ++ it.toList).sortBy(_.ts.getTime)
@@ -107,9 +122,10 @@ object EventStream {
         cur = scala.collection.mutable.ListBuffer(e)
       } else cur += e
     }
-    sessions += cur.toList
-    state.update(Nil) // bounded stream: everything flushes below
-    sessions.iterator.map { es =>
+    val closed =
+      if (flushOpenTails) { state.remove(); sessions += cur.toList; sessions }
+      else { state.update(cur.toList); sessions } // tail stays alive
+    closed.iterator.map { es =>
       UserSession(
         user_id = userId,
         session_start_epoch = es.head.ts.getTime / 1000,

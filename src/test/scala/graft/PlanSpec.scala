@@ -89,6 +89,30 @@ class PlanSpec extends SparkSpec {
       plan.contains("Sort [user_id"))
   }
 
+  test("as-of join follows SQL null semantics (null keys/times never match, never NPE)") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(10L), "l_a"),       // normal: matches r at t=5
+      (Some(1L), None, "l_null_t"),       // null time → nulls
+      (None, Some(10L), "l_null_k"),      // null key → nulls
+      (Some(2L), Some(10L), "l_b")        // right side has only null-time rows for k=2
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(5L), "r_early"),
+      (Some(1L), None, "r_null_t"),       // unmatchable
+      (None, Some(1L), "r_null_k"),       // unmatchable
+      (Some(2L), None, "r_b_null_t")      // unmatchable
+    ).toDF("rk", "rt", "rtag")
+    val out = graft.plans.AsOfJoin.dataframe(left, right,
+        left("k"), right("rk"), left("t"), right("rt"))
+      .select("tag", "rtag").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("l_a") == Some("r_early"))
+    assert(out("l_null_t").isEmpty)
+    assert(out("l_null_k").isEmpty)
+    assert(out("l_b").isEmpty)
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val root = java.nio.file.Files.createTempDirectory("partitioned").toString
     Registry.events(spark, sfDir)

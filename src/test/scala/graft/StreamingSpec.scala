@@ -93,4 +93,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == expected.size)
     assert(got == expected)
   }
+
+  test("sessionization state carries open tails across micro-batches (no fragments)") {
+    import spark.implicits._
+    // stage the events into TWO time-split files and force one file per
+    // micro-batch: any session spanning the split must be emitted exactly
+    // once (merged via state), not as duplicate fragments per batch
+    val dir = java.nio.file.Files.createTempDirectory("events_two_batches")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = epoch nanos
+    val splitNanos = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    raw.filter(col("ts") < splitNanos).coalesce(1)
+      .write.parquet(s"$dir/batch0")
+    raw.filter(col("ts") >= splitNanos).coalesce(1)
+      .write.parquet(s"$dir/batch1")
+    val staged = java.nio.file.Files.createTempDirectory("events_staged")
+    Seq("batch0", "batch1").zipWithIndex.foreach { case (b, i) =>
+      val src = new java.io.File(s"$dir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$staged/$b.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1)) // deterministic batch order
+    }
+
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent]
+    val got = EventStream.runToMemory(spark,
+        EventStream.sessionize(stream, flushOpenTails = false).toDF(),
+        "stream_sessions_mb",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("user_id", "session_start_epoch")
+      .collect().map(_.toSeq).toSeq
+
+    // expected: every batch session EXCEPT each user's final (still-open)
+    // one — those stay in state awaiting a closing event
+    val all = ops.EventOps.sessionize(spark, sfDir)
+      .select(col("user_id"), col("session_start_epoch"), col("n_events"),
+        round(col("sum_value") * 100).cast("long").as("sum_value_cents"))
+    val expected = all
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("session_start_epoch").desc)))
+      .filter(col("rn") > 1).drop("rn")
+      .orderBy("user_id", "session_start_epoch")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
 }
