@@ -29,7 +29,9 @@ object Registry {
     ops.ScalePatterns.queries,
     ops.CollectionOps.queries,
     ops.Curation.queries,
-    ops.DedupClusters.queries
+    ops.DedupClusters.queries,
+    ops.SamplingOps.queries,
+    ops.RelationalExtras.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

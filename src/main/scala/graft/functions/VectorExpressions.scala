@@ -76,6 +76,10 @@ object VectorFunctions {
       "simhash60",
       exprs => SimHash60(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes_2",
+      exprs => ShingleHashes(exprs.head, 2),
+      "scala_udf")
   }
 }
 
@@ -251,5 +255,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes_2"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes_2"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 2)))
   }
 }

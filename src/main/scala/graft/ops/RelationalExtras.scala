@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Join/reshape/window forms that complete the relational surface beyond
+  * round 1: full outer join, cross-join grid densification, wide→long
+  * unpivot, and a time-RANGE window frame.
+  */
+object RelationalExtras {
+
+  // --------------------------------------------------------- full outer join
+  /** Per-nation count of high-balance customers FULL OUTER JOIN per-nation
+    * supplier counts: either side may be missing a nation, and both
+    * "unmatched left" and "unmatched right" rows must survive with nulls.
+    * Both inputs are pre-aggregated (25 rows) — at scale this is the
+    * aggregate-then-join shape (shuffle on the tiny nation key only), and
+    * the join itself broadcasts.
+    */
+  def fullOuterNationBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = Registry.table(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").cast("long").as("c_nation"))
+      .agg(count(lit(1)).as("n_rich_customers"))
+    val supp = Registry.table(s, dir, "supplier")
+      .groupBy(col("s_nationkey").cast("long").as("s_nation"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    cust.join(supp, cust("c_nation") === supp("s_nation"), "full_outer")
+      .select(
+        coalesce(col("c_nation"), col("s_nation")).as("nationkey"),
+        col("n_rich_customers"), col("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  private val fullOuterOracle = """
+WITH cust AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nation,
+         CAST(count(*) AS BIGINT) AS n_rich_customers
+  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+supp AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS s_nation,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY 1)
+SELECT coalesce(c_nation, s_nation) AS nationkey,
+       n_rich_customers, n_suppliers
+FROM cust FULL OUTER JOIN supp ON c_nation = s_nation
+ORDER BY nationkey
+"""
+
+  // ------------------------------------------------------- cross-join grid
+  /** Dense (nation × order-priority) grid of high-value order counts:
+    * cross join builds the full key space, a left join + coalesce zero-fills
+    * the combinations with no orders — the standard reporting densification.
+    * Both grid sides are dimension-sized (≤ 25 × 5), so the cross join and
+    * the probe join both broadcast; the only shuffle is the fact-side
+    * aggregation.
+    */
+  def crossJoinGrid(s: SparkSession, dir: String): DataFrame = {
+    val nations = Registry.table(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("nationkey"))
+    val priorities = Registry.table(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority")).distinct()
+    val actual = Registry.table(s, dir, "orders")
+      .filter(col("o_totalprice") > 480000)
+      .join(Registry.table(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+    nations.crossJoin(priorities)
+      .join(actual, Seq("nationkey", "priority"), "left_outer")
+      .select(col("nationkey"), col("priority"),
+        coalesce(col("n"), lit(0L)).as("n_big_orders"))
+      .orderBy("nationkey", "priority")
+  }
+
+  private val crossJoinGridOracle = """
+WITH pr AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+actual AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_totalprice > 480000
+  GROUP BY 1, 2)
+SELECT CAST(n_nationkey AS BIGINT) AS nationkey, pr.priority,
+       coalesce(n, 0) AS n_big_orders
+FROM nation CROSS JOIN pr
+LEFT JOIN actual
+  ON actual.nationkey = CAST(n_nationkey AS BIGINT)
+ AND actual.priority = pr.priority
+ORDER BY 1, 2
+"""
+
+  // ------------------------------------------------------------- unpivot
+  /** Wide→long reshape of the pricing summary: three measure columns become
+    * (measure, value) rows via `Dataset.unpivot` — the relational MELT.
+    * Exact decimal sums cast to double at the end (cross-engine rule).
+    */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    val wide = Registry.table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(25, 2))).cast("double")
+          .as("sum_price"),
+        sum(col("l_discount").cast(DecimalType(25, 2))).cast("double")
+          .as("sum_disc"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  private val unpivotOracle = """
+WITH wide AS (
+  SELECT l_returnflag,
+    sum(l_quantity) AS sum_qty,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+    CAST(sum(CAST(l_discount AS DECIMAL(25,2))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, measure, value FROM (
+  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM wide)
+ORDER BY l_returnflag, measure
+"""
+
+  // ------------------------------------------------- RANGE window frame
+  /** Per-user trailing 7-day sum/count over events via a RANGE frame on
+    * epoch seconds — a *value*-bounded frame (every row within 604800s), not
+    * a row-count frame; sliding aggregation that `window()` buckets can't
+    * express per-row. Values summed as exact cents.
+    */
+  def rangeWindow7d(s: SparkSession, dir: String): DataFrame = {
+    val base = Registry.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      col("ts").cast("long").as("sec"),
+      (col("value").cast(DecimalType(25, 2)) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-7L * 86400, Window.currentRow)
+    base.select(col("event_id"), col("user_id"),
+        sum("cents").over(w).as("win_cents"),
+        count(lit(1)).over(w).as("n_win"))
+      .orderBy("event_id")
+  }
+
+  private val rangeWindowOracle = """
+WITH base AS (
+  SELECT event_id, user_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+    CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id,
+  CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+  CAST(count(*) OVER w AS BIGINT) AS n_win
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "full_outer_nation_balance" ->
+      QueryDef(fullOuterNationBalance, Some(fullOuterOracle)),
+    "cross_join_grid" -> QueryDef(crossJoinGrid, Some(crossJoinGridOracle)),
+    "unpivot_pricing_measures" -> QueryDef(unpivotMeasures, Some(unpivotOracle)),
+    "window_range_7d" -> QueryDef(rangeWindow7d, Some(rangeWindowOracle))
+  )
+}

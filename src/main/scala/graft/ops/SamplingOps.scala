@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling — the reproducibility-critical half of a training
+  * corpus pipeline. Random-number sampling (`df.sample`, TABLESAMPLE) is
+  * nondeterministic across engines, partitionings and reruns; every operator
+  * here keys the decision on a *content hash* instead, so the same row lands
+  * in the same split on any engine, any cluster size, any day — and the
+  * DuckDB oracle can verify the exact membership. The hash is the
+  * cross-engine-portable 60-bit md5 prefix (same construction as the dedup
+  * family).
+  *
+  * Scale posture: hash-splits are pure narrow maps over the scan (no
+  * shuffle, no state, no sample-size coordination); the stratified quota is
+  * one window per stratum — the shuffle is on the (tiny) stratum key, and
+  * the per-stratum hash ordering gives a uniform "random" draw without RNG.
+  */
+object SamplingOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "documents")
+
+  /** 60-bit md5-prefix hash of a column's string form — deterministic and
+    * identical in Spark and DuckDB (`CAST('0x'||substr(md5(x),1,15) AS
+    * BIGINT)`), non-negative.
+    */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  // -------------------------------------------------- train/val/test split
+  /** Reproducible 80/10/10 train/val/test split of the corpus keyed on
+    * `hash(doc_id) mod 100` — membership is a pure function of the row key,
+    * so re-runs, engine swaps, and incremental appends never reshuffle
+    * existing docs between splits. Reported as per-(source, split) counts.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hash60(col("doc_id")), lit(100))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+    docs(s, dir)
+      .select(col("source"), split.as("split"), col("n_chars"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source", "split")
+  }
+
+  private val hashSplitOracle = """
+WITH b AS (
+  SELECT source, n_chars,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+      AS bucket
+  FROM documents)
+SELECT source,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+  // ------------------------------------------------- stratified quota draw
+  /** Class-balanced downsampling: keep at most 10 docs per (lang, source)
+    * stratum, chosen by hash order (a uniform deterministic draw — no RNG),
+    * doc_id as the total-order tiebreak. The window shuffle is keyed on the
+    * stratum, so skewed strata parallelize with AQE; the quota bounds output
+    * per stratum regardless of input skew.
+    */
+  def stratifiedQuota(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(hash60(col("doc_id")).asc, col("doc_id").asc)
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val stratifiedQuotaOracle = """
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang, source
+      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) ASC, doc_id ASC) AS rn
+  FROM documents)
+SELECT doc_id, lang, source FROM ranked WHERE rn <= 10 ORDER BY doc_id
+"""
+
+  // ------------------------------------------------------ bernoulli sample
+  /** 5% deterministic Bernoulli sample of `orders` keyed on the order key —
+    * the "peek at a fraction of 100 TB" pattern: membership is decided at
+    * scan time by a pure expression (no shuffle, prunable, repeatable), and
+    * downstream aggregates are exact over the sampled subset.
+    */
+  def bernoulliSample(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "orders")
+      .filter(pmod(hash60(col("o_orderkey")), lit(100)) < 5)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(25,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  private val bernoulliSampleOracle = """
+SELECT o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+      % 100 < 5
+GROUP BY 1 ORDER BY 1
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitOracle)),
+    "sample_stratified_quota" ->
+      QueryDef(stratifiedQuota, Some(stratifiedQuotaOracle)),
+    "sample_bernoulli_orders" ->
+      QueryDef(bernoulliSample, Some(bernoulliSampleOracle))
+  )
+}

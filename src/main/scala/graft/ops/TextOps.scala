@@ -173,10 +173,76 @@ SELECT doc_id, md5(text) AS md5_hex,
 FROM documents ORDER BY doc_id
 """
 
+  // -------------------------------------------------------- PII masking
+  /** Regex PII masking — the scrub pass every training pipeline runs before
+    * release. Digit runs of ≥4 (account/ID-number shaped) are masked and
+    * counted; the per-row masking is a pure scan-speed map, and the audit
+    * aggregate (how many rows carried maskable content) is a tiny reduce.
+    * Run over `customer.c_name`, the only PII-shaped column in the testdata.
+    */
+  def piiMask(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]{4,}", "####").as("masked_name"),
+        (length(col("c_name")) -
+          length(regexp_replace(col("c_name"), "[0-9]", ""))).cast("long")
+          .as("n_digit_chars"))
+      .orderBy("c_custkey")
+
+  private val piiMaskOracle = """
+SELECT c_custkey,
+  regexp_replace(c_name, '[0-9]{4,}', '####', 'g') AS masked_name,
+  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+       AS BIGINT) AS n_digit_chars
+FROM customer ORDER BY c_custkey
+"""
+
+  // --------------------------------------------- bigram frequency quality
+  /** Self-trained fluency proxy: corpus-wide bigram frequencies, then each
+    * doc scored by the mean corpus frequency of its own bigrams (repeats
+    * counted — a doc of common transitions scores high, rare/garbled
+    * transitions low). Two shuffles, both on the bigram key: the count
+    * aggregation and the score join; the model table is vocabulary²-bounded,
+    * broadcastable at any corpus size. Bigrams are 64-bit hashes
+    * ([[graft.functions.ShingleHashes]] width=2) — no string shuffle.
+    * Integer sums + one final division keep the oracle bit-exact.
+    */
+  def bigramQuality(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val ex = docs(s, dir).select(col("doc_id"),
+      explode(call_function("shingle_hashes_2", WS_TOKENS)).as("b"))
+    val model = ex.groupBy("b").agg(count(lit(1)).as("c"))
+    ex.join(model, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("c").as("freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("freq_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bigram_freq"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramQualityOracle = """
+WITH bl AS (
+  SELECT doc_id, [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+           AS bs
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 2),
+ex AS (SELECT doc_id, unnest(bs) AS b FROM bl),
+model AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY b)
+SELECT ex.doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS mean_bigram_freq
+FROM ex JOIN model USING (b)
+GROUP BY ex.doc_id ORDER BY doc_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "text_token_stats" -> QueryDef(tokenStats, Some(tokenStatsOracle)),
     "text_quality_score" -> QueryDef(qualityScore, Some(qualityScoreOracle)),
     "text_langid_confusion" -> QueryDef(langId, Some(langIdOracle)),
-    "text_fingerprints" -> QueryDef(fingerprints, Some(fingerprintsOracle))
+    "text_fingerprints" -> QueryDef(fingerprints, Some(fingerprintsOracle)),
+    "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskOracle)),
+    "text_bigram_quality" -> QueryDef(bigramQuality, Some(bigramQualityOracle))
   )
 }

@@ -70,6 +70,17 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming exact deduplication by event id — the streaming twin of the
+    * batch dedup family: duplicate deliveries (at-least-once sources,
+    * replayed files) are dropped across micro-batches, with the watermark
+    * bounding how long each key is remembered (state stays O(keys within
+    * the watermark window), not O(stream)).
+    */
+  def dedupById(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful sessionization (30-minute inactivity gap) with
     * `flatMapGroupsWithState` — the custom-state form of
     * `EventOps.sessionize`. Values are exact cents (long) so stream/batch

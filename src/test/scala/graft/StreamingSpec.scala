@@ -94,6 +94,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming dedup drops replayed events across micro-batches") {
+    // stage the SAME events file twice (an at-least-once redelivery) and
+    // force two micro-batches: the second copy must be fully dropped by
+    // cross-batch dedup state, leaving exactly the batch-distinct rows
+    val staged = java.nio.file.Files.createTempDirectory("events_replayed")
+    Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
+      val dst = new java.io.File(s"$staged/$n.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val got = EventStream.runToMemory(spark,
+        EventStream.dedupById(stream).select("event_id"), "stream_dedup",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    val expected = Registry.events(spark, sfDir)
+      .select("event_id").distinct()
+      .orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("sessionization state carries open tails across micro-batches (no fragments)") {
     import spark.implicits._
     // stage the events into TWO time-split files and force one file per
