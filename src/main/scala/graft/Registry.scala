@@ -31,7 +31,8 @@ object Registry {
     ops.Curation.queries,
     ops.DedupClusters.queries,
     ops.SamplingOps.queries,
-    ops.RelationalExtras.queries
+    ops.RelationalExtras.queries,
+    ops.PipelineOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly and change-tracking operators a production training-data
+  * pipeline runs after cleaning: heavy-hitter vocabulary extraction,
+  * snapshot change classification (CDC), and token-budgeted sequence
+  * packing.
+  */
+object PipelineOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "documents")
+
+  // ------------------------------------------------------- heavy hitters
+  /** Exact heavy hitters: tokens occurring in more than 0.1% of all token
+    * positions. The token aggregation is the classic map-side-combine
+    * shape — partial counts per partition collapse the explode before the
+    * shuffle, so shuffle volume is O(vocabulary), not O(corpus). The total
+    * is a scalar joined in by cross-join (broadcast of one row); the
+    * threshold compare stays in exact integers (cnt * 1000 > total).
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ex = docs(s, dir).select(explode(split(col("text"), " ")).as("tok"))
+    val counts = ex.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = ex.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 1000 > col("total"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  private val heavyHittersOracle = """
+WITH ex AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY tok)
+SELECT tok, cnt FROM counts
+WHERE cnt * 1000 > (SELECT count(*) FROM ex)
+ORDER BY cnt DESC, tok
+"""
+
+  // --------------------------------------------------- CDC snapshot diff
+  /** Snapshot change classification — the merge/CDC pattern: given an old
+    * and a new snapshot of a keyed table, emit one row per key present in
+    * either, classified INSERT / DELETE / UPDATE / UNCHANGED. Implemented
+    * as one full outer join on the key with null-probes for presence — at
+    * scale this is a single co-partitioned shuffle on the key (or zero
+    * shuffle for bucketed snapshots).
+    *
+    * The two snapshots are derived deterministically from `customer` by
+    * content hash (the testdata carries no real history): keys hashing to
+    * bucket 0 exist only in the old snapshot (deletes), bucket 1 only in
+    * the new (inserts), buckets 2-3 change their balance (updates).
+    */
+  def cdcSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Registry.table(s, dir, "customer").select(
+      col("c_custkey"),
+      pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(10)).as("bucket"),
+      col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val oldSnap = base.filter(col("bucket") =!= 1)
+      .select(col("c_custkey").as("o_key"), col("bal").as("o_bal"))
+    val newSnap = base.filter(col("bucket") =!= 0)
+      .select(col("c_custkey").as("n_key"),
+        when(col("bucket").isin(2, 3), col("bal") + 100).otherwise(col("bal"))
+          .as("n_bal"))
+    oldSnap.join(newSnap, col("o_key") === col("n_key"), "full_outer")
+      .select(
+        coalesce(col("o_key"), col("n_key")).as("custkey"),
+        when(col("o_key").isNull, "INSERT")
+          .when(col("n_key").isNull, "DELETE")
+          .when(col("o_bal") =!= col("n_bal"), "UPDATE")
+          .otherwise("UNCHANGED").as("change"),
+        col("o_bal").cast("double").as("old_bal"),
+        col("n_bal").cast("double").as("new_bal"))
+      .orderBy("custkey")
+  }
+
+  private val cdcSnapshotDiffOracle = """
+WITH base AS (
+  SELECT c_custkey,
+    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+      % 10 AS bucket,
+    CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer),
+old_snap AS (
+  SELECT c_custkey AS o_key, bal AS o_bal FROM base WHERE bucket != 1),
+new_snap AS (
+  SELECT c_custkey AS n_key,
+    CASE WHEN bucket IN (2, 3) THEN bal + 100 ELSE bal END AS n_bal
+  FROM base WHERE bucket != 0)
+SELECT coalesce(o_key, n_key) AS custkey,
+  CASE WHEN o_key IS NULL THEN 'INSERT'
+       WHEN n_key IS NULL THEN 'DELETE'
+       WHEN o_bal != n_bal THEN 'UPDATE'
+       ELSE 'UNCHANGED' END AS change,
+  CAST(o_bal AS DOUBLE) AS old_bal,
+  CAST(n_bal AS DOUBLE) AS new_bal
+FROM old_snap FULL OUTER JOIN new_snap ON o_key = n_key
+ORDER BY custkey
+"""
+
+  // ---------------------------------------------------- sequence packing
+  /** Token-budgeted sequence packing — assembling training sequences: docs
+    * are laid out in deterministic hash order within each source shard and
+    * greedily assigned to 4096-token bins by running token count (bin =
+    * floor(cumulative_before / 4096); docs longer than the budget take
+    * bins alone). Partitioned by `source`: the global-sort trap is avoided —
+    * each shard packs independently, which is exactly how a 100 TB corpus
+    * is packed (per input shard, never one global order). Output: per-bin
+    * accounting per source.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val Budget = 4096L
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / Budget)
+        .cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .orderBy("source", "bin")
+  }
+
+  private val packSequencesOracle = """
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM documents),
+c AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+    ORDER BY h ASC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM d)
+SELECT source, (cum - n_tokens) // 4096 AS bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "heavy_hitter_tokens" -> QueryDef(heavyHitters, Some(heavyHittersOracle)),
+    "cdc_snapshot_diff" -> QueryDef(cdcSnapshotDiff, Some(cdcSnapshotDiffOracle)),
+    "pack_sequences_4k" -> QueryDef(packSequences, Some(packSequencesOracle))
+  )
+}

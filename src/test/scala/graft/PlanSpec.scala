@@ -113,6 +113,20 @@ class PlanSpec extends SparkSpec {
     assert(out("l_b").isEmpty)
   }
 
+  test("cross-join grid broadcasts both dimension sides") {
+    val plan = executedPlan(ops.RelationalExtras.crossJoinGrid(spark, sfDir))
+    assert(plan.contains("Broadcast"),
+      s"dimension-sized grid should broadcast, got:\n$plan")
+  }
+
+  test("heavy-hitter aggregation is partial before the shuffle (map-side combine)") {
+    val plan = executedPlan(ops.PipelineOps.heavyHitters(spark, sfDir))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected partial aggregation below the exchange:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "token counts must pre-aggregate per partition before shuffling")
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val root = java.nio.file.Files.createTempDirectory("partitioned").toString
     Registry.events(spark, sfDir)
