@@ -179,6 +179,27 @@ SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
 WHERE rk <= 3 ORDER BY o_custkey, rk
 """
 
+  /** Same result as `topk_orders_per_customer`, computed with the custom
+    * bounded top-k `Aggregator` ([[graft.functions.TopKByValue]]) instead of
+    * a window sort: map-side partial aggregation with O(k) state per group —
+    * the shuffle carries ≤ k rows per (group, partition) instead of every
+    * row, and nothing is sorted. The two queries sharing one oracle pins
+    * the aggregator's total order (value desc, key asc) exactly.
+    */
+  def topOrdersBoundedAgg(s: SparkSession, dir: String): DataFrame = {
+    val topk = graft.functions.TopKByValue.column(3)
+    table(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("t"))
+      .select(col("o_custkey"),
+        posexplode(arrays_zip(col("t.vs").as("v"), col("t.ks").as("k"))))
+      .select(col("o_custkey"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("col.k").as("o_orderkey"),
+        col("col.v").as("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
   /** Global sort + limit: the 25 priciest orders (full ORDER BY output —
     * absent from the reference, SURVEY.md §2.8). TakeOrdered physical op:
     * no global shuffle, each partition contributes its local top-k.
@@ -381,6 +402,7 @@ ORDER BY l_orderkey, l_linenumber, l_quantity
     "semi_customers_with_orders" -> QueryDef(customersWithOrders, Some(customersWithOrdersOracle)),
     "anti_customers_no_urgent" -> QueryDef(customersWithoutOrders, Some(customersWithoutOrdersOracle)),
     "topk_orders_per_customer" -> QueryDef(topOrdersPerCustomer, Some(topOrdersPerCustomerOracle)),
+    "topk_orders_bounded_agg" -> QueryDef(topOrdersBoundedAgg, Some(topOrdersPerCustomerOracle)),
     "top25_orders_global" -> QueryDef(top25Orders, Some(top25OrdersOracle)),
     "rollup_revenue" -> QueryDef(rollupRevenue, Some(rollupRevenueOracle)),
     "cube_orders" -> QueryDef(cubeOrders, Some(cubeOrdersOracle)),

@@ -1,5 +1,6 @@
 package graft.ops
 
+
 import graft.{QueryDef, Registry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -76,8 +77,104 @@ GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
 
+  /** Skew-safe hot/cold split join — the salting pattern's *join* form: the
+    * hot keys (here: users above the mean event count, found with one tiny
+    * aggregate collected to the driver) take the broadcast path, everything
+    * else takes the normal shuffle join; the union is the same relation the
+    * naive join computes — which the oracle (the naive SQL join) proves.
+    * At 100 TB this is how one viral user_id stops pinning a whole task:
+    * its rows never shuffle at all.
+    */
+  def skewSplitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Registry.events(s, dir).select("event_id", "user_id")
+    val dim = ev.groupBy("user_id").agg(count(lit(1)).as("u_events"))
+    // one scalar to the driver (never the keys themselves): the hot cutoff
+    val cutoff = dim.agg(avg("u_events")).first().getDouble(0) * 1.5
+    val hotDim = dim.filter(col("u_events") > cutoff)   // heavy-hitter keys
+    val coldDim = dim.filter(col("u_events") <= cutoff)
+    // hot rows route through a broadcast join (no shuffle of the skewed
+    // keys); cold rows take the ordinary shuffle join; anti-join against
+    // the (tiny, broadcast) hot key set splits the stream
+    val hot = ev.join(broadcast(hotDim), Seq("user_id"))
+    val cold = ev
+      .join(broadcast(hotDim.select("user_id")), Seq("user_id"), "left_anti")
+      .join(coldDim, Seq("user_id"))
+    hot.unionByName(cold)
+      .select("event_id", "user_id", "u_events")
+      .orderBy("event_id")
+  }
+
+  private val skewSplitJoinOracle = """
+WITH dim AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS u_events
+  FROM events GROUP BY user_id)
+SELECT event_id, e.user_id, u_events
+FROM events e JOIN dim ON e.user_id = dim.user_id
+ORDER BY event_id
+"""
+
+  /** Incremental dedup — the steady-state shape of corpus ingestion: a new
+    * batch (docs hashing to buckets 0-1, ~20%) is checked for near-dups
+    * against the existing corpus (the rest) WITHOUT re-pairing the corpus
+    * against itself. The inverted shingle index restricts the join to
+    * (new × corpus) candidate pairs only — at 100 TB the corpus side is a
+    * prebuilt index you join against, and the quadratic corpus×corpus term
+    * never exists.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long"), lit(10))
+    val d = Registry.table(s, dir, "documents").select(col("doc_id"),
+      array_distinct(call_function("shingle_hashes_5",
+        split(col("text"), " "))).as("sh"),
+      (bucket < 2).as("is_new"))
+    val ex = d.select(col("doc_id"), col("is_new"), explode(col("sh")).as("ss"))
+    val newEx = ex.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("ss"))
+    val corpusEx = ex.filter(!col("is_new"))
+      .select(col("doc_id").as("corpus_id"), col("ss"))
+    val cand = newEx.join(corpusEx, "ss")
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("inter"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    cand
+      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), "new_id")
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("n").as("nb")),
+        "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val incrementalDedupOracle = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(t[i:i+4], ' ')
+                   for i in range(1, len(t) - 3)]) AS s,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 10 < 2 AS is_new
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 5),
+ex AS (SELECT doc_id, is_new, unnest(s) AS ss FROM sh),
+cand AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter
+  FROM ex a JOIN ex b ON a.ss = b.ss AND a.is_new AND NOT b.is_new
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+SELECT new_id, corpus_id,
+  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM cand JOIN sz sa ON sa.doc_id = new_id JOIN sz sb ON sb.doc_id = corpus_id
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+ORDER BY new_id, corpus_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "salted_skew_agg" -> QueryDef(saltedAgg, Some(saltedAggOracle)),
-    "sql_correlated_subquery" -> QueryDef(sqlSurface, Some(sqlSurfaceOracle))
+    "sql_correlated_subquery" -> QueryDef(sqlSurface, Some(sqlSurfaceOracle)),
+    "skew_split_join" -> QueryDef(skewSplitJoin, Some(skewSplitJoinOracle)),
+    "dedup_incremental_batch" ->
+      QueryDef(incrementalDedup, Some(incrementalDedupOracle))
   )
 }

@@ -127,6 +127,17 @@ class PlanSpec extends SparkSpec {
       "token counts must pre-aggregate per partition before shuffling")
   }
 
+  test("bounded top-k aggregator partially aggregates before the shuffle") {
+    val plan = executedPlan(ops.CoreRelational.topOrdersBoundedAgg(spark, sfDir))
+    // the custom Aggregator must run as partial ObjectHashAggregate below
+    // the exchange (O(k) state per group map-side), not buffer whole groups
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"typed aggregator missing from plan:\n$plan")
+    assert(plan.contains("partial_topkbyvalue") ||
+      "partial_?topk".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"no partial aggregation phase:\n$plan")
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val root = java.nio.file.Files.createTempDirectory("partitioned").toString
     Registry.events(spark, sfDir)
