@@ -28,8 +28,16 @@ object Bench {
       if (tiny.isDirectory) tiny.getPath else sfDir
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    try ops.Similarity.bruteForceTopK(spark, warmDir).count()
-    catch { case _: Throwable => }
+    // every headline query once at the smallest SF: compiles each plan's
+    // whole-stage-codegen classes and lets C2 reach steady state on the
+    // expression kernels, so the timed pass measures execution, not the
+    // JIT queue (which otherwise lands multi-second spikes on whichever
+    // queries run while compilation is in flight)
+    Registry.all.toSeq.sortBy(_._1).foreach {
+      case (_, q) if q.headline =>
+        try q.fn(spark, warmDir).count() catch { case _: Throwable => }
+      case _ =>
+    }
     val results = Registry.all.toSeq.sortBy(_._1).collect {
       case (name, q) if q.headline =>
         val t0 = System.nanoTime()
