@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.ops.{Report1, Report1SourceCols, Report1TargetCols}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -68,6 +69,47 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** The incremental report job in native Structured Streaming form: the
+    * file source + checkpoint replaces the reference's hand-rolled meta
+    * file (SURVEY.md §2.6 U2/U3) — the checkpoint tracks exactly which
+    * source files were processed, so re-runs pick up only new arrivals and
+    * a crash between write and "commit" replays instead of losing data,
+    * with no read-modify-write race. Each `runOnce()` drains everything new
+    * (`Trigger.AvailableNow`), applies the full Report1 chain per
+    * micro-batch, and appends to the partitioned parquet target.
+    *
+    * Cross-batch lag boundary: `change_prev_*` for the first date of a
+    * batch is null — the same boundary the reference handles by re-reading
+    * one overlap day (`meta_process.py:77-79`); a deployment wanting
+    * seamless lag keeps the prior day's report row per ISIN in state or
+    * unions the target's last partition into the batch before transform.
+    */
+  final class Report1StreamJob(
+      spark: SparkSession, sourceGlob: String, targetDir: String,
+      checkpointDir: String, schema: StructType,
+      src: Report1SourceCols, trg: Report1TargetCols) {
+
+    /** Process all source files not yet in the checkpoint, then stop. */
+    def runOnce(): Unit = {
+      val bars = spark.readStream
+        .schema(schema)
+        .option("header", "true")
+        .csv(sourceGlob)
+      val q = bars.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          if (!batch.isEmpty) {
+            Report1.transform(batch.toDF(), src, trg, extractDate = "0000-01-01")
+              .write.mode(SaveMode.Append).parquet(targetDir)
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Streaming exact deduplication by event id — the streaming twin of the

@@ -94,6 +94,61 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("checkpointed streaming report job processes each source file exactly once") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("stream_report")
+    val srcDir = root.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    val header =
+      "ISIN,Mnemonic,Date,Time,StartPrice,EndPrice,MinPrice,MaxPrice,TradedVolume"
+    def stage(date: String, hour: String, rows: String): Unit = {
+      val d = srcDir.resolve(date); java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(
+        d.resolve(s"${date}_BINS_XETR$hour.csv"), header + "\n" + rows + "\n")
+    }
+    val schema = StructType(Seq(
+      StructField("ISIN", StringType), StructField("Mnemonic", StringType),
+      StructField("Date", StringType), StructField("Time", StringType),
+      StructField("StartPrice", DoubleType), StructField("EndPrice", DoubleType),
+      StructField("MinPrice", DoubleType), StructField("MaxPrice", DoubleType),
+      StructField("TradedVolume", LongType)))
+    val src = ops.Report1SourceCols(
+      isin = "ISIN", date = "Date", time = "Time", startPrice = "StartPrice",
+      minPrice = "MinPrice", maxPrice = "MaxPrice",
+      tradedVolume = "TradedVolume",
+      columns = Seq("ISIN", "Mnemonic", "Date", "Time", "StartPrice",
+        "EndPrice", "MinPrice", "MaxPrice", "TradedVolume"))
+    val trg = ops.Report1TargetCols(
+      openingPrice = "opening_price_eur", closingPrice = "closing_price_eur",
+      minPrice = "minimum_price_eur", maxPrice = "maximum_price_eur",
+      dailyTradedVolume = "daily_traded_volume",
+      changePrevClosing = "change_prev_closing_pct")
+    val job = new EventStream.Report1StreamJob(spark,
+      s"$srcDir/*", root.resolve("out").toString,
+      root.resolve("chk").toString, schema, src, trg)
+
+    // first arrival: two days
+    stage("2021-04-15", "12", "AT1,SANT,2021-04-15,12:00,20.19,18.45,18.20,20.33,877")
+    stage("2021-04-16", "15", "AT1,SANT,2021-04-16,15:00,18.27,21.19,18.27,21.34,987")
+    job.runOnce()
+    val after1 = spark.read.parquet(root.resolve("out").toString)
+    assert(after1.count() == 2)
+
+    // second arrival: one more day — ONLY it may be processed (the
+    // checkpoint, not a meta file, carries the progress)
+    stage("2021-04-17", "13", "AT1,SANT,2021-04-17,13:00,20.21,18.27,18.21,20.42,633")
+    job.runOnce()
+    val after2 = spark.read.parquet(root.resolve("out").toString)
+      .orderBy("Date").collect()
+    assert(after2.length == 3, "old files must not be reprocessed")
+    assert(after2.map(_.getAs[String]("Date")).toSeq ==
+      Seq("2021-04-15", "2021-04-16", "2021-04-17"))
+    // cross-batch lag boundary: the new batch's first date has no previous
+    // day in its batch — null pct change (documented; = reference cold start)
+    assert(after2.last.isNullAt(after2.last.fieldIndex("change_prev_closing_pct")))
+    // within-batch lag works: day 2 references day 1's opening price
+    assert(!after2(1).isNullAt(after2(1).fieldIndex("change_prev_closing_pct")))
+  }
+
   test("streaming dedup drops replayed events across micro-batches") {
     // stage the SAME events file twice (an at-least-once redelivery) and
     // force two micro-batches: the second copy must be fully dropped by
