@@ -87,4 +87,33 @@ final class Connector(spark: SparkSession, baseUri: String) {
       case other => throw new UnsupportedFormatException(other)
     }
   }
+
+  /** Partitioned parquet writer with DYNAMIC partition overwrite — the
+    * 100 TB target layout (SURVEY.md §7.4.7): a re-run of one day replaces
+    * exactly that day's `partition=` directory and leaves every other
+    * partition untouched, which makes incremental loads idempotent at the
+    * sink (re-delivering a day is safe) and gives readers partition pruning
+    * for free. Static overwrite (the default) would wipe the whole table —
+    * the option scopes the overwrite to partitions present in `df`.
+    */
+  def writePartitioned(df: DataFrame, key: String,
+      partitionCols: Seq[String]): Boolean = {
+    val target = new Path(base, key).toString
+    val cached = df.persist()
+    try {
+      if (cached.isEmpty) {
+        log.info("empty frame - no partitions written to {}", target)
+        false
+      } else {
+        log.info("writing dynamic partitions {} to {}",
+          partitionCols.mkString(","), target: Any)
+        cached.write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCols: _*)
+          .parquet(target)
+        true
+      }
+    } finally cached.unpersist()
+  }
 }

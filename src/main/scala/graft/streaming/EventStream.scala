@@ -78,7 +78,10 @@ object EventStream {
     * a crash between write and "commit" replays instead of losing data,
     * with no read-modify-write race. Each `runOnce()` drains everything new
     * (`Trigger.AvailableNow`), applies the full Report1 chain per
-    * micro-batch, and appends to the partitioned parquet target.
+    * micro-batch, and appends to the parquet target. Source-side tracking
+    * is exactly-once; the plain-parquet *sink* is at-least-once on a crash
+    * mid-batch (a replay re-appends) — a transactional/partition-overwrite
+    * sink upgrades the end-to-end guarantee without touching the job.
     *
     * Cross-batch lag boundary: `change_prev_*` for the first date of a
     * batch is null — the same boundary the reference handles by re-reading

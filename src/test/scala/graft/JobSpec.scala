@@ -131,6 +131,31 @@ class JobSpec extends SparkSpec {
     assert(df.isEmpty && df.schema == schema)
   }
 
+  test("dynamic partition overwrite replaces only the re-delivered day") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dyn_parts")
+    val c = new Connector(spark, root.toUri.toString)
+    assert(c.writePartitioned(
+      Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0))
+        .toDF("day", "id", "v"), "tbl", Seq("day")))
+    // re-deliver day 2 with different content — day 1 must survive
+    assert(c.writePartitioned(
+      Seq(("2024-01-02", 9L, 99.0)).toDF("day", "id", "v"), "tbl", Seq("day")))
+    // partition-column type inference reads `day` back as DATE — pin the
+    // string form for the comparison
+    val got = spark.read.parquet(root.resolve("tbl").toString)
+      .select(org.apache.spark.sql.functions.col("day").cast("string")
+        .as("day"), org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("v"))
+      .orderBy("day").collect().map(r =>
+        (r.getAs[String]("day"), r.getAs[Long]("id"), r.getAs[Double]("v"))).toSeq
+    assert(got == Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 9L, 99.0)))
+    // empty frame: skip, nothing clobbered
+    assert(!c.writePartitioned(
+      Seq.empty[(String, Long, Double)].toDF("day", "id", "v"), "tbl", Seq("day")))
+    assert(spark.read.parquet(root.resolve("tbl").toString).count() == 2)
+  }
+
   test("connector csv round-trip with header") {
     val root = Files.createTempDirectory("graftconn3")
     val c = new Connector(spark, root.toUri.toString)
