@@ -165,11 +165,97 @@ WINDOW w AS (PARTITION BY user_id ORDER BY sec
 ORDER BY event_id
 """
 
+  // ------------------------------------------ conditional-agg ratio (Q14)
+  /** Promo revenue share over one shipping year — the TPC-H Q14 shape:
+    * fact⋈dimension join with the filter pushed to the fact scan,
+    * conditional aggregation, exact decimal sums, ONE double division at
+    * the end. The part side broadcasts; the date predicate prunes the
+    * lineitem scan before the join.
+    */
+  def promoRevenueRatio(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(25, 4))
+    Registry.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01" &&
+        col("l_shipdate") < "1998-01-01")
+      .join(broadcast(Registry.table(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)
+          .cast(DecimalType(25, 4)))).as("promo"),
+        sum(rev).as("total"))
+      .select(
+        (lit(100.0) * col("promo").cast("double") / col("total").cast("double"))
+          .as("promo_revenue_pct"),
+        col("promo").cast("double").as("promo_revenue"),
+        col("total").cast("double").as("total_revenue"))
+  }
+
+  private val promoRevenueOracle = """
+WITH f AS (
+  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'),
+a AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev
+             ELSE CAST(0 AS DECIMAL(25,4)) END) AS promo,
+         sum(rev) AS total
+  FROM f)
+SELECT 100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+         AS promo_revenue_pct,
+       CAST(promo AS DOUBLE) AS promo_revenue,
+       CAST(total AS DOUBLE) AS total_revenue
+FROM a
+"""
+
+  // ------------------------------------------------ lead / nth_value window
+  /** The navigation-function family the rank query doesn't cover: lead,
+    * nth_value (explicit full frame — same trap as first/last), and the gap
+    * to the next order in days. Output bounded to one customer slice so the
+    * verified result stays small while the window shapes are exercised.
+    */
+  def leadNthWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Registry.table(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_day"),
+        col("o_totalprice"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"),
+        datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+          .cast("long").as("days_to_next"))
+      .orderBy("o_custkey", "order_day", "o_orderkey")
+  }
+
+  private val leadNthOracle = """
+SELECT o_custkey, o_orderkey,
+  CAST(o_orderdate AS DATE) AS order_day,
+  o_totalprice,
+  lead(o_totalprice, 1) OVER w AS next_price,
+  nth_value(o_totalprice, 2) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS second_price,
+  CAST(date_diff('day', o_orderdate,
+                 lead(o_orderdate, 1) OVER w) AS BIGINT) AS days_to_next
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_day, o_orderkey
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "full_outer_nation_balance" ->
       QueryDef(fullOuterNationBalance, Some(fullOuterOracle)),
     "cross_join_grid" -> QueryDef(crossJoinGrid, Some(crossJoinGridOracle)),
     "unpivot_pricing_measures" -> QueryDef(unpivotMeasures, Some(unpivotOracle)),
-    "window_range_7d" -> QueryDef(rangeWindow7d, Some(rangeWindowOracle))
+    "window_range_7d" -> QueryDef(rangeWindow7d, Some(rangeWindowOracle)),
+    "promo_revenue_ratio" ->
+      QueryDef(promoRevenueRatio, Some(promoRevenueOracle)),
+    "window_lead_nth" -> QueryDef(leadNthWindow, Some(leadNthOracle))
   )
 }

@@ -178,9 +178,83 @@ SELECT bucket, count(*) AS n_vectors FROM buckets
 GROUP BY bucket ORDER BY bucket
 """
 
+  /** Per-vector 8-bit hyperplane bucket (shared by `lshBuckets` and the
+    * end-to-end LSH top-k).
+    */
+  private def bucketed(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val planes = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("plane_id"), col("qv").as("pv"))
+    corpus.join(broadcast(planes), col("vec_id") =!= col("plane_id"))
+      .groupBy("vec_id")
+      .agg(sum(
+        when(call_function("vec_dot_long", col("qv"), col("pv")) > 0,
+          pow(lit(2.0), col("plane_id")).cast("long")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  /** The complete LSH ANN pipeline: hyperplane-bucket blocking + exact
+    * re-rank inside the probe's bucket — candidate generation is a
+    * co-partitioned equi-join on the bucket key (the 100 TB shape: shard by
+    * bucket, search within the shard), then the same exact quantized cosine
+    * re-ranks the survivors. Fewer than k neighbors in a sparse bucket is
+    * the documented LSH trade (raise planes/probes for recall); the oracle
+    * reproduces the trade exactly.
+    */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir).join(bucketed(s, dir), "vec_id")
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("query_id"), col("bucket").as("pbucket"),
+        col("qv").as("pq"), col("nrm").as("pnrm"))
+    val scored = corpus.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pq"), col("qv"), col("pnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val lshTopKOracle = s"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+planes AS (SELECT vec_id AS plane_id, qv AS pv FROM q WHERE vec_id < 8),
+buckets AS (
+  SELECT c.vec_id,
+    CAST(sum(CASE WHEN
+        list_sum(list_transform(range(1, 65), k -> c.qv[k] * p.pv[k])) > 0
+      THEN (CAST(1 AS BIGINT) << p.plane_id) ELSE 0 END) AS BIGINT) AS bucket
+  FROM q c JOIN planes p ON c.vec_id <> p.plane_id
+  GROUP BY c.vec_id),
+corpus AS (SELECT q.vec_id, qv, bucket FROM q JOIN buckets USING (vec_id)),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM corpus p JOIN corpus c
+    ON p.vec_id < $NumProbes AND c.bucket = p.bucket AND c.vec_id <> p.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "ann_brute_topk" -> QueryDef(bruteForceTopK, Some(bruteForceOracle)),
     "ann_ivf_label" -> QueryDef(ivfTopK, Some(ivfOracle)),
-    "ann_lsh_buckets" -> QueryDef(lshBuckets, Some(lshBucketsOracle))
+    "ann_lsh_buckets" -> QueryDef(lshBuckets, Some(lshBucketsOracle)),
+    "ann_lsh_topk" -> QueryDef(lshTopK, Some(lshTopKOracle))
   )
 }
