@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions.udaf
 case class TopKBuf(vs: Array[Double], ks: Array[Long])
 
 /** Top-k (value, key) per group as a custom typed `Aggregator` — the
-  * scale-correct alternative to the `row_number` window for top-k-per-group:
-  * the window form shuffles and *sorts every row* of every group; this
-  * aggregates map-side with O(k) state per group, so the shuffle carries at
-  * most k rows per group per partition and nothing is ever globally sorted.
-  * At 100 TB (billions of rows, millions of groups, k=3) that is the
-  * difference between a full-data sort-shuffle and a dimension-sized one.
+  * sort-free alternative to the `row_number` window for top-k-per-group.
+  * Spark 4's own rank-limit pushdown (`WindowGroupLimit`, verified in
+  * PlanSpec) already caps the window form's shuffle at k rows per group
+  * per partition, but it still *fully sorts every input partition* (twice:
+  * partial and final) to find those rows — O(n log n) per partition. This
+  * aggregates with a bounded insertion buffer instead: O(n·k) with k tiny,
+  * no sort anywhere, and hash (not sort) aggregation on both sides of the
+  * exchange. At 100 TB with k=3 the two plans shuffle the same bytes but
+  * this one never sorts billions of rows to keep three per group.
   *
   * Deterministic total order: value descending, key ascending as the
   * tiebreak — identical to the window query and its oracle.

@@ -73,14 +73,21 @@ object DedupClusters {
       .toDF("doc_id", "cluster_rep")
   }
 
-  /** Distributed fallback: iterative min-label propagation. */
+  /** Distributed fallback: iterative min-label propagation. Each iteration
+    * ends in an eager `localCheckpoint`: without it the self-referential
+    * join lineage grows the *logical plan* exponentially — by ~15 iterations
+    * Catalyst's plan-string rendering alone OOMs the driver (caught by the
+    * random-graph property test). Checkpointing keeps the plan O(1) per
+    * iteration; the blocks of dropped iterations are released by the
+    * context cleaner once unreferenced.
+    */
   private def labelPropagation(s: SparkSession, pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.unionByName(
       pairs.select(col("j").as("i"), col("i").as("j"))).distinct().persist()
     val nodes = edges.select(col("i").as("doc_id")).distinct()
 
-    var labels = nodes.withColumn("label", col("doc_id")).persist()
+    var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -93,10 +100,9 @@ object DedupClusters {
       val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
@@ -104,13 +110,10 @@ object DedupClusters {
     require(changed == 0,
       s"label propagation did not converge after $iter iterations " +
         s"($changed labels still changing) - component diameter exceeds the cap")
-    // cut lineage so every cached block can be released before returning
-    val result = labels
-      .select(col("doc_id"), col("label").as("cluster_rep"))
-      .localCheckpoint(true)
-    labels.unpersist()
     edges.unpersist()
-    result.orderBy("doc_id")
+    labels
+      .select(col("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
   }
 
   private val clustersOracle = """

@@ -135,9 +135,40 @@ FROM documents,
 ORDER BY doc_id, frame_idx
 """
 
+  // ---------------------------------------------------------------- resize
+  /** Resize/downsample stub: keep every 4th byte (a stride-4 "thumbnail" —
+    * the deterministic stand-in for an image resampler; a real deployment
+    * swaps the kernel, the schema/flow stays). Emits the new payload's
+    * size + digest and the stride as catalog metadata. Pure per-row
+    * expressions — a 100 TB thumbnail pass is scan-speed, no shuffle.
+    */
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    val t = col("payload").cast("string")
+    // one char kept per ≤4-char chunk (greedy `.{0,3}` absorbs the tail)
+    val resized = regexp_replace(t, "(.).{0,3}", "$1")
+    media(s, dir).select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      length(resized).cast("long").as("resized_bytes"),
+      md5(resized).as("resized_md5"),
+      lit(4L).as("stride"))
+      .orderBy("doc_id")
+  }
+
+  private val mediaResizeOracle = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(length(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS BIGINT)
+    AS resized_bytes,
+  md5(regexp_replace(text, '(.).{0,3}', '\1', 'g')) AS resized_md5,
+  CAST(4 AS BIGINT) AS stride
+FROM documents ORDER BY doc_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "media_metadata" -> QueryDef(mediaMetadata, Some(mediaMetadataOracle)),
     "media_features_mappartitions" -> QueryDef(mediaFeatures, Some(mediaFeaturesOracle)),
-    "media_frame_sample" -> QueryDef(frameSample, Some(frameSampleOracle))
+    "media_frame_sample" -> QueryDef(frameSample, Some(frameSampleOracle)),
+    "media_resize_stride" -> QueryDef(mediaResize, Some(mediaResizeOracle))
   )
 }

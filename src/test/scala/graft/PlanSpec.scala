@@ -127,6 +127,15 @@ class PlanSpec extends SparkSpec {
       "token counts must pre-aggregate per partition before shuffling")
   }
 
+  test("window top-k gets Spark's rank-limit pushdown (WindowGroupLimit)") {
+    // the row_number()<=k filter must become a partial+final WindowGroupLimit
+    // so only k rows per group per partition reach the exchange — if this
+    // ever regresses, the window form silently becomes a full sort-shuffle
+    val plan = executedPlan(ops.CoreRelational.topOrdersPerCustomer(spark, sfDir))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"rank-limit pushdown missing:\n$plan")
+  }
+
   test("bounded top-k aggregator partially aggregates before the shuffle") {
     val plan = executedPlan(ops.CoreRelational.topOrdersBoundedAgg(spark, sfDir))
     // the custom Aggregator must run as partial ObjectHashAggregate below
