@@ -258,5 +258,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("shingle_hashes_2"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes_2"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 2)))
+    // the custom operator's planner strategy + its pushdown rule (Catalyst
+    // can't see through an opaque binary node without the rule)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

@@ -124,6 +124,42 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule for the custom operator: Catalyst's own predicate
+  * pushdown knows nothing about [[AsOfJoin]] (an opaque binary node), so
+  * without help every `Filter` above it stays above it — the as-of merge
+  * processes rows the filter would discard, and nothing reaches the scan's
+  * `PushedFilters`. This rule splits a conjunctive filter and pushes the
+  * conjuncts that reference only *left-side* attributes into the left
+  * child. Left-side pushdown is semantics-preserving because each output
+  * row is one left row (plus attached right columns): dropping a left row
+  * early drops exactly its output row. Right-side conjuncts are NOT pushed
+  * — they reference the *matched* row, and removing a right row before the
+  * merge changes which candidate earlier left rows see.
+  */
+object PushFilterThroughAsOfJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, PredicateHelper}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private object Splitter extends PredicateHelper {
+    def split(cond: Expression): Seq[Expression] =
+      splitConjunctivePredicates(cond)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val leftAttrs = AttributeSet(aj.left.output)
+      val (pushable, kept) = Splitter.split(cond)
+        .partition(c => c.references.subsetOf(leftAttrs) && c.deterministic)
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(
+          left = Filter(pushable.reduce(And), aj.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoin {
   /** DataFrame-level entry: `asofJoin(left, right, leftKey = ..., ...)`.
     * Right-side columns should carry distinct names (alias them) — the
@@ -138,6 +174,9 @@ object AsOfJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
     GraftSqlBridge.ofRows(spark,
       AsOfJoin(leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
         GraftSqlBridge.expr(leftKey), GraftSqlBridge.expr(rightKey),

@@ -89,6 +89,23 @@ class PlanSpec extends SparkSpec {
       plan.contains("Sort [user_id"))
   }
 
+  test("filters on left attributes push through the custom as-of join") {
+    // Catalyst's own pushdown can't see through the opaque AsOfJoin node —
+    // PushFilterThroughAsOfJoin must move the left-only conjunct below it
+    // (and from there Catalyst pushes it into the scan), while the
+    // right-side conjunct must stay above (it references the matched row)
+    val base = ops.EventOps.asofCustom(spark, sfDir)
+      .filter(col("user_id") < 10 && col("prev_close") > 0)
+    base.collect()
+    val optimized = base.queryExecution.optimizedPlan.toString
+    val below = optimized.split("AsOfJoin", 2)(1)
+    assert(below.contains("user_id") && below.contains("Filter"),
+      s"left filter not pushed below AsOfJoin:\n$optimized")
+    val above = optimized.split("AsOfJoin", 2)(0)
+    assert(above.contains("prev_close") || above.contains("close_value"),
+      s"right-side filter vanished:\n$optimized")
+  }
+
   test("as-of join follows SQL null semantics (null keys/times never match, never NPE)") {
     import spark.implicits._
     val left = Seq(
