@@ -94,6 +94,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    // the standard streaming enrichment: an unbounded event stream joined
+    // to a static (batch) dimension — no watermark needed on the static
+    // side, the dimension is re-resolvable per micro-batch
+    val dim = Registry.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("u_events"))
+    val stream = EventStream.readEvents(spark, eventsPath)
+      .select("event_id", "user_id")
+    val got = EventStream.runToMemory(spark,
+        stream.join(dim, Seq("user_id")).select("event_id", "u_events"),
+        "stream_static_join",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val expected = Registry.events(spark, sfDir)
+      .select("event_id", "user_id").join(dim, Seq("user_id"))
+      .select("event_id", "u_events")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("checkpointed streaming report job processes each source file exactly once") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("stream_report")
