@@ -255,7 +255,23 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+  /** Mergeable-sketch percentiles (`approx_percentile`, a KLL/GK-style
+    * summary): the scale path when an exact per-group sort is too much —
+    * sketches combine associatively across partitions, so the shuffle
+    * carries fixed-size state, not values. Sketch internals differ across
+    * engines → rows-only check; `stats_percentiles` is the hash-checked
+    * exact twin (same shape, same data).
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("ap50"),
+        approx_percentile(col("o_totalprice"), lit(0.99), lit(1000)).as("ap99"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_approx_percentiles" -> QueryDef(approxPercentiles, None),
     "stats_percentiles" -> QueryDef(percentiles, Some(percentilesOracle)),
     "stats_moments_corr" -> QueryDef(moments, Some(momentsOracle)),
     "pivot_status_priority" -> QueryDef(pivotStatus, Some(pivotStatusOracle)),

@@ -131,6 +131,32 @@ class JobSpec extends SparkSpec {
     assert(df.isEmpty && df.schema == schema)
   }
 
+  test("malformed csv rows become nulls (PERMISSIVE) and are dropped by the report") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("malformed")
+    // row 2: non-numeric price; row 3: truncated (missing columns)
+    Files.writeString(root.resolve("bad.csv"),
+      header + "\n" +
+        "AT1,SANT,2021-04-15,12:00,20.19,18.45,18.20,20.33,877\n" +
+        "AT1,SANT,2021-04-15,13:00,NOT_A_PRICE,18.45,18.20,20.33,877\n" +
+        "AT1,SANT,2021-04-15\n")
+    val schema = StructType(Seq(
+      StructField("ISIN", StringType), StructField("Mnemonic", StringType),
+      StructField("Date", StringType), StructField("Time", StringType),
+      StructField("StartPrice", DoubleType), StructField("EndPrice", DoubleType),
+      StructField("MinPrice", DoubleType), StructField("MaxPrice", DoubleType),
+      StructField("TradedVolume", LongType)))
+    val c = new Connector(spark, root.toUri.toString)
+    val df = c.readCsv(Seq(root.resolve("bad.csv").toString), schema)
+    // PERMISSIVE (the default): unparseable cells -> null, the row survives
+    // (both the bad-price row and the truncated row null out StartPrice)
+    assert(df.count() == 3)
+    assert(df.filter(df("StartPrice").isNull).count() == 2)
+    assert(df.filter(df("Mnemonic").isNull).count() == 0) // parseable prefix kept
+    // the report's na.drop (reference P2) then discards exactly those rows
+    assert(df.na.drop("any").count() == 1)
+  }
+
   test("dynamic partition overwrite replaces only the re-delivered day") {
     import spark.implicits._
     val root = Files.createTempDirectory("dyn_parts")

@@ -11,7 +11,8 @@ class RegistrySpec extends SparkSpec {
     assert(Registry.all.nonEmpty)
     val noOracle = Registry.all.collect { case (n, QueryDef(_, None, _)) => n }
     // keep the rows-only list deliberate and small
-    assert(noOracle.forall(Set("approx_count_distinct").contains),
+    assert(noOracle.forall(
+      Set("approx_count_distinct", "stats_approx_percentiles").contains),
       s"unexpected oracle-less queries: $noOracle")
   }
 
