@@ -248,7 +248,74 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, order_day, o_orderkey
 """
 
+  // --------------------------------------------------- equi-width histogram
+  /** Equi-width histogram of order totals: `width_bucket` assigns bins at
+    * scan speed (a pure expression — the histogram of 100 TB is one
+    * map-side-combined aggregation, never a sort), count + exact decimal
+    * mass per bin.
+    */
+  def histogramTotalprice(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "orders")
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0),
+        lit(10L)).as("bin"),
+        col("o_totalprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double")
+          .as("bin_mass"))
+      .orderBy("bin")
+
+  /** DuckDB has no width_bucket; the oracle mirrors Spark's formula
+    * (bucket = floor(v / width) + 1 with width = (max-min)/n computed
+    * first). width = 50000.0 is float-exact, so the two forms are the same
+    * IEEE ops; the data contains no out-of-range values (pinned by the
+    * count matching).
+    */
+  private val histogramOracle = """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 500000.0 THEN 11
+                 ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS bin_mass
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+  // ------------------------------------------------------- interval join
+  /** Batch interval join — each purchase matched to the same user's clicks
+    * in the preceding 10 minutes (the batch twin of the stream-stream
+    * interval join the streaming suite verifies). Equi-key + band
+    * predicate: the shuffle is on user_id only, the time band filters
+    * within the co-partitioned groups.
+    */
+  def intervalJoinPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Registry.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("interval 10 minutes"))
+      .select(col("purchase_id"), col("click_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private val intervalJoinOracle = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+ORDER BY purchase_id, click_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "histogram_totalprice" ->
+      QueryDef(histogramTotalprice, Some(histogramOracle)),
+    "interval_join_clicks" ->
+      QueryDef(intervalJoinPairs, Some(intervalJoinOracle)),
     "full_outer_nation_balance" ->
       QueryDef(fullOuterNationBalance, Some(fullOuterOracle)),
     "cross_join_grid" -> QueryDef(crossJoinGrid, Some(crossJoinGridOracle)),

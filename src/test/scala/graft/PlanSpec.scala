@@ -164,6 +164,27 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregation phase:\n$plan")
   }
 
+  test("selective joins get a runtime bloom filter on the fact side at scale") {
+    // Spark injects bloom_filter_agg/might_contain pairs for selective
+    // shuffle joins, but only above size thresholds meant for clusters
+    // (application side > 10GB by default — correct at 100 TB, never at
+    // test SF). Lower them to scale-representative ratios and pin that the
+    // engine's plain join shape is eligible: at production scale the fact
+    // scan is pre-filtered by the dimension's keys with zero code changes.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = Registry.table(s, sfDir, "orders").filter(col("o_totalprice") > 499000)
+    val li = Registry.table(s, sfDir, "lineitem")
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"runtime bloom filter not injected:\n${plan.take(2000)}")
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val root = java.nio.file.Files.createTempDirectory("partitioned").toString
     Registry.events(spark, sfDir)
