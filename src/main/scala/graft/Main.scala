@@ -15,13 +15,9 @@ object Main {
     val cfg = Configs.load(args(0))
     val master = if (args.length > 1) args(1)
       else sys.env.getOrElse("SPARK_MASTER", "local[*]")
-    val spark = SparkSession.builder()
+    val spark = GraftSession
+      .builder(master, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       .appName("graft-report1")
-      .master(master)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
       val job = new Report1Job(spark, cfg, Clock.systemUTC())

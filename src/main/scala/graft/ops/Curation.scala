@@ -130,8 +130,87 @@ SELECT m.source,
 FROM m GROUP BY m.source ORDER BY m.source
 """
 
+  /** The capstone composite — the whole corpus build as ONE declarative
+    * plan: quality filter → near-dup removal → deterministic 80/10/10
+    * hash split → per-(split, source) 4096-token sequence packing →
+    * shipping accounting (docs / tokens / bins per shard). Catalyst sees
+    * all of it: the cheap per-doc predicates prune before the dedup join,
+    * the split is a scan-speed expression, and packing windows shuffle
+    * once on the output shard key. This is the query a training-data team
+    * actually runs; every stage is also individually oracle-verified by
+    * its standalone query.
+    */
+  def corpusBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = curatedCorpus(s, dir) // doc_id, lang, source, n_tokens
+    val bucket = pmod(SamplingOps.hash60(col("doc_id")), lit(100))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+    val w = Window.partitionBy("split", "source")
+      .orderBy(SamplingOps.hash60(col("doc_id")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept.withColumn("split", split)
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / 4096L).cast("long"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        (max("bin") + 1).as("n_bins"))
+      .orderBy("split", "source")
+  }
+
+  private val corpusBuildOracle = """
+WITH toks AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id, lang, source,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+  FROM toks),
+passing AS (
+  SELECT doc_id, source, n_tokens FROM m
+  WHERE n_tokens >= 40 AND ttr >= 0.35),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(t[i:i+4], ' ')
+                   for i in range(1, len(t) - 3)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 5),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+losers AS (
+  SELECT DISTINCT j AS doc_id
+  FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+kept AS (
+  SELECT p.doc_id, p.source, p.n_tokens,
+    CAST('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      AS h
+  FROM passing p
+  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = p.doc_id)),
+assigned AS (
+  SELECT *, CASE WHEN h % 100 < 80 THEN 'train'
+                 WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+  FROM kept),
+packed AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY split, source
+    ORDER BY h ASC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM assigned)
+SELECT split, source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(max((cum - n_tokens) // 4096) + 1 AS BIGINT) AS n_bins
+FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "curated_corpus" -> QueryDef(curatedCorpus, Some(curatedCorpusOracle)),
-    "curation_report" -> QueryDef(curationReport, Some(curationReportOracle))
+    "curation_report" -> QueryDef(curationReport, Some(curationReportOracle)),
+    "corpus_build_pipeline" -> QueryDef(corpusBuild, Some(corpusBuildOracle))
   )
 }

@@ -26,9 +26,10 @@ object SamplingOps {
 
   /** 60-bit md5-prefix hash of a column's string form — deterministic and
     * identical in Spark and DuckDB (`CAST('0x'||substr(md5(x),1,15) AS
-    * BIGINT)`), non-negative.
+    * BIGINT)`), non-negative. Shared by the sampling family and the corpus
+    * pipeline composites.
     */
-  private def hash60(c: Column): Column =
+  private[ops] def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   // -------------------------------------------------- train/val/test split
