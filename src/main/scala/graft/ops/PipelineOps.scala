@@ -26,7 +26,9 @@ object PipelineOps {
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     val ex = docs(s, dir).select(explode(split(col("text"), " ")).as("tok"))
     val counts = ex.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = ex.agg(count(lit(1)).as("total"))
+    // total token positions = Σ counts: derived from the (vocabulary-sized)
+    // aggregate, not a second pass over the corpus
+    val total = counts.agg(sum("cnt").as("total"))
     counts.crossJoin(broadcast(total))
       .filter(col("cnt") * 1000 > col("total"))
       .select(col("tok"), col("cnt"))
