@@ -89,6 +89,33 @@ class PlanSpec extends SparkSpec {
       plan.contains("Sort [user_id"))
   }
 
+  test("GraftExtensions at session build time exposes the functions to plain SQL") {
+    import org.apache.spark.sql.SparkSession
+    // `spark.sql.extensions` is a STATIC conf read from the SparkContext at
+    // launch — inside a shared-context test JVM the equivalent documented
+    // path is builder.withExtensions; clear the active/default session so
+    // the builder constructs a fresh session that applies them
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT vec_dot_long(array(1L, 2L), array(3L, 4L)) AS d,
+          |       simhash60(array('a', 'b')) AS sh,
+          |       size(minhash_sig_5_32(array('a','b','c','d','e','f'))) AS k
+          |""".stripMargin).collect().head
+      assert(r.getLong(0) == 11L)
+      assert(r.getLong(1) != 0L)
+      assert(r.getInt(2) == 32)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("filters on left attributes push through the custom as-of join") {
     // Catalyst's own pushdown can't see through the opaque AsOfJoin node —
     // PushFilterThroughAsOfJoin must move the left-only conjunct below it
