@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.io.Connector
+import org.apache.spark.sql.functions._
+
+/** The DSv2 connector for the date-prefixed bar layout: date predicates
+  * must prune whole directories at planning time, column pruning must reach
+  * the reader, and results must match the generic CSV path exactly.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private val header =
+    "ISIN,Mnemonic,Date,Time,StartPrice,EndPrice,MinPrice,MaxPrice,TradedVolume"
+
+  /** date -> rows-per-hour layout, one file per (date, hour). */
+  private def stage(root: Path, files: Map[(String, String), Seq[String]]): Unit =
+    files.foreach { case ((date, hour), rows) =>
+      val dir = root.resolve(date)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(s"${date}_BINS_XETR$hour.csv"),
+        header + "\n" + rows.mkString("\n") + "\n")
+    }
+
+  private lazy val root: Path = {
+    val r = Files.createTempDirectory("xetra_dsv2")
+    stage(r, Map(
+      ("2021-04-15", "12") -> Seq("AT1,SANT,2021-04-15,12:00,20.19,18.45,18.20,20.33,877"),
+      ("2021-04-16", "15") -> Seq("AT1,SANT,2021-04-16,15:00,18.27,21.19,18.27,21.34,987"),
+      ("2021-04-17", "13") -> Seq("AT1,SANT,2021-04-17,13:00,20.21,18.27,18.21,20.42,633"),
+      ("2021-04-17", "14") -> Seq("AT1,SANT,2021-04-17,14:00,18.27,21.19,18.27,21.34,455"),
+      ("2021-04-18", "07") -> Seq("AT1,SANT,2021-04-18,07:00,20.58,19.27,18.89,20.58,9066"),
+      ("2021-04-18", "08") -> Seq("AT1,SANT,2021-04-18,08:00,19.27,21.14,19.27,21.14,1220")))
+    r
+  }
+
+  private def dsv2 = spark.read
+    .format("graft.sources.XetraBarsProvider")
+    .load(root.toString)
+
+  test("short name 'xetra-bars' resolves via DataSourceRegister") {
+    val viaShortName = spark.read.format("xetra-bars").load(root.toString)
+    assert(viaShortName.count() == dsv2.count())
+  }
+
+  test("dsv2 full scan equals the generic csv connector") {
+    val c = new Connector(spark, root.toUri.toString)
+    val files = Seq("2021-04-15", "2021-04-16", "2021-04-17", "2021-04-18")
+      .flatMap(c.listPrefix)
+    val expected = c.readCsv(files, graft.sources.XetraBarsTable.Schema)
+      .orderBy("Date", "Time").collect().map(_.toSeq).toSeq
+    val got = dsv2.orderBy("Date", "Time").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("date predicates prune whole directories at planning time") {
+    val filtered = dsv2.filter(col("Date") >= "2021-04-17")
+    // 3 files survive (17×2, 18×2 → wait: 17 has 2, 18 has 2) = 4 partitions
+    assert(filtered.rdd.getNumPartitions == 4,
+      s"expected 4 surviving files, got ${filtered.rdd.getNumPartitions}")
+    assert(filtered.count() == 4)
+    // unpruned scan plans one partition per staged file
+    assert(dsv2.rdd.getNumPartitions == 6)
+    // the pushed predicate is visible in the scan description
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("prunedBy=[") &&
+      plan.contains("GreaterThanOrEqual(Date"), plan.take(1200))
+  }
+
+  test("column pruning reaches the reader") {
+    // pure projection: only the 2 selected columns are read
+    val slim = dsv2.select("ISIN", "TradedVolume")
+    assert(slim.queryExecution.executedPlan.toString
+      .contains("columns=[ISIN,TradedVolume]"))
+    // with a residual Date filter, Date is (correctly) also required —
+    // pruning still drops the other 6 columns
+    val filtered = dsv2.filter(col("Date") === "2021-04-18")
+      .select("ISIN", "TradedVolume")
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("columns=[ISIN,Date,TradedVolume]"))
+    assert(filtered.collect().map(_.getLong(1)).sorted.toSeq ==
+      Seq(1220L, 9066L))
+  }
+
+  test("pruning is conservative: residual row filters still apply") {
+    // Time predicate can't prune directories but must still filter rows
+    val got = dsv2.filter(col("Date") >= "2021-04-17" && col("Time") < "14:00")
+      .select("TradedVolume").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(633L, 1220L, 9066L))
+  }
+}
