@@ -83,6 +83,32 @@ class SourcesSpec extends SparkSpec {
       Seq(1220L, 9066L))
   }
 
+  test("the daily report runs directly off the dsv2 source (declarative extract)") {
+    // the whole extract step becomes `read.format("xetra-bars") + filter`:
+    // date pruning replaces the hand-driven per-date listing loop, and the
+    // result must equal the connector-path transform exactly
+    import graft.ops.{Report1, Report1SourceCols, Report1TargetCols}
+    val src = Report1SourceCols(
+      isin = "ISIN", date = "Date", time = "Time", startPrice = "StartPrice",
+      minPrice = "MinPrice", maxPrice = "MaxPrice",
+      tradedVolume = "TradedVolume",
+      columns = graft.sources.XetraBarsTable.Schema.fieldNames.toSeq)
+    val trg = Report1TargetCols(
+      openingPrice = "open", closingPrice = "close", minPrice = "min_p",
+      maxPrice = "max_p", dailyTradedVolume = "vol",
+      changePrevClosing = "chg")
+    val viaDsv2 = Report1.transform(
+        dsv2.filter(col("Date") >= "2021-04-16"), src, trg, "2021-04-17")
+      .orderBy("ISIN", "Date").collect().map(_.toSeq).toSeq
+    val c = new Connector(spark, root.toUri.toString)
+    val files = Seq("2021-04-16", "2021-04-17", "2021-04-18").flatMap(c.listPrefix)
+    val viaConnector = Report1.transform(
+        c.readCsv(files, graft.sources.XetraBarsTable.Schema), src, trg,
+        "2021-04-17")
+      .orderBy("ISIN", "Date").collect().map(_.toSeq).toSeq
+    assert(viaDsv2.nonEmpty && viaDsv2 == viaConnector)
+  }
+
   test("pruning is conservative: residual row filters still apply") {
     // Time predicate can't prune directories but must still filter rows
     val got = dsv2.filter(col("Date") >= "2021-04-17" && col("Time") < "14:00")
