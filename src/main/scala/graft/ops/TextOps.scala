@@ -237,7 +237,91 @@ FROM ex JOIN model USING (b)
 GROUP BY ex.doc_id ORDER BY doc_id
 """
 
+  // ------------------------------------------------------ repetition ratio
+  /** Intra-document repetition (the "repeated n-gram fraction" quality
+    * rule): 1 − distinct_bigrams/total_bigrams per doc, plus the dominant
+    * bigram's share. Pure per-row expressions over hashed bigrams —
+    * integer ratios, one final division, scan-speed at any corpus size.
+    */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val bg = call_function("shingle_hashes_2", WS_TOKENS)
+    docs(s, dir)
+      .select(col("doc_id"), bg.as("bg"))
+      .filter(size(col("bg")) > 0)
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_bigrams").cast("double")).as("repetition_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionRatioOracle = """
+WITH bl AS (
+  SELECT doc_id, [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+           AS bs
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 2)
+SELECT doc_id,
+  CAST(len(bs) AS BIGINT) AS n_bigrams,
+  1.0 - CAST(len(list_distinct(bs)) AS DOUBLE) / CAST(len(bs) AS DOUBLE)
+    AS repetition_ratio
+FROM bl ORDER BY doc_id
+"""
+
+  // ------------------------------------------------------- decontamination
+  /** Train/test contamination check — the decontamination stage every
+    * training pipeline runs before evaluation: for each doc in the TEST
+    * split (hash buckets 90-99 of the 80/10/10 split), count 5-gram overlap
+    * with any TRAIN doc via the inverted index, flag pairs sharing ≥ 5
+    * shingles. The index join only pairs co-occurring docs — no
+    * train×test product — and the same hash split the sampling family
+    * verifies defines the sides, so the check is reproducible run to run.
+    */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val bucket = pmod(SamplingOps.hash60(col("doc_id")), lit(100))
+    val d = docs(s, dir).select(col("doc_id"),
+      array_distinct(call_function("shingle_hashes_5", WS_TOKENS)).as("sh"),
+      (bucket >= 90).as("is_test"), (bucket < 80).as("is_train"))
+    val ex = d.select(col("doc_id"), col("is_test"), col("is_train"),
+      explode(col("sh")).as("ss"))
+    val test = ex.filter(col("is_test"))
+      .select(col("doc_id").as("test_id"), col("ss"))
+    val train = ex.filter(col("is_train"))
+      .select(col("doc_id").as("train_id"), col("ss"))
+    test.join(train, "ss")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= 5)
+      .orderBy("test_id", "train_id")
+  }
+
+  private val decontaminationOracle = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(t[i:i+4], ' ')
+                   for i in range(1, len(t) - 3)]) AS s,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 100 AS bucket
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 5),
+ex AS (SELECT doc_id, bucket, unnest(s) AS ss FROM sh)
+SELECT a.doc_id AS test_id, b.doc_id AS train_id,
+  CAST(count(*) AS BIGINT) AS shared_shingles
+FROM ex a JOIN ex b ON a.ss = b.ss AND a.bucket >= 90 AND b.bucket < 80
+GROUP BY 1, 2
+HAVING count(*) >= 5
+ORDER BY test_id, train_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "text_repetition_ratio" ->
+      QueryDef(repetitionRatio, Some(repetitionRatioOracle)),
+    "text_decontamination" ->
+      QueryDef(decontamination, Some(decontaminationOracle)),
     "text_token_stats" -> QueryDef(tokenStats, Some(tokenStatsOracle)),
     "text_quality_score" -> QueryDef(qualityScore, Some(qualityScoreOracle)),
     "text_langid_confusion" -> QueryDef(langId, Some(langIdOracle)),
