@@ -32,7 +32,8 @@ object Registry {
     ops.DedupClusters.queries,
     ops.SamplingOps.queries,
     ops.RelationalExtras.queries,
-    ops.PipelineOps.queries
+    ops.PipelineOps.queries,
+    ops.QualityOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
