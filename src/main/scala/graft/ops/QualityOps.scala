@@ -1,0 +1,116 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators — the validation layer that gates every ingest
+  * at scale: a per-column profile (null/distinct accounting) and a rule
+  * ("expectations") audit with violation counts. Both are single-pass
+  * aggregations (plus one broadcast-able anti-join for the FK rule), so
+  * profiling 100 TB costs one scan.
+  */
+object QualityOps {
+
+  // ------------------------------------------------------- column profile
+  /** One-pass profile of the `orders` columns: nulls and exact distinct
+    * counts per column, computed in a single aggregation (the multi-
+    * countDistinct expands to one `expand` + aggregate, not N scans), then
+    * melted to one row per column.
+    */
+  def profileOrders(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    def nNull(c: String): Column =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
+    def nDist(c: String): Column = countDistinct(col(c)).as(s"dist_$c")
+    val one = Registry.table(s, dir, "orders")
+      .agg(count(lit(1)).as("n_rows"),
+        cols.map(nNull) ++ cols.map(nDist): _*)
+    one.select(explode(map(
+        cols.flatMap(c => Seq(lit(c),
+          struct(col(s"null_$c").as("n_nulls"),
+            col(s"dist_$c").as("n_distinct"), col("n_rows")))): _*))
+      .as(Seq("col_name", "m")))
+      .select(col("col_name"), col("m.n_nulls"), col("m.n_distinct"),
+        col("m.n_rows"))
+      .orderBy("col_name")
+  }
+
+  private val profileOracle = """
+WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dk,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+    CAST(count(DISTINCT o_custkey) AS BIGINT) AS dc,
+    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ds,
+    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS dp
+  FROM orders)
+SELECT 'o_orderkey' AS col_name, nk AS n_nulls, dk AS n_distinct, n_rows FROM a
+UNION ALL
+SELECT 'o_custkey', nc, dc, n_rows FROM a
+UNION ALL
+SELECT 'o_orderstatus', ns, ds, n_rows FROM a
+UNION ALL
+SELECT 'o_orderpriority', np, dp, n_rows FROM a
+ORDER BY col_name
+"""
+
+  // ----------------------------------------------------- expectation audit
+  /** Rule audit over `orders` — the expectations a load would gate on:
+    * non-null key, positive totals, status domain, and referential
+    * integrity of custkey against `customer` (left-anti join; the dimension
+    * broadcasts). Violation counts, one output row per rule — at scale the
+    * audit is one scan plus one broadcast probe.
+    */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    val o = Registry.table(s, dir, "orders")
+    val scanRules = o.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+        .as("null_orderkey"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+        .as("nonpositive_total"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .as("status_out_of_domain"))
+    val orphans = o.join(
+        broadcast(Registry.table(s, dir, "customer").select("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_custkey"))
+    scanRules.crossJoin(orphans)
+      .select(explode(map(
+        lit("null_orderkey"), col("null_orderkey"),
+        lit("nonpositive_total"), col("nonpositive_total"),
+        lit("status_out_of_domain"), col("status_out_of_domain"),
+        lit("orphan_custkey"), col("orphan_custkey")))
+        .as(Seq("rule", "violations")))
+      .orderBy("rule")
+  }
+
+  private val expectationsOracle = """
+WITH a AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS null_orderkey,
+    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nonpositive_total,
+    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+      AS BIGINT) AS status_out_of_domain,
+    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey)) AS orphan_custkey
+  FROM orders)
+SELECT 'null_orderkey' AS rule, null_orderkey AS violations FROM a
+UNION ALL SELECT 'nonpositive_total', nonpositive_total FROM a
+UNION ALL SELECT 'status_out_of_domain', status_out_of_domain FROM a
+UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM a
+ORDER BY rule
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "dq_profile_orders" -> QueryDef(profileOrders, Some(profileOracle)),
+    "dq_expectations" -> QueryDef(expectations, Some(expectationsOracle))
+  )
+}
