@@ -251,10 +251,90 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
 FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
 """
 
+  /** Recall@k of the LSH path measured against the exact brute-force
+    * baseline — the approximation-QA metric an ANN deployment tracks
+    * continuously: per probe, |LSH∩exact| / |exact|. Pure integer counts
+    * with one final division, so even the quality measurement is
+    * oracle-exact; at scale the exact side runs on a small audit sample
+    * while LSH serves everything.
+    */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
+    val lsh = lshTopK(s, dir)
+      .select(col("query_id").as("l_q"), col("neighbor_id").as("l_n"))
+    val perProbe = brute
+      .join(lsh, col("query_id") === col("l_q") &&
+        col("neighbor_id") === col("l_n"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("l_n").isNotNull, 1L).otherwise(0L)).as("n_common"))
+    val lshCounts = lsh.groupBy(col("l_q").as("query_id"))
+      .agg(count(lit(1)).as("n_lsh"))
+    perProbe.join(lshCounts, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_common"),
+        (col("n_common").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  private val lshRecallOracle = s"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+planes AS (SELECT vec_id AS plane_id, qv AS pv FROM q WHERE vec_id < 8),
+bkt AS (
+  SELECT c.vec_id,
+    CAST(sum(CASE WHEN
+        list_sum(list_transform(range(1, 65), k -> c.qv[k] * p.pv[k])) > 0
+      THEN (CAST(1 AS BIGINT) << p.plane_id) ELSE 0 END) AS BIGINT) AS bucket
+  FROM q c JOIN planes p ON c.vec_id <> p.plane_id
+  GROUP BY c.vec_id),
+corpus AS (SELECT q.vec_id, qv, bucket FROM q JOIN bkt USING (vec_id)),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+          DESC, c.vec_id ASC) AS rank
+    FROM q p JOIN q c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id)
+  WHERE rank <= $TopK),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+          DESC, c.vec_id ASC) AS rank
+    FROM corpus p JOIN corpus c
+      ON p.vec_id < $NumProbes AND c.bucket = p.bucket AND c.vec_id <> p.vec_id)
+  WHERE rank <= $TopK)
+SELECT b.query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(coalesce((SELECT count(*) FROM lsh l2
+                 WHERE l2.query_id = b.query_id), 0) AS BIGINT) AS n_lsh,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lsh l
+                             WHERE l.query_id = b.query_id
+                               AND l.neighbor_id = b.neighbor_id)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM lsh l
+                             WHERE l.query_id = b.query_id
+                               AND l.neighbor_id = b.neighbor_id)
+            THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS recall
+FROM brute b GROUP BY b.query_id ORDER BY query_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "ann_brute_topk" -> QueryDef(bruteForceTopK, Some(bruteForceOracle)),
     "ann_ivf_label" -> QueryDef(ivfTopK, Some(ivfOracle)),
     "ann_lsh_buckets" -> QueryDef(lshBuckets, Some(lshBucketsOracle)),
-    "ann_lsh_topk" -> QueryDef(lshTopK, Some(lshTopKOracle))
+    "ann_lsh_topk" -> QueryDef(lshTopK, Some(lshTopKOracle)),
+    "ann_lsh_recall" -> QueryDef(lshRecall, Some(lshRecallOracle))
   )
 }
