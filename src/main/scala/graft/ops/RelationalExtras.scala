@@ -311,7 +311,38 @@ FROM events p JOIN events c
 ORDER BY purchase_id, click_id
 """
 
+  // -------------------------------------------------- forecast revenue (Q6)
+  /** The TPC-H Q6 shape: a pure filter-aggregate whose predicates ALL push
+    * to the scan (year band on shipdate, discount band, quantity cap) —
+    * the plan is one scan + partial/final agg with zero joins and zero
+    * wide shuffles; at 100 TB this query is I/O-bound by construction.
+    * Exact decimal sum of price×discount, cast to double at the end.
+    */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01" &&
+        col("l_shipdate") < "1998-01-01" &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(25, 4))).cast("double").as("revenue_effect"),
+        count(lit(1)).as("n_lineitems"))
+
+  private val forecastRevenueOracle = """
+SELECT
+  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,4))) AS DOUBLE)
+    AS revenue_effect,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "q6_forecast_revenue" ->
+      QueryDef(forecastRevenue, Some(forecastRevenueOracle)),
     "histogram_totalprice" ->
       QueryDef(histogramTotalprice, Some(histogramOracle)),
     "interval_join_clicks" ->
