@@ -340,7 +340,51 @@ WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
   AND l_quantity < 24
 """
 
+  // ------------------------------------------- disjunctive-predicate join
+  /** The TPC-H Q19 shape: an equi-join whose *residual* is a disjunction of
+    * conjunction groups (brand × size-band × quantity-band alternatives).
+    * Catalyst extracts the common `l_partkey = p_partkey` conjunct so the
+    * join stays a hash join (broadcast here — part is a dimension) and only
+    * the OR-residual is evaluated per matched row; a naive engine would
+    * fall back to a nested-loop over the cross product.
+    */
+  def disjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Registry.table(s, dir, "lineitem")
+    val p = Registry.table(s, dir, "part")
+    val groups =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && groups)
+      .groupBy("p_brand")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(25, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("p_brand")
+  }
+
+  private val disjunctiveJoinOracle = """
+SELECT p_brand,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)))
+       AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "q19_disjunctive_join" ->
+      QueryDef(disjunctiveJoin, Some(disjunctiveJoinOracle)),
     "q6_forecast_revenue" ->
       QueryDef(forecastRevenue, Some(forecastRevenueOracle)),
     "histogram_totalprice" ->
