@@ -212,6 +212,21 @@ class PlanSpec extends SparkSpec {
       s"runtime bloom filter not injected:\n${plan.take(2000)}")
   }
 
+  test("Q6 predicates all reach the parquet scan") {
+    val meta = scanMeta(ops.RelationalExtras.forecastRevenue(spark, sfDir))
+    val pushed = meta.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("LessThan(l_quantity"), s"missing pushdown: $pushed")
+  }
+
+  test("Q19 disjunctive join stays a hash join (no nested loop)") {
+    val plan = executedPlan(ops.RelationalExtras.disjunctiveJoin(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected hash join with OR-residual:\n${plan.take(1500)}")
+    assert(!plan.contains("NestedLoop"),
+      "disjunction must not degrade the join to a nested loop")
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val root = java.nio.file.Files.createTempDirectory("partitioned").toString
     Registry.events(spark, sfDir)
