@@ -32,6 +32,7 @@ object Registry {
     ops.DedupClusters.queries,
     ops.SamplingOps.queries,
     ops.RelationalExtras.queries,
+    ops.TpchShapes.queries,
     ops.PipelineOps.queries,
     ops.QualityOps.queries
   ).reduce(_ ++ _)

@@ -1,0 +1,505 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The remaining TPC-H query shapes over the driver's star schema — the
+  * canonical catalog of join/subquery/aggregate patterns a user of any
+  * relational engine expects (SURVEY.md §2.8 lists them all as absent from
+  * the reference). Q1/Q6/Q14/Q19 shapes live in CoreRelational /
+  * RelationalExtras; this module adds Q3, Q4, Q5, Q7, Q8, Q9, Q10, Q12,
+  * Q13, Q15, Q17, Q18, Q22.
+  *
+  * The driver data has no `partsupp`, `l_commitdate`/`l_receiptdate`,
+  * `l_shipmode` or `c_phone`, so four queries substitute an equivalent
+  * predicate on an existing column (noted per query) — the *plan shape*
+  * (which joins, which subqueries, where the aggregates sit) is the point,
+  * and is unchanged by the substitution.
+  *
+  * Scale posture, shared across the module: dimension tables (region,
+  * nation, supplier, part, customer — all O(SF·200k) or fixed-size) are
+  * broadcast explicitly; the only data-sized shuffles are lineitem⋈orders
+  * and the final aggregations. Every aggregate a hash-comparison rests on
+  * goes through [[dsum]] (exact decimal addition); every query ends in a
+  * total ORDER BY with a unique tiebreaker.
+  */
+object TpchShapes {
+  import Registry.table
+
+  private def d(s: String) = lit(s).cast("date")
+
+  // ---------------------------------------------------------------- Q3
+  /** Q3 shipping priority: top-10 undelivered orders by accrued revenue for
+    * one market segment. Broadcast the filtered customer side; the
+    * lineitem⋈orders equi-join is the single shuffle; TakeOrdered caps the
+    * sorted output at 10 rows per partition before the driver merge.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = table(s, dir, "orders").filter(col("o_orderdate") < d("2000-07-01"))
+    val li = table(s, dir, "lineitem").filter(col("l_shipdate") > d("2000-07-01"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Oracle = """
+SELECT l_orderkey,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '2000-07-01'
+  AND l_shipdate > DATE '2000-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+  // ---------------------------------------------------------------- Q4
+  /** Q4 order-priority checking: orders in a quarter with at least one late
+    * line — EXISTS becomes a left-semi join whose condition mixes the equi
+    * key with a non-equi comparison (l_shipdate > o_orderdate substitutes
+    * for the missing l_commitdate < l_receiptdate; same shape: correlated
+    * inequality between the two tables).
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= d("2000-01-01") && col("o_orderdate") < d("2000-04-01"))
+    val li = table(s, dir, "lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Oracle = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2000-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+  // ---------------------------------------------------------------- Q5
+  /** Q5 local-supplier volume: the 6-table star join with the extra
+    * *non-star* equality c_nationkey = s_nationkey (customer and supplier
+    * in the same nation). supplier/nation/region broadcast; customer
+    * broadcasts too (O(SF·150k) — at 100 TB it flips to shuffle and AQE
+    * handles that choice per-stats).
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= d("2000-01-01") && col("o_orderdate") < d("2001-01-01"))
+    val c = table(s, dir, "customer")
+    val su = table(s, dir, "supplier")
+    val n = table(s, dir, "nation")
+    val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Oracle = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2001-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+  // ---------------------------------------------------------------- Q7
+  /** Q7 volume shipping: the two-nation trade flow — nation joined TWICE
+    * under different roles (supplier side / customer side), with the
+    * symmetric pair predicate, grouped by both nations and ship year.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    val su = table(s, dir, "supplier")
+    val n1 = table(s, dir, "nation").as("n1")
+    val n2 = table(s, dir, "nation").as("n2")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), su("s_nationkey") === col("n1.n_nationkey"))
+      .join(broadcast(n2), c("c_nationkey") === col("n2.n_nationkey"))
+      .filter(
+        (col("n1.n_name") === "NATION_1" && col("n2.n_name") === "NATION_2") ||
+        (col("n1.n_name") === "NATION_2" && col("n2.n_name") === "NATION_1"))
+      .groupBy(col("n1.n_name").as("supp_nation"), col("n2.n_name").as("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Oracle = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+  // ---------------------------------------------------------------- Q8
+  /** Q8 market share: one nation's share of a region's PROMO-part import
+    * volume per order year — conditional aggregation over a 7-table join,
+    * the share being one IEEE division of two exact decimal sums (the
+    * cross-engine-safe form of `sum(case)/sum(all)`).
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    val su = table(s, dir, "supplier")
+    val p = table(s, dir, "part").filter(col("p_type") === "PROMO")
+    val n1 = table(s, dir, "nation").as("n1") // customer nation -> region filter
+    val n2 = table(s, dir, "nation").as("n2") // supplier nation -> market share
+    val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n1), c("c_nationkey") === col("n1.n_nationkey"))
+      .join(broadcast(r), col("n1.n_regionkey") === r("r_regionkey"))
+      .join(broadcast(n2), su("s_nationkey") === col("n2.n_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(when(col("n2.n_name") === "NATION_1", vol).otherwise(lit(0.0)), 4).as("nation_volume"),
+        dsum(vol, 4).as("total_volume"))
+      .withColumn("mkt_share",
+        when(col("total_volume") =!= 0.0, col("nation_volume") / col("total_volume")))
+      .select("o_year", "nation_volume", "total_volume", "mkt_share")
+      .orderBy("o_year")
+  }
+
+  private val q8Oracle = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_1'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END AS DECIMAL(30,4))) AS DOUBLE) AS nation_volume,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS total_volume,
+  CASE WHEN CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) <> 0.0
+       THEN CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_1'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END AS DECIMAL(30,4))) AS DOUBLE)
+          / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+       END AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+  // ---------------------------------------------------------------- Q9
+  /** Q9 product-type profit: substring part filter fanned across every
+    * order year and supplier nation. The driver schema has no
+    * ps_supplycost, so profit = discounted revenue (the join tree — part +
+    * lineitem + supplier + orders + nation — is Q9's shape unchanged).
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    val su = table(s, dir, "supplier")
+    val p = table(s, dir, "part").filter(col("p_name").contains("widget"))
+    val n = table(s, dir, "nation")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Oracle = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+  // ---------------------------------------------------------------- Q10
+  /** Q10 returned-item reporting: top-20 customers by revenue lost to
+    * returns in a quarter. Group keys include every output dimension
+    * (standard Q10); limit is tie-broken by the unique c_custkey.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= d("2000-01-01") && col("o_orderdate") < d("2000-04-01"))
+    val c = table(s, dir, "customer")
+    val n = table(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+        col("c_mktsegment"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Oracle = """
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '2000-01-01' AND o_orderdate < DATE '2000-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+  // ---------------------------------------------------------------- Q12
+  /** Q12 shipping-mode priority classes: two conditional counts per group
+    * (the driver schema has no l_shipmode, so lines group by l_linestatus —
+    * the CASE-inside-SUM pivot is Q12's shape).
+    */
+  def q12PriorityClass(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= d("2000-01-01") && col("l_shipdate") < d("2001-01-01"))
+    val o = table(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  private val q12Oracle = """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+  // ---------------------------------------------------------------- Q13
+  /** Q13 customer order distribution: LEFT OUTER join with a predicate in
+    * the join condition (not a post-filter — customers with only excluded
+    * orders must survive with count 0), then an aggregate OF an aggregate.
+    */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey") && o("o_orderpriority") =!= "5-LOW",
+        "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Oracle = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+  // ---------------------------------------------------------------- Q15
+  /** Q15 top supplier: the revenue "view" (per-supplier aggregate) joined
+    * against its own global max — the scalar subquery becomes a 1-row
+    * broadcast cross join, so nothing funnels through a single partition.
+    * Equality on revenue is safe because both sides are the same exact
+    * decimal sum surfaced as double.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= d("2000-01-01") && col("l_shipdate") < d("2000-04-01"))
+    val rev = li.groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    val su = table(s, dir, "supplier")
+    rev.join(broadcast(mx), rev("total_revenue") === mx("max_revenue"))
+      .join(broadcast(su), rev("supplier_no") === su("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Oracle = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2000-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+  // ---------------------------------------------------------------- Q17
+  /** Q17 small-quantity-order revenue: the per-part average-quantity
+    * correlated subquery becomes an aggregate-then-rejoin (the decorrelated
+    * plan every engine runs); the per-part aggregate is small relative to
+    * lineitem, so it broadcasts. avg is sum/count of integral doubles —
+    * exact, so the 0.2·avg threshold cut can't flap cross-engine.
+    */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val p = table(s, dir, "part").filter(col("p_brand") === "Brand#1")
+    val filtered = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val avgQty = filtered.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
+    filtered.join(broadcast(avgQty),
+        filtered("l_partkey") === avgQty("a_partkey") &&
+        filtered("l_quantity") < lit(0.2) * avgQty("avg_qty"))
+      .agg((dsum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"))
+  }
+
+  private val q17Oracle = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < 0.2 * (SELECT sum(l_quantity) / count(*) FROM lineitem l2
+                          WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+  // ---------------------------------------------------------------- Q18
+  /** Q18 large-volume customers: HAVING over a fact-table aggregate
+    * (group lineitem by order, keep quantity sums above the threshold —
+    * a tiny survivor set), then enrich survivors via join. The survivor
+    * aggregate broadcasts; orders/customer are only probed.
+    */
+  def q18LargeVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    o.join(broadcast(big), o("o_orderkey") === big("b_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Oracle = """
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+  // ---------------------------------------------------------------- Q22
+  /** Q22 global sales opportunity: customers with above-average positive
+    * balances and no urgent order (the driver data gives every customer
+    * *some* order, and has no c_phone — the urgent-order anti join and the
+    * n_name group stand in; the shape — scalar subquery + NOT EXISTS +
+    * aggregate — is Q22's). The global average is a 1-row broadcast; the
+    * anti side only ships urgent orders' custkeys.
+    */
+  def q22DormantBalance(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+    val urgent = table(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val n = table(s, dir, "nation")
+    c.join(broadcast(avgBal), c("c_acctbal") > avgBal("avg_bal"))
+      .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  private val q22Oracle = """
+SELECT n_name, count(*) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "q3_shipping_priority" -> QueryDef(q3ShippingPriority, Some(q3Oracle)),
+    "q4_order_priority" -> QueryDef(q4OrderPriority, Some(q4Oracle)),
+    "q5_local_supplier_volume" -> QueryDef(q5LocalSupplier, Some(q5Oracle)),
+    "q7_volume_shipping" -> QueryDef(q7VolumeShipping, Some(q7Oracle)),
+    "q8_market_share" -> QueryDef(q8MarketShare, Some(q8Oracle)),
+    "q9_product_profit" -> QueryDef(q9ProductProfit, Some(q9Oracle)),
+    "q10_returned_items" -> QueryDef(q10ReturnedItems, Some(q10Oracle)),
+    "q12_priority_class" -> QueryDef(q12PriorityClass, Some(q12Oracle)),
+    "q13_customer_distribution" -> QueryDef(q13CustomerDistribution, Some(q13Oracle)),
+    "q15_top_supplier" -> QueryDef(q15TopSupplier, Some(q15Oracle)),
+    "q17_small_quantity" -> QueryDef(q17SmallQuantity, Some(q17Oracle)),
+    "q18_large_volume" -> QueryDef(q18LargeVolume, Some(q18Oracle)),
+    "q22_dormant_balance" -> QueryDef(q22DormantBalance, Some(q22Oracle))
+  )
+}
