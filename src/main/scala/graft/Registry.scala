@@ -33,6 +33,7 @@ object Registry {
     ops.SamplingOps.queries,
     ops.RelationalExtras.queries,
     ops.TpchShapes.queries,
+    ops.ChunkingOps.queries,
     ops.PipelineOps.queries,
     ops.QualityOps.queries
   ).reduce(_ ++ _)
