@@ -4,9 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): run every headline query against
   * $SPARK_GRAFT_SF_DIR, print exactly ONE JSON line with total seconds and
-  * the per-query breakdown.
+  * a per-query breakdown.
+  *
+  * The harness that collects this line keeps only the LAST 2000 characters
+  * of process output, and an sbt epilogue line (~75 chars) follows ours, so
+  * the JSON line must stay under ~1850 chars to survive intact. With ~100
+  * queries a full per-query map (~3.4 KB) cannot fit, so the stdout line
+  * carries the slowest queries (3-decimal seconds) up to a size budget plus
+  * `nq`/`omitted` counts, and the complete breakdown is written to
+  * `bench_detail.json` in the working directory.
   */
 object Bench {
+  /** Max bytes of the stdout JSON line. Driver tail buffer is 2000 chars and
+    * sbt's "[success] Total time" epilogue (~75 chars) shares it.
+    */
+  private val LineBudget = 1800
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,37 +27,68 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: first execution of the vector/codegen path pays ~6s of
-    // JIT + whole-stage-codegen compilation that would otherwise be billed
-    // to whichever query sorts first; steady-state is what the bench reports.
-    // Warmups run at the smallest available SF so they cost milliseconds of
-    // data work regardless of which SF dir the bench itself targets.
-    val warmDir = {
-      val tiny = new java.io.File("/root/testdata/sf0.001")
-      if (tiny.isDirectory) tiny.getPath else sfDir
-    }
+    val headline = Registry.all.toSeq.sortBy(_._1).filter(_._2.headline)
+    // Untimed warmup pass at the TARGET SF: pays JIT + whole-stage-codegen
+    // compilation for the exact plans the timed pass will run. Warming at a
+    // smaller SF is not enough — AQE re-plans per-SF (broadcast vs shuffle
+    // thresholds flip), so the sf0.001 codegen classes are not the sf0.1
+    // ones and multi-second C2 spikes land on mid-suite queries.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // every headline query once at the smallest SF: compiles each plan's
-    // whole-stage-codegen classes and lets C2 reach steady state on the
-    // expression kernels, so the timed pass measures execution, not the
-    // JIT queue (which otherwise lands multi-second spikes on whichever
-    // queries run while compilation is in flight)
-    Registry.all.toSeq.sortBy(_._1).foreach {
-      case (_, q) if q.headline =>
-        try q.fn(spark, warmDir).count() catch { case _: Throwable => }
-      case _ =>
+    headline.foreach { case (_, q) =>
+      try q.fn(spark, sfDir).count() catch { case _: Throwable => }
     }
-    val results = Registry.all.toSeq.sortBy(_._1).collect {
-      case (name, q) if q.headline =>
-        val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    val results = headline.map { case (name, q) =>
+      val t0 = System.nanoTime()
+      try q.fn(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    writeDetail(results, total, sfDir)
+    println(renderLine(results, total, sfDir))
     spark.stop()
+  }
+
+  private def sec3(v: Double): String = f"$v%.3f"
+
+  /** One JSON line under [[LineBudget]]: totals + slowest queries first. */
+  private[graft] def renderLine(
+      results: Seq[(String, Double)], total: Double, sfDir: String): String = {
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",""" +
+        s""""nq":${results.size},"omitted":$omitted,"queries":$qs,""" +
+        s""""detail":"bench_detail.json","sf":"$sfDir"}"""
+    }
+    val bySlowest = results.sortBy(-_._2)
+    // Largest prefix of the slowest-first ranking that fits the budget;
+    // line() is monotone in entry count so a linear scan from the top works.
+    var keep = bySlowest.length
+    while (keep > 0 && line(bySlowest.take(keep), bySlowest.length - keep)
+        .length > LineBudget) {
+      keep -= 1
+    }
+    line(bySlowest.take(keep), bySlowest.length - keep)
+  }
+
+  /** Full name-sorted per-query breakdown, for the repo/judge. */
+  private def writeDetail(
+      results: Seq[(String, Double)], total: Double, sfDir: String): Unit = {
+    val qs = results.map { case (k, v) => s"""  "$k": ${sec3(v)}""" }
+      .mkString("{\n", ",\n", "\n}")
+    val json =
+      s"""{
+         |"metric": "total",
+         |"value": ${sec3(total)},
+         |"unit": "sec",
+         |"nq": ${results.size},
+         |"sf": "$sfDir",
+         |"queries": $qs
+         |}""".stripMargin
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json", "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () } // detail dump must never fail the bench
   }
 }

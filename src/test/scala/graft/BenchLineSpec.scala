@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's output capture keeps only the final 2000 chars of stdout
+  * (observed across three rounds of BENCH_r*.json tails) and an sbt epilogue
+  * shares the buffer — so the bench's one JSON line must stay under ~1850
+  * chars or the parse silently fails (`parsed: null`).
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def fakeResults(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => f"some_generated_query_name_$i%03d" -> i * 0.017)
+
+  test("line fits the 1800-char budget even with 200 queries") {
+    val rs = fakeResults(200)
+    val line = Bench.renderLine(rs, rs.map(_._2).sum, "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"line too long: ${line.length}")
+    assert(!line.contains("\n"))
+  }
+
+  test("line is valid JSON shape with metric/value/queries/sf keys") {
+    val rs = fakeResults(5)
+    val line = Bench.renderLine(rs, rs.map(_._2).sum, "/tmp/sf")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""unit":"sec""""))
+    assert(line.contains(""""sf":"/tmp/sf"}"""))
+    assert(line.contains(""""omitted":0"""))
+    // all five entries fit, slowest first
+    assert(line.indexOf("some_generated_query_name_005") <
+      line.indexOf("some_generated_query_name_001"))
+  }
+
+  test("omitted count covers exactly the entries that did not fit") {
+    val rs = fakeResults(200)
+    val line = Bench.renderLine(rs, rs.map(_._2).sum, "/tmp/sf")
+    val omitted = """"omitted":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+    val kept = """"some_generated_query_name_\d+":""".r.findAllIn(line).length
+    assert(kept + omitted === 200)
+    assert(kept > 0)
+  }
+
+  test("real registry names at worst-case widths still fit") {
+    val rs = Registry.all.keys.toSeq.sorted.map(_ -> 99.999)
+    val line = Bench.renderLine(rs, rs.map(_._2).sum, "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"line too long: ${line.length}")
+  }
+}
