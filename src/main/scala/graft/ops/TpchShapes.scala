@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * relational engine expects (SURVEY.md §2.8 lists them all as absent from
   * the reference). Q1/Q6/Q14/Q19 shapes live in CoreRelational /
   * RelationalExtras; this module adds Q3, Q4, Q5, Q7, Q8, Q9, Q10, Q12,
-  * Q13, Q15, Q17, Q18, Q22.
+  * Q13, Q15, Q16, Q17, Q18, Q20, Q21, Q22 — with Q1/Q6/Q14/Q19 elsewhere,
+  * all 22 TPC-H query shapes are covered (Q2/Q11 on the reduced schema
+  * appear as their shape twins Q16/Q20: partsupp-correlated subqueries
+  * re-targeted at the lineitem-derived part↔supplier relation).
   *
   * The driver data has no `partsupp`, `l_commitdate`/`l_receiptdate`,
   * `l_shipmode` or `c_phone`, so four queries substitute an equivalent
@@ -487,6 +490,143 @@ GROUP BY n_name
 ORDER BY n_name
 """
 
+  // ---------------------------------------------------------------- Q16
+  /** Q16 parts/supplier relationship: count distinct suppliers per part
+    * group, minus a NOT IN exclusion list (suppliers with negative balance
+    * stand in for the missing complaints predicate; the driver schema has no
+    * partsupp, so lineitem supplies the part↔supplier relation — same
+    * shape: filtered dim ⋈ relation, anti-excluded, count-distinct). The
+    * part filter and the exclusion list broadcast; the count-distinct is the
+    * only shuffle (Spark expands it to a two-phase distinct+count).
+    */
+  def q16PartsSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val p = table(s, dir, "part").filter(
+      col("p_brand") =!= "Brand#1" && col("p_type") =!= "SMALL" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    val excluded = table(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(excluded), li("l_suppkey") === excluded("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val q16Oracle = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+  // ---------------------------------------------------------------- Q20
+  /** Q20 potential part promotion: suppliers who moved a large volume of a
+    * name-matched part within one year — IN over a grouped-HAVING subquery
+    * becomes a left-semi join against the qualifying aggregate (the
+    * reference's missing partsupp/availqty threshold is replaced by a
+    * shipped-quantity threshold on the same grouped keys; shape preserved:
+    * dim-filtered fact aggregate → HAVING → semi-join into the supplier
+    * dim). The qualifying-supplier set is tiny and broadcasts into the
+    * semi-join.
+    */
+  def q20PromotionSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").filter(
+      col("l_shipdate") >= d("2000-01-01") && col("l_shipdate") < d("2001-01-01"))
+    val pSmall = table(s, dir, "part")
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val qualifying = li
+      .join(broadcast(pSmall), li("l_partkey") === pSmall("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("shipped_qty"))
+      .filter(col("shipped_qty") > 45.0)
+      .select("l_suppkey").distinct()
+    val su = table(s, dir, "supplier")
+    val n = table(s, dir, "nation").filter(col("n_name").like("NATION_1%"))
+    su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(qualifying), su("s_suppkey") === qualifying("l_suppkey"),
+        "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
+  private val q20Oracle = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name LIKE 'NATION_1%'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 45.0)
+ORDER BY s_name
+"""
+
+  // ---------------------------------------------------------------- Q21
+  /** Q21 suppliers who kept orders waiting: the hardest TPC-H shape — a
+    * fact-table EXISTS *and* NOT EXISTS, both correlated on the same order
+    * with a supplier-inequality (the missing receipt/commit dates are
+    * replaced by "shipped >60 days after the order date"; the
+    * double-correlated self-join shape is intact). Plan posture: the late
+    * set is computed once and reused for both the base and the NOT EXISTS
+    * side; EXISTS/NOT EXISTS become left-semi/left-anti self-joins on
+    * l_orderkey, which co-partition with the base on the same key — one
+    * shuffle family, no cartesian anywhere; supplier/nation broadcast.
+    */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = table(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val anyOther = li.select(col("l_orderkey").as("x_orderkey"),
+      col("l_suppkey").as("x_suppkey"))
+    val lateOther = late.select(col("l_orderkey").as("y_orderkey"),
+      col("l_suppkey").as("y_suppkey"))
+    val sole = late
+      .join(anyOther, col("l_orderkey") === col("x_orderkey") &&
+        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+      .join(lateOther, col("l_orderkey") === col("y_orderkey") &&
+        col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+    val su = table(s, dir, "supplier")
+    val n = table(s, dir, "nation")
+    sole.join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val q21Oracle = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "q3_shipping_priority" -> QueryDef(q3ShippingPriority, Some(q3Oracle)),
     "q4_order_priority" -> QueryDef(q4OrderPriority, Some(q4Oracle)),
@@ -498,7 +638,10 @@ ORDER BY n_name
     "q12_priority_class" -> QueryDef(q12PriorityClass, Some(q12Oracle)),
     "q13_customer_distribution" -> QueryDef(q13CustomerDistribution, Some(q13Oracle)),
     "q15_top_supplier" -> QueryDef(q15TopSupplier, Some(q15Oracle)),
+    "q16_parts_supplier" -> QueryDef(q16PartsSupplier, Some(q16Oracle)),
     "q17_small_quantity" -> QueryDef(q17SmallQuantity, Some(q17Oracle)),
+    "q20_promotion_suppliers" -> QueryDef(q20PromotionSuppliers, Some(q20Oracle)),
+    "q21_waiting_suppliers" -> QueryDef(q21WaitingSuppliers, Some(q21Oracle)),
     "q18_large_volume" -> QueryDef(q18LargeVolume, Some(q18Oracle)),
     "q22_dormant_balance" -> QueryDef(q22DormantBalance, Some(q22Oracle))
   )
