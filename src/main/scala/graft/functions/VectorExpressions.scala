@@ -80,6 +80,12 @@ object VectorFunctions {
       "shingle_hashes_2",
       exprs => ShingleHashes(exprs.head, 2),
       "scala_udf")
+    // aggregate: the analyzer wraps a bare AggregateFunction in an
+    // AggregateExpression during resolution, so the builder returns it raw
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mode",
+      exprs => DeterministicMode(exprs.head),
+      "scala_udf")
   }
 }
 
@@ -258,6 +264,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("shingle_hashes_2"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes_2"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 2)))
+    e.injectFunction((FunctionIdentifier("graft_mode"),
+      new ExpressionInfo(classOf[DeterministicMode].getName, "graft_mode"),
+      (exprs: Seq[Expression]) => DeterministicMode(exprs.head)))
     // the custom operator's planner strategy + its pushdown rule (Catalyst
     // can't see through an opaque binary node without the rule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

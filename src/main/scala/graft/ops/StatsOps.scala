@@ -270,7 +270,38 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         approx_percentile(col("o_totalprice"), lit(0.99), lit(1000)).as("ap99"))
       .orderBy("o_orderpriority")
 
+  /** Per-group deterministic mode via the custom
+    * [[graft.functions.DeterministicMode]] TypedImperativeAggregate —
+    * highest count, ties to the smallest value, so the oracle (count +
+    * row_number window) reproduces it exactly. One partial-aggregated
+    * shuffle of value→count maps, same posture as any built-in agg.
+    */
+  def modeOrderPriority(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    table(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(call_function("graft_mode", col("o_orderpriority")).as("mode_priority"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val modeOracle = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+r AS (
+  SELECT o_orderstatus, o_orderpriority,
+    row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY n DESC, o_orderpriority) AS rn
+  FROM c),
+t AS (SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT t.o_orderstatus, r.o_orderpriority AS mode_priority, t.n_orders
+FROM t JOIN r ON r.o_orderstatus = t.o_orderstatus AND r.rn = 1
+ORDER BY t.o_orderstatus
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_mode_custom_agg" -> QueryDef(modeOrderPriority, Some(modeOracle)),
     "stats_approx_percentiles" -> QueryDef(approxPercentiles, None),
     "stats_percentiles" -> QueryDef(percentiles, Some(percentilesOracle)),
     "stats_moments_corr" -> QueryDef(moments, Some(momentsOracle)),
