@@ -35,7 +35,8 @@ object Registry {
     ops.TpchShapes.queries,
     ops.ChunkingOps.queries,
     ops.PipelineOps.queries,
-    ops.QualityOps.queries
+    ops.QualityOps.queries,
+    ops.SearchOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

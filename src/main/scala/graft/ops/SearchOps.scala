@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance retrieval over `documents` — the ranking side of a
+  * training-corpus search/inspection surface (the dedup/quality families
+  * cover the filtering side).
+  *
+  * BM25 with a rational idf: the standard Robertson idf is
+  * ln((N−df+0.5)/(df+0.5)+1); oracle hash-equality cannot survive a
+  * transcendental (libm vs JVM `Math.log` differ in the last ulp on some
+  * inputs), so the engine uses the monotone pre-log argument
+  * (N−df+0.5)/(df+0.5) as the idf weight. Every factor is then a ratio of
+  * exact int64 products (k1=6/5, b=3/4 folded in as integer multiples —
+  * see [[bm25Score]]), each term score is ONE IEEE double division, and
+  * the final score is a fixed-order sum of the per-term scores — bit-exact
+  * across engines, same trick as the quantized-cosine family.
+  *
+  * 100 TB posture: tokenize+tf is embarrassingly parallel; the corpus
+  * stats (N, Σdl, per-term df) are one tiny all-to-one aggregate broadcast
+  * back; scoring is a map-only pass and top-k is TakeOrdered — no shuffle
+  * of document data at all. An inverted-index layout (posting lists
+  * bucketed by term) replaces the full scan when the term set is dynamic.
+  */
+object SearchOps {
+
+  private val K1Num = 6L // k1 = 1.2 = 6/5
+  private val BNum = 3L // b = 0.75 = 3/4 (folded into the integer algebra)
+  private val Terms = Seq("spark", "merge") // fixed probe query
+
+  private def toks: Column =
+    filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+
+  /** Exact-integer BM25 term score (see object doc): with k1=6/5, b=3/4,
+    *   idf_r        = (2N−2df+1)/(2df+1)
+    *   denominator  = tf + k1·(1−b+b·dl/avgdl), avgdl = Σdl/N
+    *                = (10·tf·Σdl + 3·Σdl + 9·dl·N) / (10·Σdl)
+    *   score        = idf_r · tf·(k1+1) / denominator
+    *                = (2N−2df+1)·tf·22·Σdl
+    *                  / ((2df+1)·(10·tf·Σdl + 3·Σdl + 9·dl·N))
+    * Both operands stay far below 2^53 at any plausible SF, so the single
+    * double division is the only inexact step and is identical everywhere.
+    */
+  private def bm25Score(tf: Column, df: Column, dl: Column,
+      n: Column, sumdl: Column): Column = {
+    val num = (lit(2L) * n - lit(2L) * df + lit(1L)) * tf * lit(22L) * sumdl
+    val den = (lit(2L) * df + lit(1L)) *
+      (lit(10L) * tf * sumdl + lit(3L) * sumdl + lit(9L) * dl * n)
+    when(tf > 0L, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Top-20 documents for the fixed two-term query, BM25-ranked. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val per = Registry.table(s, dir, "documents")
+      .select(col("doc_id") +: size(toks).cast("long").as("dl") +:
+        Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === t)).cast("long").as(s"tf$i")
+        }: _*)
+    val aggCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+      Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = per.agg(aggCols.head, aggCols.tail: _*)
+    val scored = per.join(broadcast(stats))
+      .withColumn("score",
+        Terms.indices.map(i => bm25Score(col(s"tf$i"), col(s"df$i"),
+          col("dl"), col("n"), col("sumdl"))).reduce(_ + _))
+    scored.select(col("doc_id"), col("score"), col("dl"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25Oracle = s"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+  FROM documents),
+per AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+    CAST(len(list_filter(toks, t -> t = '${Terms(0)}')) AS BIGINT) AS tf0,
+    CAST(len(list_filter(toks, t -> t = '${Terms(1)}')) AS BIGINT) AS tf1
+  FROM tok),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+  FROM per)
+SELECT doc_id, score, dl FROM (
+  SELECT doc_id, dl,
+    (CASE WHEN tf0 > 0 THEN
+      CAST((2*n - 2*df0 + 1) * tf0 * 22 * sumdl AS DOUBLE)
+      / CAST((2*df0 + 1) * (10*tf0*sumdl + 3*sumdl + 9*dl*n) AS DOUBLE)
+     ELSE 0.0 END) +
+    (CASE WHEN tf1 > 0 THEN
+      CAST((2*n - 2*df1 + 1) * tf1 * 22 * sumdl AS DOUBLE)
+      / CAST((2*df1 + 1) * (10*tf1*sumdl + 3*sumdl + 9*dl*n) AS DOUBLE)
+     ELSE 0.0 END) AS score
+  FROM per, st)
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "search_bm25_topk" -> QueryDef(bm25TopK, Some(bm25Oracle))
+  )
+}

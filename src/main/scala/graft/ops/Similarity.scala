@@ -137,6 +137,104 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
 FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
 """
 
+  private val NumCells = 16
+  private val NumProbeCells = 2
+
+  /** True IVF with multiprobe: a coarse quantizer of [[NumCells]] seed
+    * centroids (the first 16 corpus vectors — a deterministic k-means++-style
+    * init; [[graft.ops.ChunkingOps.kmeansAssignStep]] is the refinement
+    * step) assigns every corpus vector to its nearest cell; each probe
+    * searches its [[NumProbeCells]] nearest cells and exact-cosine re-ranks
+    * the union. nprobe>1 is what separates a production IVF from the
+    * label-bucket sketch in [[ivfTopK]]: recall degrades gracefully at cell
+    * boundaries instead of falling off a cliff.
+    *
+    * All distances are exact int64 (quantized coords), so cell assignment
+    * and ranking are bit-deterministic. 100 TB posture: assignment is a
+    * map-only pass against broadcast centroids; storing the corpus
+    * partitioned by cell turns each probe into a ≤nprobe-partition scan
+    * (the candidate join below co-partitions on the cell key).
+    */
+  def ivfMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val cents = corpus.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val dists = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (col("nrm") + col("cnrm") -
+          lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
+          .as("dist2"))
+    val byNearest = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    val ranked = dists.withColumn("rk", row_number().over(byNearest))
+    val cells = ranked.filter(col("rk") === 1)
+      .select(col("vec_id").as("m_vec_id"), col("centroid_id").as("cell"))
+    val corpusCells = corpus
+      .join(cells, col("vec_id") === col("m_vec_id")).drop("m_vec_id")
+    val probeCells = ranked
+      .filter(col("vec_id") < NumProbes && col("rk") <= NumProbeCells)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("pcell"))
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("p_vec_id"), col("qv").as("pq"),
+        col("nrm").as("pnrm"))
+      .join(probeCells, col("p_vec_id") === col("query_id"))
+    val scored = corpusCells.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pq"), col("qv"), col("pnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfMultiprobeOracle = s"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM q),
+c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
+      FROM n WHERE vec_id < $NumCells),
+d AS (
+  SELECT v.vec_id, c.centroid_id,
+    v.nrm + c.cnrm - 2 * CAST(list_sum(
+      list_transform(range(1, 65), k -> v.qv[k] * c.cv[k])) AS BIGINT) AS dist2
+  FROM n v, c),
+rk AS (
+  SELECT vec_id, centroid_id,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, centroid_id ASC) AS rk
+  FROM d),
+cells AS (SELECT vec_id, centroid_id AS cell FROM rk WHERE rk = 1),
+pcells AS (
+  SELECT vec_id AS query_id, centroid_id AS pcell
+  FROM rk WHERE vec_id < $NumProbes AND rk <= $NumProbeCells),
+scored AS (
+  SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * m.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(m.nrm AS DOUBLE))) AS cosine
+  FROM n p
+  JOIN pcells pc ON pc.query_id = p.vec_id
+  JOIN cells cl ON cl.cell = pc.pcell
+  JOIN n m ON m.vec_id = cl.vec_id AND m.vec_id <> p.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
+"""
+
   /** Random-hyperplane LSH bucketing (8 sign bits against fixed reference
     * vectors = the first 8 corpus vectors): bucket histogram — the blocking
     * structure a 100 TB near-dup/ANN pass would shard by. Deterministic;
@@ -333,6 +431,7 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
   val queries: Map[String, QueryDef] = Map(
     "ann_brute_topk" -> QueryDef(bruteForceTopK, Some(bruteForceOracle)),
     "ann_ivf_label" -> QueryDef(ivfTopK, Some(ivfOracle)),
+    "ann_ivf_multiprobe" -> QueryDef(ivfMultiprobe, Some(ivfMultiprobeOracle)),
     "ann_lsh_buckets" -> QueryDef(lshBuckets, Some(lshBucketsOracle)),
     "ann_lsh_topk" -> QueryDef(lshTopK, Some(lshTopKOracle)),
     "ann_lsh_recall" -> QueryDef(lshRecall, Some(lshRecallOracle))
