@@ -227,6 +227,30 @@ class PlanSpec extends SparkSpec {
       "disjunction must not degrade the join to a nested loop")
   }
 
+  test("dim-filtered join prunes fact partitions dynamically (DPP)") {
+    // Dynamic partition pruning: the partition filter on the fact scan is
+    // not known until the dimension side is evaluated at runtime — the
+    // 100 TB join posture for a date/tenant-partitioned fact table. Pin
+    // that a plain equi-join on the partition column gets the
+    // dynamicpruning subquery with zero engine-code changes.
+    val root = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    Registry.table(spark, sfDir, "orders")
+      .write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+    val s = spark.newSession()
+    val fact = s.read.parquet(root)
+    val dim = Registry.table(s, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"),
+        concat(lit(""), when(col("c_custkey") % 5 === 0, "1-URGENT")
+          .otherwise("5-LOW")).as("p"))
+    val j = fact.join(dim, fact("o_orderpriority") === dim("p"))
+      .groupBy("p").agg(count(lit(1)).as("n"))
+    j.collect()
+    val pre = j.queryExecution.sparkPlan.toString
+    assert(pre.contains("dynamicpruning") || pre.contains("DynamicPruning"),
+      s"no dynamic partition pruning on the fact scan:\n${pre.take(2000)}")
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val root = java.nio.file.Files.createTempDirectory("partitioned").toString
     Registry.events(spark, sfDir)
