@@ -149,9 +149,105 @@ SELECT source, (cum - n_tokens) // 4096 AS bin,
 FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+  /** SCD2 (slowly-changing-dimension type 2) build: collapse each
+    * customer's order-priority timeline into versioned validity ranges —
+    * keep only change points (lag ≠ current), then close each version with
+    * the next change's date (`valid_to` null = current). Two stacked
+    * windows over the same (custkey → date) partitioning, so Catalyst
+    * plans ONE hash exchange for both; the classic warehouse op for
+    * history tables, expressed with zero custom code.
+    */
+  def scd2PriorityHistory(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("o_custkey")
+      .orderBy(col("valid_from"), col("o_orderkey"))
+    val o = Registry.table(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderpriority").as("priority"),
+      col("o_orderdate").cast("date").as("valid_from"), col("o_orderkey"))
+    val changes = o
+      .withColumn("prev", lag("priority", 1).over(byTime))
+      .filter(col("prev").isNull || col("prev") =!= col("priority"))
+    changes
+      .withColumn("valid_to", lead("valid_from", 1).over(byTime))
+      .withColumn("version", row_number().over(byTime))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("o_custkey", "version", "priority", "valid_from", "valid_to",
+        "is_current")
+      .orderBy("o_custkey", "version")
+  }
+
+  private val scd2Oracle = """
+WITH o AS (
+  SELECT o_custkey, o_orderpriority AS priority,
+    CAST(o_orderdate AS DATE) AS valid_from, o_orderkey
+  FROM orders),
+chg AS (
+  SELECT *, lag(priority) OVER (PARTITION BY o_custkey
+                                ORDER BY valid_from, o_orderkey) AS prev
+  FROM o),
+v AS (SELECT * FROM chg WHERE prev IS NULL OR prev <> priority)
+SELECT o_custkey,
+  CAST(row_number() OVER w AS INT) AS version,
+  priority, valid_from,
+  lead(valid_from) OVER w AS valid_to,
+  lead(valid_from) OVER w IS NULL AS is_current
+FROM v
+WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+ORDER BY o_custkey, version
+"""
+
+  /** Sequential conversion funnel over the event stream: users with a
+    * view, then a click strictly after their first view, then a purchase
+    * strictly after that click — each stage is a min-timestamp aggregate
+    * semi-joined into the next (the relational form of funnel analysis; a
+    * streaming deployment runs the same logic in
+    * [[graft.streaming.EventStream]]'s stateful shape). Stage counts only
+    * in the output — cross-engine timestamp round-trips are the
+    * cookbook's no-go.
+    */
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val e = Registry.events(s, dir).select("user_id", "event_type", "ts")
+    val view = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val click = e.filter(col("event_type") === "click")
+      .join(view, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val purchase = e.filter(col("event_type") === "purchase")
+      .join(click, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    view.agg(count(lit(1)).as("users")).withColumn("stage", lit("1_view"))
+      .unionByName(click.agg(count(lit(1)).as("users"))
+        .withColumn("stage", lit("2_click_after_view")))
+      .unionByName(purchase.agg(count(lit(1)).as("users"))
+        .withColumn("stage", lit("3_purchase_after_click")))
+      .select("stage", "users")
+      .orderBy("stage")
+  }
+
+  private val funnelOracle = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+ORDER BY stage
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "heavy_hitter_tokens" -> QueryDef(heavyHitters, Some(heavyHittersOracle)),
     "cdc_snapshot_diff" -> QueryDef(cdcSnapshotDiff, Some(cdcSnapshotDiffOracle)),
-    "pack_sequences_4k" -> QueryDef(packSequences, Some(packSequencesOracle))
+    "pack_sequences_4k" -> QueryDef(packSequences, Some(packSequencesOracle)),
+    "scd2_priority_history" -> QueryDef(scd2PriorityHistory, Some(scd2Oracle)),
+    "funnel_conversion" -> QueryDef(funnelConversion, Some(funnelOracle))
   )
 }
