@@ -22,13 +22,5 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // AQE-time broadcast decisions use OBSERVED stage sizes, so a higher
-      // runtime threshold is safe where the static 10MB default must stay
-      // conservative: with executors sized in the tens of GiB, shipping a
-      // ≤64MB build side beats shuffling a fact table every time. The
-      // static threshold stays at Spark's default — plans that must
-      // shuffle at 100 TB still shuffle; AQE only flips joins whose build
-      // side MEASURED small at runtime.
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 }
