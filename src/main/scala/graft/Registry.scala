@@ -36,7 +36,8 @@ object Registry {
     ops.ChunkingOps.queries,
     ops.PipelineOps.queries,
     ops.QualityOps.queries,
-    ops.SearchOps.queries
+    ops.SearchOps.queries,
+    ops.LayoutOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

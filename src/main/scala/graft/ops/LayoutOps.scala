@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering for multi-dimension
+  * data skipping. A 100 TB fact table sorted by one key gives min/max file
+  * stats that prune on THAT key only; interleaving the bits of two keys
+  * makes every file's bounding box small in BOTH dimensions, so parquet
+  * row-group stats (or a format's file-level stats) prune on either
+  * predicate. The reference has a manual single-dim layout (one S3 prefix
+  * per date, `xetra/common/s3.py:52-63`); this generalizes it.
+  *
+  * The z-value is exact integer bit-interleaving — deterministic,
+  * oracle-checkable, codegen-friendly (a fixed 32-term bitwise expression
+  * tree, no UDF).
+  */
+object LayoutOps {
+
+  private val Bits = 16 // 16 bits per dimension → z fits comfortably in long
+
+  /** Morton interleave of the low [[Bits]] bits of two non-negative longs:
+    * bit k of `a` lands at 2k, bit k of `b` at 2k+1. The terms set disjoint
+    * bits, so OR-reduce is exact; the whole thing is one codegen'd integer
+    * expression.
+    */
+  def zValue(a: Column, b: Column): Column =
+    (0 until Bits).map { k =>
+      shiftleft(shiftright(a, k).bitwiseAND(lit(1L)), 2 * k)
+        .bitwiseOR(shiftleft(shiftright(b, k).bitwiseAND(lit(1L)), 2 * k + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** The matching DuckDB/ANSI expression for [[zValue]] — generated from
+    * the same term list so the two engines cannot drift.
+    */
+  def zValueSql(a: String, b: String): String =
+    (0 until Bits).flatMap { k =>
+      Seq(s"(((($a) >> $k) & 1) << ${2 * k})",
+        s"(((($b) >> $k) & 1) << ${2 * k + 1})")
+    }.mkString(" | ")
+
+  /** Write `df` clustered by the z-value of (a, b) into `n` files: range
+    * partition on z so files tile the curve, sort within each so row
+    * groups tile it too. This is the layout job a table-maintenance
+    * (compaction/OPTIMIZE ZORDER) pass runs at scale.
+    *
+    * Each dimension is min/max-normalized onto the full 16-bit grid before
+    * interleaving — raw interleave of mismatched-width keys degenerates to
+    * a single-key sort (the wider key owns every high bit of z; caught by
+    * `LayoutSpec`). The min/max pre-pass is one 1-row aggregate; a 100 TB
+    * deployment samples or uses table stats instead.
+    */
+  def writeZOrdered(df: DataFrame, outDir: String, n: Int,
+      a: Column, b: Column): Unit = {
+    val r = df.agg(min(a).cast("long"), max(a).cast("long"),
+      min(b).cast("long"), max(b).cast("long")).head()
+    val (amin, amax, bmin, bmax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      ((c.cast("long") - lit(lo)) * lit(65535L)) / lit(math.max(1L, hi - lo))
+    df.withColumn("_z",
+        zValue(norm(a, amin, amax).cast("long"), norm(b, bmin, bmax).cast("long")))
+      .repartitionByRange(n, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Z-bucket profile of orders over (custkey, order day): per z-bucket
+    * row count and the bounding box in both dimensions — the clustering
+    * quality metric a layout job reports (small boxes in BOTH dims =
+    * skippable files). Buckets = top 12 z bits, i.e. the file boundary a
+    * 4096-file layout would use.
+    */
+  def zorderStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Registry.table(s, dir, "orders").select(
+      col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long").as("day"))
+    val a = col("o_custkey").bitwiseAND(lit(65535L))
+    val b = col("day").bitwiseAND(lit(65535L))
+    o.withColumn("z", zValue(a, b))
+      .groupBy(shiftright(col("z"), 20).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        min("day").as("min_day"), max("day").as("max_day"))
+      .orderBy("z_bucket")
+  }
+
+  private val zorderStatsOracle = s"""
+WITH o AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+  FROM orders),
+z AS (
+  SELECT o_custkey, day,
+    ${zValueSql("o_custkey & 65535", "day & 65535")} AS z
+  FROM o)
+SELECT CAST(z >> 20 AS BIGINT) AS z_bucket,
+  count(*) AS n,
+  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+  min(day) AS min_day, max(day) AS max_day
+FROM z GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "zorder_layout_stats" -> QueryDef(zorderStats, Some(zorderStatsOracle))
+  )
+}
