@@ -1,0 +1,407 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Time-series / trading analytics over the `events` ticks — the natural
+  * extension family of the reference's domain: its whole purpose is the
+  * daily OHLCV bar (`/root/reference/xetra/transformers/xetra_transformer.py:127-208`,
+  * W1/W2/A1 in SURVEY.md §2), and these are the indicators a trading desk
+  * computes *from* those bars (VWAP, rolling volatility, Bollinger bands,
+  * drawdown, RSI, EWMA, calendar gap-fill).
+  *
+  * Numeric posture (cross-engine hash-equality): every rolling statistic is
+  * derived from EXACT integer state — prices quantized to cents (longs),
+  * window sums of longs (order-free, algorithm-free: a segment-tree sliding
+  * sum and a naive recompute agree exactly on integers) — and only the final
+  * step combines them in IEEE double arithmetic (one division, one sqrt).
+  * Built-in floating `stddev`/`avg` over sliding frames would hash-diverge
+  * between engines; exact power sums cannot.
+  *
+  * Scale posture: one partial-aggregated shuffle builds the daily bars
+  * (events collapse map-side per (user, day) before moving), then every
+  * indicator is a window over `user_id` — a single repartition by key that
+  * AQE coalesces, with all rolling state bounded by the frame (7/10/14
+  * rows), never O(history). At 100 TB the bars relation is ~5 orders of
+  * magnitude smaller than the tick table; the indicator stage is trivially
+  * cheap compared to the scan.
+  */
+object TimeSeriesOps {
+
+  /** Daily bars per (user, day): open/close via `min_by`/`max_by` on the
+    * event time (the engine form of the reference's sort+first/last windows
+    * W1/W2), high/low/volume as plain aggregates. `(user_id, ts)` is
+    * tie-free in the testdata, so arg-min/max are deterministic.
+    */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    Registry.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("value"),
+        from_json(col("props"), StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("user_id", "day")
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max_by(col("value"), col("ts")).as("close"),
+        max("value").as("hi"),
+        min("value").as("lo"),
+        sum("k").as("vol"),
+        count(lit(1)).as("n_trades"))
+
+  /** Shared oracle CTE mirroring [[daily]] (DuckDB `arg_min`/`arg_max` ==
+    * Spark `min_by`/`max_by` under tie-free ordering).
+    */
+  private val DailyCte = """
+daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+    arg_min(value, ts) AS open, arg_max(value, ts) AS close,
+    max(value) AS hi, min(value) AS lo,
+    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS vol,
+    count(*) AS n_trades
+  FROM events GROUP BY 1, 2)"""
+
+  /** Exact close price in cents (2-dp double → decimal grid → long). */
+  private val closeCents: Column =
+    (col("close").cast(DecimalType(25, 2)) * 100).cast("long")
+
+  private val CcSql = "CAST(CAST(close AS DECIMAL(25,2)) * 100 AS BIGINT)"
+
+  // ------------------------------------------------------------------ VWAP
+  /** Daily volume-weighted average price: Σ(price·qty)/Σqty per (user, day).
+    * The price·qty products stay on the 2-dp decimal grid (qty is integral),
+    * sum exactly, and the single IEEE division at the end is bit-identical
+    * in any engine. Zero total volume → null (ANSI division guard).
+    */
+  def vwapDaily(s: SparkSession, dir: String): DataFrame =
+    Registry.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"),
+        from_json(col("props"), StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("user_id", "day")
+      .agg(
+        dsum(col("value") * col("k"), 2).as("pv"),
+        sum("k").as("qty"),
+        count(lit(1)).as("n_trades"))
+      .select(col("user_id"), col("day"),
+        when(col("qty") =!= 0, col("pv") / col("qty")).as("vwap"),
+        col("qty"), col("n_trades"))
+      .orderBy("user_id", "day")
+
+  private val vwapDailyOracle = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT user_id, day,
+  CASE WHEN CAST(sum(k) AS BIGINT) <> 0
+    THEN CAST(sum(CAST(value * k AS DECIMAL(30,2))) AS DOUBLE)
+           / CAST(sum(k) AS BIGINT) END AS vwap,
+  CAST(sum(k) AS BIGINT) AS qty,
+  count(*) AS n_trades
+FROM e GROUP BY user_id, day ORDER BY user_id, day
+"""
+
+  // ------------------------------------------- rolling volatility (7 bars)
+  /** Trailing-7-bar volatility of daily close *changes* (in currency units):
+    * deltas in exact cents, windowed power sums on longs, sample stddev
+    * assembled in double at the end. Changes (not relative returns) keep
+    * every intermediate on the integer grid — a near-zero previous close
+    * would blow a quantized return ratio past the long range.
+    */
+  def rollingVolatility(s: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy("user_id").orderBy("day")
+    val w7 = wLag.rowsBetween(-6, 0)
+    daily(s, dir)
+      .withColumn("cc", closeCents)
+      .withColumn("delta", col("cc") - lag("cc", 1).over(wLag))
+      .select(col("user_id"), col("day"),
+        count("delta").over(w7).as("n_ret"),
+        sum("delta").over(w7).as("s1"),
+        sum(col("delta") * col("delta")).over(w7).as("s2"))
+      .select(col("user_id"), col("day"), col("n_ret"),
+        when(col("n_ret") >= 2,
+          sqrt((col("n_ret") * col("s2") - col("s1") * col("s1"))
+            .cast("double") / (col("n_ret") * (col("n_ret") - 1))) / 100)
+          .as("vol7"))
+      .orderBy("user_id", "day")
+  }
+
+  private val rollingVolatilityOracle = s"""
+WITH $DailyCte,
+d AS (SELECT user_id, day, $CcSql AS cc FROM daily),
+dd AS (
+  SELECT user_id, day,
+    cc - lag(cc) OVER (PARTITION BY user_id ORDER BY day) AS delta
+  FROM d),
+wnd AS (
+  SELECT user_id, day,
+    count(delta) OVER w AS n_ret,
+    CAST(sum(delta) OVER w AS BIGINT) AS s1,
+    CAST(sum(delta * delta) OVER w AS BIGINT) AS s2
+  FROM dd
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT user_id, day, n_ret,
+  CASE WHEN n_ret >= 2 THEN
+    sqrt(CAST(n_ret * s2 - s1 * s1 AS DOUBLE) / (n_ret * (n_ret - 1))) / 100
+  END AS vol7
+FROM wnd ORDER BY user_id, day
+"""
+
+  // ------------------------------------------------- Bollinger breakouts
+  /** 7-bar Bollinger bands (mean ± 2σ of close) and the days the close
+    * breaks out of them. Mean and σ come from exact cent power sums; the
+    * band comparison runs on bit-identical doubles, so the breakout set
+    * cannot flap between engines. Full windows only (n = 7) — early bars
+    * have no meaningful band.
+    */
+  def bollingerBreakout(s: SparkSession, dir: String): DataFrame = {
+    val w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    daily(s, dir)
+      .withColumn("cc", closeCents)
+      .select(col("user_id"), col("day"), col("close"),
+        count("cc").over(w7).as("n"),
+        sum("cc").over(w7).as("s1"),
+        sum(col("cc") * col("cc")).over(w7).as("s2"))
+      .filter(col("n") === 7)
+      .withColumn("mean7", col("s1").cast("double") / (col("n") * 100))
+      .withColumn("sig7",
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n") * (col("n") - 1))) / 100)
+      .filter(col("close") > col("mean7") + 2 * col("sig7") ||
+        col("close") < col("mean7") - 2 * col("sig7"))
+      .select(col("user_id"), col("day"), col("close"), col("mean7"),
+        col("sig7"),
+        when(col("close") > col("mean7") + 2 * col("sig7"), "up")
+          .otherwise("down").as("dir"))
+      .orderBy("user_id", "day")
+  }
+
+  private val bollingerBreakoutOracle = s"""
+WITH $DailyCte,
+d AS (SELECT user_id, day, close, $CcSql AS cc FROM daily),
+wnd AS (
+  SELECT user_id, day, close,
+    count(cc) OVER w AS n,
+    CAST(sum(cc) OVER w AS BIGINT) AS s1,
+    CAST(sum(cc * cc) OVER w AS BIGINT) AS s2
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+bands AS (
+  SELECT user_id, day, close,
+    CAST(s1 AS DOUBLE) / (n * 100) AS mean7,
+    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))) / 100 AS sig7
+  FROM wnd WHERE n = 7)
+SELECT user_id, day, close, mean7, sig7,
+  CASE WHEN close > mean7 + 2 * sig7 THEN 'up' ELSE 'down' END AS dir
+FROM bands
+WHERE close > mean7 + 2 * sig7 OR close < mean7 - 2 * sig7
+ORDER BY user_id, day
+"""
+
+  // ------------------------------------------------------- max drawdown
+  /** Worst peak-to-trough drawdown per user: running max of close (exact
+    * cents), drawdown quantized to 1e-4 % (floor of one IEEE division of
+    * exact longs — identical everywhere), argmin by (drawdown, day). The
+    * running max is an unbounded-preceding frame — O(1) state per row at
+    * any history length.
+    */
+  def maxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val wRun = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = daily(s, dir)
+      .withColumn("cc", closeCents)
+      .withColumn("runmax", max("cc").over(wRun))
+      .withColumn("ddq",
+        when(col("runmax") > 0,
+          floor((col("cc") - col("runmax")) * 1000000 / col("runmax"))
+            .cast("long")))
+      .filter(col("ddq").isNotNull)
+    val pick = Window.partitionBy("user_id")
+      .orderBy(col("ddq").asc, col("day").asc)
+    dd.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day").as("trough_day"), col("ddq"),
+        (col("ddq").cast("double") / 10000).as("drawdown_pct"))
+      .orderBy("user_id")
+  }
+
+  private val maxDrawdownOracle = s"""
+WITH $DailyCte,
+d AS (SELECT user_id, day, $CcSql AS cc FROM daily),
+run AS (
+  SELECT user_id, day, cc,
+    max(cc) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+  FROM d),
+q AS (
+  SELECT user_id, day,
+    CAST(floor((cc - runmax) * 1000000 / runmax) AS BIGINT) AS ddq
+  FROM run WHERE runmax > 0),
+pick AS (
+  SELECT user_id, day, ddq,
+    row_number() OVER (PARTITION BY user_id ORDER BY ddq ASC, day ASC) AS rn
+  FROM q)
+SELECT user_id, day AS trough_day, ddq,
+  CAST(ddq AS DOUBLE) / 10000 AS drawdown_pct
+FROM pick WHERE rn = 1 ORDER BY user_id
+"""
+
+  // ---------------------------------------------------------------- RSI-14
+  /** 14-bar RSI in its division-safe form: RSI = 100·Σgain/(Σgain+Σloss).
+    * Gains/losses are exact cent longs, the windowed sums are exact, and
+    * the single division (instead of the textbook RS = avgGain/avgLoss
+    * nested form) keeps the result one IEEE op from integers. Flat
+    * 14-bar stretches (Σgain+Σloss = 0) → null.
+    */
+  def rsi14(s: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy("user_id").orderBy("day")
+    val w14 = wLag.rowsBetween(-13, 0)
+    daily(s, dir)
+      .withColumn("cc", closeCents)
+      .withColumn("delta", col("cc") - lag("cc", 1).over(wLag))
+      .withColumn("gain", greatest(col("delta"), lit(0L)))
+      .withColumn("loss", greatest(-col("delta"), lit(0L)))
+      .select(col("user_id"), col("day"),
+        count("delta").over(w14).as("n_ret"),
+        sum("gain").over(w14).as("sg"),
+        sum("loss").over(w14).as("sl"))
+      .filter(col("n_ret") === 14)
+      .select(col("user_id"), col("day"), col("sg"), col("sl"),
+        when(col("sg") + col("sl") > 0,
+          col("sg").cast("double") * 100 / (col("sg") + col("sl")))
+          .as("rsi14"))
+      .orderBy("user_id", "day")
+  }
+
+  private val rsi14Oracle = s"""
+WITH $DailyCte,
+d AS (SELECT user_id, day, $CcSql AS cc FROM daily),
+dd AS (
+  SELECT user_id, day,
+    cc - lag(cc) OVER (PARTITION BY user_id ORDER BY day) AS delta
+  FROM d),
+gl AS (
+  SELECT user_id, day, delta,
+    greatest(delta, 0) AS gain, greatest(-delta, 0) AS loss
+  FROM dd),
+wnd AS (
+  SELECT user_id, day,
+    count(delta) OVER w AS n_ret,
+    CAST(sum(gain) OVER w AS BIGINT) AS sg,
+    CAST(sum(loss) OVER w AS BIGINT) AS sl
+  FROM gl
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT user_id, day, sg, sl,
+  CASE WHEN sg + sl > 0 THEN CAST(sg AS DOUBLE) * 100 / (sg + sl) END AS rsi14
+FROM wnd WHERE n_ret = 14 ORDER BY user_id, day
+"""
+
+  // ------------------------------------------------------------- EWMA(10)
+  /** 10-bar exponentially weighted moving average with α = 1/2, computed as
+    * an exact rational: integer weights 2⁹…2⁰ on the last 10 closes in
+    * cents, one final division by the weight mass actually present. A lag
+    * chain (not collect_list + a per-element lambda) keeps the whole thing
+    * inside one window pass and whole-stage codegen.
+    */
+  def ewma10(s: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy("user_id").orderBy("day")
+    val lags: Seq[Column] = (0 until 10).map { i =>
+      if (i == 0) col("cc") else lag("cc", i).over(wLag)
+    }
+    val weights: Seq[Long] = (0 until 10).map(i => 1L << (9 - i))
+    val num = lags.zip(weights).map { case (l, w) =>
+      coalesce(l, lit(0L)) * lit(w)
+    }.reduce(_ + _)
+    val den = lags.zip(weights).map { case (l, w) =>
+      when(l.isNull, 0L).otherwise(w)
+    }.reduce(_ + _)
+    daily(s, dir)
+      .withColumn("cc", closeCents)
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .select(col("user_id"), col("day"),
+        (col("num").cast("double") / (col("den") * 100)).as("ewma10"))
+      .orderBy("user_id", "day")
+  }
+
+  private val ewma10Oracle = {
+    val lagTerm = (i: Int) =>
+      if (i == 0) "cc"
+      else s"lag(cc, $i) OVER (PARTITION BY user_id ORDER BY day)"
+    val num = (0 until 10)
+      .map(i => s"coalesce(${lagTerm(i)}, 0) * ${1L << (9 - i)}")
+      .mkString(" + ")
+    val den = (0 until 10)
+      .map(i =>
+        s"CASE WHEN ${lagTerm(i)} IS NULL THEN 0 ELSE ${1L << (9 - i)} END")
+      .mkString(" + ")
+    s"""
+WITH $DailyCte,
+d AS (SELECT user_id, day, $CcSql AS cc FROM daily),
+w AS (SELECT user_id, day, $num AS num, $den AS den FROM d)
+SELECT user_id, day, CAST(num AS DOUBLE) / (den * 100) AS ewma10
+FROM w ORDER BY user_id, day
+"""
+  }
+
+  // ------------------------------------------- calendar resample + ffill
+  /** Upsample each user's bars onto their full trading calendar (date spine
+    * via `sequence` + explode) and forward-fill missing closes with the
+    * last observed value (`last(..., ignoreNulls)` over an
+    * unbounded-preceding frame). The reference's watermark logic walks a
+    * driver-side date range for the same reason (`meta_process.py:86-98`);
+    * this is the relational, per-key form. The spine is generated from a
+    * 2-column aggregate — at 100 TB the explode output is |users|·|days|,
+    * independent of tick count.
+    */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir).select("user_id", "day", "close")
+    val spine = d.groupBy("user_id")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(d, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last("close", ignoreNulls = true).over(w).as("close_ffill"),
+        col("close").isNull.cast("long").as("was_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  private val resampleFfillOracle = s"""
+WITH $DailyCte,
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        FROM daily GROUP BY user_id)),
+j AS (
+  SELECT s.user_id, s.day, d.close
+  FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day)
+SELECT user_id, day,
+  last_value(close IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+  CAST(close IS NULL AS BIGINT) AS was_gap
+FROM j ORDER BY user_id, day
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "ts_vwap_daily" -> QueryDef(vwapDaily, Some(vwapDailyOracle)),
+    "ts_rolling_volatility" ->
+      QueryDef(rollingVolatility, Some(rollingVolatilityOracle)),
+    "ts_bollinger_breakout" ->
+      QueryDef(bollingerBreakout, Some(bollingerBreakoutOracle)),
+    "ts_max_drawdown" -> QueryDef(maxDrawdown, Some(maxDrawdownOracle)),
+    "ts_rsi14" -> QueryDef(rsi14, Some(rsi14Oracle)),
+    "ts_ewma10" -> QueryDef(ewma10, Some(ewma10Oracle)),
+    "ts_resample_ffill" -> QueryDef(resampleFfill, Some(resampleFfillOracle))
+  )
+}
