@@ -37,7 +37,9 @@ object Registry {
     ops.PipelineOps.queries,
     ops.QualityOps.queries,
     ops.SearchOps.queries,
-    ops.LayoutOps.queries
+    ops.LayoutOps.queries,
+    ops.TimeSeriesOps.queries,
+    ops.PartSuppOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -67,11 +67,18 @@ case class DeterministicMode(
         case (k, n) => (-n, k)
       })._1)
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF throws
+  // UTFDataFormatException past 64 KiB and long keys are legal here
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (k, n) => out.writeUTF(k); out.writeLong(n) }
+    buf.foreach { case (k, n) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(n)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -81,7 +88,13 @@ case class DeterministicMode(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(
+        new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

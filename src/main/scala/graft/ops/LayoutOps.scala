@@ -57,8 +57,12 @@ object LayoutOps {
       min(b).cast("long"), max(b).cast("long")).head()
     val (amin, amax, bmin, bmax) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // scale in double then clamp: (c - lo) * 65535 in long arithmetic
+    // overflows for key ranges wider than ~2^47 and scrambles the curve
     def norm(c: Column, lo: Long, hi: Long): Column =
-      ((c.cast("long") - lit(lo)) * lit(65535L)) / lit(math.max(1L, hi - lo))
+      least(lit(65535L), greatest(lit(0L),
+        ((c.cast("long") - lit(lo)).cast("double")
+          * (65535.0 / math.max(1L, hi - lo).toDouble)).cast("long")))
     df.withColumn("_z",
         zValue(norm(a, amin, amax).cast("long"), norm(b, bmin, bmax).cast("long")))
       .repartitionByRange(n, col("_z"))

@@ -25,41 +25,55 @@ object StatsOps {
     */
   def moments(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
+    // integer cent grid: every power sum is integral, so the final
+    // decimal(30,0)→double cast is ONE correctly-rounded conversion in both
+    // engines. Summing decimal(30,2/4) instead leaves DuckDB's int128/10^s
+    // double-rounding a ULP off Spark's BigDecimal.doubleValue (seen at
+    // sf0.001 on corr/stddev).
+    val pc = (col("l_extendedprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val q = col("l_quantity").cast("long")
     val n = count(lit(1)).cast("double")
-    val sx = dsum(col("l_quantity"), 0)
-    val sxx = dsum(col("l_quantity") * col("l_quantity"), 0)
-    val sy = dsum(col("l_extendedprice"), 2)
-    val syy = dsum(col("l_extendedprice") * col("l_extendedprice"), 4)
-    val sxy = dsum(col("l_quantity") * col("l_extendedprice"), 2)
+    val sx = dsum(q, 0)
+    val sxx = dsum(q * q, 0)
+    val syc = dsum(pc, 0)
+    val syyc = dsum(pc * pc, 0)
+    val sxyc = dsum(q * pc, 0)
     li.groupBy("l_returnflag")
       .agg(
         n.cast("long").as("n"),
         (sx / n).as("mean_qty"),
         ((sxx - sx * sx / n) / (n - 1)).as("var_qty"),
-        sqrt((syy - sy * sy / n) / (n - 1)).as("stddev_price"),
-        ((n * sxy - sx * sy) /
-          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+        (sqrt((syyc - syc * syc / n) / (n - 1)) / 100).as("stddev_price"),
+        ((n * sxyc - sx * syc) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syyc - syc * syc)))
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 
   private val momentsOracle = """
-WITH sums AS (
+WITH cents AS (
+  SELECT l_returnflag,
+    CAST(l_quantity AS BIGINT) AS q,
+    CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS pc
+  FROM lineitem),
+sums AS (
   SELECT l_returnflag,
     CAST(count(*) AS DOUBLE) AS n,
-    CAST(sum(CAST(l_quantity AS DECIMAL(30,0))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy
-  FROM lineitem GROUP BY l_returnflag)
+    CAST(sum(CAST(q AS DECIMAL(30,0))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(q * q AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(pc AS DECIMAL(30,0))) AS DOUBLE) AS syc,
+    CAST(sum(CAST(pc * pc AS DECIMAL(30,0))) AS DOUBLE) AS syyc,
+    CAST(sum(CAST(q * pc AS DECIMAL(30,0))) AS DOUBLE) AS sxyc
+  FROM cents GROUP BY l_returnflag)
 SELECT l_returnflag,
   CAST(n AS BIGINT) AS n,
   sx / n AS mean_qty,
   (sxx - sx * sx / n) / (n - 1) AS var_qty,
-  sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_price,
-  (n * sxy - sx * sy)
-    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+  sqrt((syyc - syc * syc / n) / (n - 1)) / 100 AS stddev_price,
+  (n * sxyc - sx * syc)
+    / (sqrt(n * sxx - sx * sx) * sqrt(n * syyc - syc * syc)) AS corr_qty_price
 FROM sums ORDER BY l_returnflag
 """
 

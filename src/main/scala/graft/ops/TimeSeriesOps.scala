@@ -171,11 +171,11 @@ FROM wnd ORDER BY user_id, day
       .withColumn("sig7",
         sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")
           / (col("n") * (col("n") - 1))) / 100)
-      .filter(col("close") > col("mean7") + 2 * col("sig7") ||
-        col("close") < col("mean7") - 2 * col("sig7"))
+      .filter(col("close") > col("mean7") + col("sig7") * 2 ||
+        col("close") < col("mean7") - col("sig7") * 2)
       .select(col("user_id"), col("day"), col("close"), col("mean7"),
         col("sig7"),
-        when(col("close") > col("mean7") + 2 * col("sig7"), "up")
+        when(col("close") > col("mean7") + col("sig7") * 2, "up")
           .otherwise("down").as("dir"))
       .orderBy("user_id", "day")
   }

@@ -154,8 +154,9 @@ ORDER BY revenue DESC, n_name
       .join(broadcast(n1), su("s_nationkey") === col("n1.n_nationkey"))
       .join(broadcast(n2), c("c_nationkey") === col("n2.n_nationkey"))
       .filter(
-        (col("n1.n_name") === "NATION_1" && col("n2.n_name") === "NATION_2") ||
-        (col("n1.n_name") === "NATION_2" && col("n2.n_name") === "NATION_1"))
+        // pair chosen to be non-empty at every bundled SF (incl. sf0.001)
+        (col("n1.n_name") === "NATION_13" && col("n2.n_name") === "NATION_19") ||
+        (col("n1.n_name") === "NATION_19" && col("n2.n_name") === "NATION_13"))
       .groupBy(col("n1.n_name").as("supp_nation"), col("n2.n_name").as("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
@@ -172,8 +173,8 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+WHERE (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13')
 GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 ORDER BY supp_nation, cust_nation, l_year
 """
@@ -592,14 +593,20 @@ ORDER BY s_name
     // self-joins scanning lineitem thrice (≈2× faster at bench SF, and at
     // 100 TB the saving is two full fact-table shuffles). The oracle keeps
     // the EXISTS form, so hash-equality PROVES the rewrite.
+    //
+    // collect_set, NOT countDistinct: two multi-column countDistincts plan
+    // as Expand (3× the shuffle rows) + a second exchange on
+    // (l_orderkey, l_suppkey, gid). Suppliers-per-order is tiny and bounded
+    // (TPC-H ≈7 lines/order), so per-order sets keep partial aggregation
+    // and the plan at exactly one fact exchange (pinned in PlanSpec).
     val perOrder = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .withColumn("is_late",
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .cast("int"))
       .groupBy("l_orderkey")
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late") === 1, col("l_suppkey")))
+        size(collect_set(col("l_suppkey"))).as("n_supp"),
+        size(collect_set(when(col("is_late") === 1, col("l_suppkey"))))
           .as("n_late_supp"),
         sum(col("is_late")).as("late_lines"),
         max(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"))

@@ -269,4 +269,36 @@ class PlanSpec extends SparkSpec {
         .map(m => s"files read: ${m.value}").getOrElse(""))
     scanned.foreach(m => assert(m.group(1).toInt <= 2))
   }
+
+  test("q21 one-pass rewrite: exactly one fact exchange on l_orderkey, dims broadcast") {
+    val plan = executedPlan(ops.TpchShapes.q21WaitingSuppliers(spark, sfDir))
+    // the whole EXISTS/NOT-EXISTS answer comes from ONE grouped pass:
+    // a single hashpartitioning(l_orderkey) exchange carries all fact data
+    val factExchanges =
+      "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(plan).size
+    assert(factExchanges == 1,
+      s"expected exactly 1 l_orderkey exchange, found $factExchanges:\n${plan.take(3000)}")
+    // no Expand: countDistinct's gid-expansion (3x shuffle volume) must not
+    // come back
+    assert(!plan.contains("Expand"), "countDistinct Expand regressed the plan")
+    // orders/supplier/nation all broadcast; no extra fact shuffle families
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      "orders filter + supplier + nation should all broadcast")
+    assert(!plan.contains("SortMergeJoin"), "fact-side SMJ regressed q21")
+  }
+
+  test("bm25: broadcast 1-row stats, map-only scoring, TakeOrdered top-k") {
+    val plan = executedPlan(ops.SearchOps.bm25TopK(spark, sfDir))
+    // corpus stats join the per-doc stream as a broadcast (1 row) — never a
+    // shuffle of document data
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "stats not broadcast")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "document data shuffled — scoring must stay map-only")
+    // top-k is TakeOrdered (per-partition heaps + driver merge), not a
+    // global sort of every scored document
+    assert(plan.contains("TakeOrderedAndProject"), "top-k lost TakeOrdered")
+    assert(!"(?m)^\\s*\\*?\\(?\\d*\\)? ?Sort ".r.findFirstIn(plan).isDefined,
+      "global sort appeared in bm25 plan")
+  }
 }

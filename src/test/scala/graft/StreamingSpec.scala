@@ -247,4 +247,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == expected)
   }
+
+  test("a session STRADDLING the micro-batch boundary is merged, not fragmented") {
+    import spark.implicits._
+    // handcrafted evidence for the open-tail carry: user 7's session has
+    // events on BOTH sides of the file split, within the 30-min gap. With
+    // flushOpenTails=false the tail from batch 0 must merge with batch 1's
+    // events and surface exactly once — closed by the far-future event.
+    def ev(id: Long, minutes: Long, user: Long): (Long, Long, Long, String, Double) =
+      (id, (1700000000L + minutes * 60) * 1000000000L, user, "click", 1.0)
+    val batch0 = Seq(ev(1, 0, 7), ev(2, 10, 7), // open tail at file end
+      ev(10, 0, 8), ev(11, 200, 8)) // user 8: closed + new tail in batch 0
+    val batch1 = Seq(ev(3, 20, 7), ev(4, 25, 7), // continue user 7's session
+      ev(5, 2000, 7)) // > gap later: closes it (stays open itself)
+    val staged = java.nio.file.Files.createTempDirectory("events_straddle")
+    Seq(batch0, batch1).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.parquet(s"$staged/b$i")
+      val f = new java.io.File(s"$staged/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$staged/b$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+      // leftover b$i dirs don't match the *.parquet glob below
+    }
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent]
+    val got = EventStream.runToMemory(spark,
+        EventStream.sessionize(stream, flushOpenTails = false).toDF(),
+        "stream_straddle",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("user_id", "session_start_epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user 7: ONE 4-event session (events 1,2 from batch 0 + 3,4 from
+    // batch 1, merged via carried state), emitted once; event 5 stays open.
+    // user 8: the 1-event session closed inside batch 0; event 11 stays open.
+    assert(got == Seq(
+      (7L, 1700000000L, 4L),
+      (8L, 1700000000L, 1L)))
+  }
 }
