@@ -317,7 +317,84 @@ HAVING count(*) >= 5
 ORDER BY test_id, train_id
 """
 
+  // ------------------------------------------------- boilerplate removal
+  private val SegLen = 3 // tokens per segment ("line" stand-in)
+  private val MinDocs = 5 // corpus document frequency to call it boilerplate
+
+  /** C4-style boilerplate removal: a segment ("line") that recurs across
+    * many DISTINCT documents is boilerplate (headers, footers, nav chrome,
+    * license blurbs) and is dropped from every document containing it. The
+    * corpus here has no newlines, so the "line" unit is each document's
+    * consecutive [[SegLen]]-token segment; the rule is the classic one —
+    * corpus document-frequency ≥ [[MinDocs]].
+    *
+    * Two passes, the canonical shape at 100 TB: pass 1 aggregates segment →
+    * document-frequency (shuffle is O(distinct segments), with map-side
+    * combine); the surviving boilerplate set is TINY (headers repeat, body
+    * text doesn't — ~0.3% of segments here) so pass 2 re-derives segments
+    * and marks them against the BROADCAST boilerplate set — the fact table
+    * is never shuffled by segment, and the per-doc rollup shuffles one row
+    * per segment on doc_id. Output is all-integer, so the oracle is exact.
+    */
+  def boilerplateRemoval(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    val seg = docs(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(transform(
+          sequence(lit(0),
+            ((size(col("toks")) + SegLen - 1) / SegLen).cast("int") - 1),
+          i => struct(
+            concat_ws(" ", slice(col("toks"), i * SegLen + 1, lit(SegLen)))
+              .as("seg"),
+            least(lit(SegLen), size(col("toks")) - i * SegLen)
+              .as("seg_toks")))).as("sg"))
+      .select(col("doc_id"), col("sg.seg").as("seg"),
+        col("sg.seg_toks").as("seg_toks"))
+    val boiler = seg.groupBy("seg")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= MinDocs)
+      .select(col("seg"), lit(1).as("is_boiler"))
+    seg.join(broadcast(boiler), Seq("seg"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L))
+          .as("n_boiler_seg"),
+        sum(when(col("is_boiler").isNull, col("seg_toks")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateOracle = s"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+  FROM documents),
+seg AS (
+  SELECT doc_id,
+    array_to_string(toks[i*$SegLen+1:i*$SegLen+$SegLen], ' ') AS seg,
+    least($SegLen, len(toks) - i*$SegLen) AS seg_toks
+  FROM tok, UNNEST(range((len(toks) + $SegLen - 1) // $SegLen)) AS u(i)
+  WHERE len(toks) > 0),
+boiler AS (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+  WHERE df >= $MinDocs)
+SELECT s.doc_id,
+  CAST(count(*) AS BIGINT) AS n_seg,
+  CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boiler_seg,
+  CAST(sum(CASE WHEN b.seg IS NULL THEN s.seg_toks ELSE 0 END) AS BIGINT)
+    AS kept_tokens
+FROM seg s LEFT JOIN boiler b ON s.seg = b.seg
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "text_boilerplate_removal" ->
+      QueryDef(boilerplateRemoval, Some(boilerplateOracle)),
     "text_repetition_ratio" ->
       QueryDef(repetitionRatio, Some(repetitionRatioOracle)),
     "text_decontamination" ->
