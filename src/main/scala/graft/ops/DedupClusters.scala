@@ -116,8 +116,10 @@ object DedupClusters {
       .orderBy("doc_id")
   }
 
-  private val clustersOracle = """
-WITH RECURSIVE pairs AS (
+  /** Shared oracle CTEs: transitive closure over the Jaccard pair graph →
+    * `cl(doc_id, cluster_rep)`.
+    */
+  private val ClusterCte = """RECURSIVE pairs AS (
   SELECT i, j FROM (
     WITH sh AS (
       SELECT doc_id,
@@ -139,12 +141,62 @@ edges AS (
 walk(node, reach) AS (
   SELECT i, i FROM edges
   UNION
-  SELECT w.node, e.j FROM walk w JOIN edges e ON e.i = w.reach)
-SELECT node AS doc_id, min(reach) AS cluster_rep
-FROM walk GROUP BY node ORDER BY doc_id
+  SELECT w.node, e.j FROM walk w JOIN edges e ON e.i = w.reach),
+cl AS (
+  SELECT node AS doc_id, min(reach) AS cluster_rep
+  FROM walk GROUP BY node)"""
+
+  private val clustersOracle = s"""
+WITH $ClusterCte
+SELECT doc_id, cluster_rep FROM cl ORDER BY doc_id
+"""
+
+  /** The dedup ACTION the clusters exist for: per cluster keep ONE
+    * canonical document (longest text, ties to the smallest doc_id), mark
+    * the rest for removal; documents in no cluster are trivially canonical.
+    *
+    * Scale posture: the cluster map is pair-set-bounded (tiny next to the
+    * corpus), so it joins the corpus as a BROADCAST — once inner (the
+    * clustered few get ranked in a window over the tiny clustered subset),
+    * once anti (everyone else passes through untouched). The corpus is
+    * never shuffled; the window never sees more rows than the pair set
+    * touches.
+    */
+  def canonicalPick(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters(s, dir)
+    val d = Registry.table(s, dir, "documents").select("doc_id", "n_chars")
+    val ranked = d.join(broadcast(cl), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_rep")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("cluster_rep"),
+        when(col("rn") === 1, 1L).otherwise(0L).as("is_canonical"))
+    val unclustered = d
+      .join(broadcast(cl.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_rep"),
+        lit(1L).as("is_canonical"))
+    ranked.unionByName(unclustered).orderBy("doc_id")
+  }
+
+  private val canonicalOracle = s"""
+WITH $ClusterCte,
+ranked AS (
+  SELECT d.doc_id, cl.cluster_rep,
+    CASE WHEN row_number() OVER (PARTITION BY cl.cluster_rep
+                                 ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
+         THEN 1 ELSE 0 END AS is_canonical
+  FROM documents d JOIN cl ON d.doc_id = cl.doc_id),
+un AS (
+  SELECT doc_id, doc_id AS cluster_rep, 1 AS is_canonical
+  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cl))
+SELECT doc_id, cluster_rep, CAST(is_canonical AS BIGINT) AS is_canonical
+FROM (SELECT * FROM ranked UNION ALL SELECT * FROM un)
+ORDER BY doc_id
 """
 
   val queries: Map[String, QueryDef] = Map(
-    "dedup_clusters" -> QueryDef(clusters, Some(clustersOracle))
+    "dedup_clusters" -> QueryDef(clusters, Some(clustersOracle)),
+    "dedup_canonical_pick" -> QueryDef(canonicalPick, Some(canonicalOracle))
   )
 }

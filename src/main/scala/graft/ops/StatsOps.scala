@@ -314,7 +314,62 @@ FROM t JOIN r ON r.o_orderstatus = t.o_orderstatus AND r.rn = 1
 ORDER BY t.o_orderstatus
 """
 
+  /** Exact per-group quantiles by HISTOGRAM SELECTION — the distributed
+    * form of exact quantiles for 100 TB: `percentile`/`quantile_cont`
+    * build per-group value maps on single reducers (state = O(distinct
+    * values in the group), all on one task); here the value histogram
+    * `(group, value¢) → count` is a map-side-combined aggregate spread
+    * over the cluster, and only the cumulative-count walk — one row per
+    * DISTINCT value, not per input row — runs in a per-group window. The
+    * p-th quantile (lower/`quantile_disc` semantics) is the smallest value
+    * whose cumulative count reaches `ceil(p·n)`. Money stays integer cents
+    * end to end, so the result is hash-exact.
+    */
+  def quantilesHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val hist = table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), cents.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("o_orderpriority").orderBy("v")
+    val wAll = Window.partitionBy("o_orderpriority")
+    def pick(p: Double): Column =
+      min(when(col("cum") >= ceil(col("n") * p), col("v")))
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("o_orderpriority")
+      .agg(max("n").as("n"),
+        pick(0.5).as("p50_cents"),
+        pick(0.9).as("p90_cents"),
+        pick(0.99).as("p99_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val quantilesHistogramOracle = """
+WITH hist AS (
+  SELECT o_orderpriority,
+    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+    count(*) AS c
+  FROM orders GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderpriority, v,
+    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v) AS cum,
+    sum(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM hist)
+SELECT o_orderpriority,
+  CAST(max(n) AS BIGINT) AS n,
+  min(CASE WHEN cum >= ceil(n * 0.5)  THEN v END) AS p50_cents,
+  min(CASE WHEN cum >= ceil(n * 0.9)  THEN v END) AS p90_cents,
+  min(CASE WHEN cum >= ceil(n * 0.99) THEN v END) AS p99_cents
+FROM cum GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_quantiles_histogram" ->
+      QueryDef(quantilesHistogram, Some(quantilesHistogramOracle)),
     "stats_mode_custom_agg" -> QueryDef(modeOrderPriority, Some(modeOracle)),
     "stats_approx_percentiles" -> QueryDef(approxPercentiles, None),
     "stats_percentiles" -> QueryDef(percentiles, Some(percentilesOracle)),

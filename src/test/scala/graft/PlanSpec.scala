@@ -287,6 +287,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "fact-side SMJ regressed q21")
   }
 
+  test("AQE splits a skewed partition of a sort-merge join at runtime") {
+    // the 100 TB skew posture is layered: salting for KNOWN hot keys
+    // (salted_skew_agg / skew_split_join), AQE's skew-join for the UNKNOWN
+    // ones. Pin that the runtime split actually engages: one key owning
+    // ~90% of the fact side must come out of AQE as SortMergeJoin(skew=true)
+    // — thresholds lowered so the ~MB-scale test partition qualifies.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    val fact = s.range(0, 200000)
+      .select((when(col("id") % 10 < 9, 0L).otherwise(col("id"))).as("k"),
+        concat(lit("payload_padding_padding_padding_"), col("id")).as("v"))
+    val dim = s.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    // global agg, NOT groupBy(k): a downstream requirement on the join's
+    // hash partitioning would veto the skew split (it would need an extra
+    // shuffle); consuming `v` keeps the skewed partition's bytes real
+    val j = fact.join(dim, "k")
+      .agg(sum(length(col("v"))).as("bytes"), count(lit(1)).as("n"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark/split the skewed SMJ partition:\n${plan.take(3000)}")
+  }
+
   test("bm25: broadcast 1-row stats, map-only scoring, TakeOrdered top-k") {
     val plan = executedPlan(ops.SearchOps.bm25TopK(spark, sfDir))
     // corpus stats join the per-doc stream as a broadcast (1 row) — never a
