@@ -39,7 +39,8 @@ object Registry {
     ops.SearchOps.queries,
     ops.LayoutOps.queries,
     ops.TimeSeriesOps.queries,
-    ops.PartSuppOps.queries
+    ops.PartSuppOps.queries,
+    ops.CurriculumOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.{QueryDef, Registry}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix assembly operators: curriculum bucketing by quality decile
+  * and per-source sampling rates for a target data mixture — the two
+  * decisions every LLM pretraining pipeline makes after cleaning/dedup
+  * (what order/propotion to feed the surviving tokens).
+  *
+  * Both are deterministic arithmetic over corpus aggregates, so they are
+  * oracle-checkable; both reuse the scale patterns established elsewhere:
+  * histogram selection for global quantile thresholds (one aggregate whose
+  * shuffle is O(distinct score values), never a global sort —
+  * `StatsOps.quantilesHistogram`), and 1-row broadcasts for corpus-level
+  * constants (`SearchOps`).
+  */
+object CurriculumOps {
+
+  /** Integer quality grid: the (already hash-exact) quality score floored
+    * onto a 1e-4 grid, so thresholds and bucket membership are integer
+    * comparisons that cannot flap between engines.
+    */
+  private def scoreM: Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks,
+      t => t.isin("the", "a", "of", "and"))).cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val lenSat = least(nTok / 100.0, lit(1.0))
+    floor((stopRatio * 0.4 + ttr * 0.3 + lenSat * 0.3) * 10000).cast("long")
+  }
+
+  private val ScoreMSql =
+    """CAST(floor((
+      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+        / len(toks) * 0.4
+      + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3
+      + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3) * 10000)
+      AS BIGINT)"""
+
+  /** Decile curriculum buckets: global quality-score decile thresholds via
+    * histogram selection (cumulative counts over DISTINCT grid values),
+    * then each document assigned `1 + #{thresholds ≤ its score}` by joining
+    * the 9-threshold row as a broadcast. Output: per-bucket doc and token
+    * totals — the table a curriculum scheduler consumes.
+    */
+  def decileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = Registry.table(s, dir, "documents")
+      .select(col("doc_id"), scoreM.as("sm"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val hist = d.groupBy("sm").agg(count(lit(1)).as("c"))
+    // global single-partition window — safe BY CONSTRUCTION: its input is
+    // the histogram (≤ 10001 grid values however large the corpus), never
+    // the documents themselves
+    val wCum = Window.orderBy("sm").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.select(col("sm"), sum("c").over(wCum).as("cum"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+    val tcols = (1 to 9).map(k =>
+      min(when(col("cum") >= ceil(col("n") * (k / 10.0)), col("sm")))
+        .as(s"d$k"))
+    val thresholds = cum.agg(tcols.head, tcols.tail: _*)
+    val bucket = (1 to 9).map(k =>
+      when(col("sm") >= col(s"d$k"), 1L).otherwise(0L))
+      .reduce(_ + _) + 1
+    d.crossJoin(broadcast(thresholds))
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        min("sm").as("min_score_m"), max("sm").as("max_score_m"))
+      .orderBy("bucket")
+  }
+
+  private val decileOracle = s"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+d AS (
+  SELECT doc_id, $ScoreMSql AS sm, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t),
+hist AS (SELECT sm, count(*) AS c FROM d GROUP BY sm),
+cum AS (
+  SELECT sm, sum(c) OVER (ORDER BY sm) AS cum,
+    (SELECT count(*) FROM d) AS n
+  FROM hist),
+th AS (
+  SELECT
+    ${(1 to 9).map(k =>
+      s"min(CASE WHEN cum >= ceil(n * ${k / 10.0}) THEN sm END) AS d$k")
+      .mkString(",\n    ")}
+  FROM cum),
+b AS (
+  SELECT d.doc_id, d.n_tokens, d.sm,
+    1 + ${(1 to 9).map(k => s"(CASE WHEN d.sm >= th.d$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")} AS bucket
+  FROM d, th)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  min(sm) AS min_score_m, max(sm) AS max_score_m
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+  /** Per-source sampling rates for a target mixture: source `srcK` gets
+    * target weight `(K+1)/210` (Σ 1..20 — a deterministic stand-in for the
+    * mixture a data recipe prescribes). The rate that hits the target from
+    * each source's actual token mass is `min(1, weight·T / tokens_s)` —
+    * one IEEE division of exact int64 products, so it hash-matches. A rate
+    * of 1 flags an under-represented source (upsampling decision left to
+    * the recipe). Corpus total joins as a 1-row broadcast.
+    */
+  def mixSamplingRates(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Registry.table(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .withColumn("w_num", substring(col("source"), 4, 10).cast("long") + 1)
+    val total = perSource.agg(sum("tokens").as("total_tokens"))
+    perSource.join(broadcast(total))
+      .withColumn("sampling_rate",
+        least(lit(1.0), (col("w_num") * col("total_tokens")).cast("double")
+          / (col("tokens") * 210).cast("double")))
+      .select(col("source"), col("n_docs"), col("tokens"), col("w_num"),
+        col("sampling_rate"),
+        floor(col("sampling_rate") * col("tokens").cast("double"))
+          .cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val mixOracle = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+    CAST(substr(source, 4) AS BIGINT) + 1 AS w_num
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM per)
+SELECT source, n_docs, tokens, w_num,
+  least(1.0, CAST(w_num * total_tokens AS DOUBLE)
+             / CAST(tokens * 210 AS DOUBLE)) AS sampling_rate,
+  CAST(floor(least(1.0, CAST(w_num * total_tokens AS DOUBLE)
+                        / CAST(tokens * 210 AS DOUBLE))
+             * CAST(tokens AS DOUBLE)) AS BIGINT) AS kept_tokens
+FROM per, tot ORDER BY source
+"""
+
+  val queries: Map[String, QueryDef] = Map(
+    "curriculum_decile_buckets" -> QueryDef(decileBuckets, Some(decileOracle)),
+    "mix_sampling_rates" -> QueryDef(mixSamplingRates, Some(mixOracle))
+  )
+}
