@@ -155,6 +155,54 @@ object EventStream {
         sessionFn(flushOpenTails))
   }
 
+  /** The production sessionization mode: like `sessionize(_, false)` —
+    * sessions closed by observed data are emitted exactly once across
+    * micro-batches — PLUS bounded emission latency for idle users: each
+    * open tail arms an event-time timeout at `last event + gap`, and when
+    * the WATERMARK passes that point the tail flushes as a finished
+    * session. That flush is *correct*, not heuristic: the watermark is the
+    * engine's proof that no event which could extend the session (i.e.
+    * within the gap) can still arrive; anything later would start a new
+    * session anyway. Late data beyond the watermark is dropped by the
+    * same contract as every watermarked operator.
+    */
+  def sessionizeWithTimeout(events: Dataset[StreamEvent],
+      watermarkDelay: String = "30 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[StreamEvent], UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        sessionTimeoutFn)
+  }
+
+  private def sessionTimeoutFn(
+      userId: Long, it: Iterator[StreamEvent],
+      state: GroupState[List[StreamEvent]]): Iterator[UserSession] = {
+    if (state.hasTimedOut) {
+      // watermark passed last-event + gap: the open tail is a finished
+      // session — emit and clear
+      val tail = state.getOption.getOrElse(Nil)
+      state.remove()
+      Iterator.single(toSession(userId, tail))
+    } else {
+      val out = sessionFn(flushOpenTails = false)(userId, it, state)
+      // sessionFn left the open tail in state; arm/refresh its flush point
+      state.getOption.filter(_.nonEmpty).foreach { tail =>
+        state.setTimeoutTimestamp(tail.last.ts.getTime + GapMs)
+      }
+      out
+    }
+  }
+
+  private def toSession(userId: Long, es: List[StreamEvent]): UserSession =
+    UserSession(
+      user_id = userId,
+      session_start_epoch = es.head.ts.getTime / 1000,
+      n_events = es.size.toLong,
+      sum_value_cents = es.map(e => math.round(e.value * 100)).sum)
+
   /** Strict `>`: `session_window` merges sessions whose windows touch
     * (next.start == prev.end), so an exact-threshold gap stays one
     * session — verified empirically against the batch operator.
@@ -181,12 +229,6 @@ object EventStream {
     val closed =
       if (flushOpenTails) { state.remove(); sessions += cur.toList; sessions }
       else { state.update(cur.toList); sessions } // tail stays alive
-    closed.iterator.map { es =>
-      UserSession(
-        user_id = userId,
-        session_start_epoch = es.head.ts.getTime / 1000,
-        n_events = es.size.toLong,
-        sum_value_cents = es.map(e => math.round(e.value * 100)).sum)
-    }
+    closed.iterator.map(es => toSession(userId, es))
   }
 }

@@ -292,4 +292,48 @@ class StreamingSpec extends SparkSpec {
       (7L, 1700000000L, 4L),
       (8L, 1700000000L, 1L)))
   }
+
+  test("event-time timeout flushes an idle user's open tail via the watermark") {
+    import spark.implicits._
+    // user 7 goes idle after 2 events; NO later event of theirs ever
+    // arrives. The flush must come from the WATERMARK passing
+    // last-event+gap (armed as an event-time timeout), advanced by other
+    // users' events in later micro-batches: batch 1 moves the watermark
+    // computation input, batch 2 runs with that advanced watermark and
+    // fires the timeout.
+    def ev(id: Long, minutes: Long, user: Long): (Long, Long, Long, String, Double) =
+      (id, (1700000000L + minutes * 60) * 1000000000L, user, "click", 2.5)
+    val batches = Seq(
+      Seq(ev(1, 0, 7), ev(2, 10, 7)), // user 7's tail; timeout arms at 40min
+      Seq(ev(20, 600, 8)), // 10h: watermark input jumps far past 40min
+      Seq(ev(21, 610, 9))) // runs WITH the advanced watermark → flush fires
+    val staged = java.nio.file.Files.createTempDirectory("events_timeout")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.parquet(s"$staged/b$i")
+      val f = new java.io.File(s"$staged/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$staged/b$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent]
+    val got = EventStream.runToMemory(spark,
+        EventStream.sessionizeWithTimeout(stream).toDF(),
+        "stream_timeout_flush",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // ONLY user 7 flushes (2 events, 250 cents each); users 8/9 stay open
+    // because the watermark never passes their last-event+gap
+    assert(got == Seq((7L, 1700000000L, 2L, 500L)))
+  }
 }
