@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One banded signature on the document stream. */
+final case class BandedSig(band: Int, key: Long, doc_id: Long, simhash: Long)
+
+/** One emitted near-dup pair (same shape as the batch
+  * `dedup_simhash_pairs` rows).
+  */
+final case class SimPair(i: Long, j: Long, hamming: Long)
+
+/** Streaming near-duplicate detection: the cross-batch form of the batch
+  * SimHash family — documents arrive over micro-batches, and every
+  * near-dup pair (hamming ≤ 3 over 60-bit SimHash) is emitted exactly
+  * once, as soon as its second member arrives.
+  *
+  * Shape: each signature goes to its 4 LSH band groups
+  * (`groupByKey((band, 15-bit key))`); each group's state is the inverted-
+  * index bucket (the signatures seen under that band key), maintained
+  * incrementally — the streaming twin of the batch index. Pigeonhole
+  * guarantees completeness: ≤3 differing bits can touch ≤3 of the 4
+  * 15-bit bands, so every qualifying pair shares at least one band.
+  *
+  * **Exactly-once pair emission without cross-group coordination**: a pair
+  * sharing several bands would surface in several groups, and state is
+  * per-group — but both full signatures are visible wherever the pair
+  * surfaces, so every group computes the pair's MINIMUM matching band and
+  * only the group owning that band emits. Deterministic, no second
+  * stateful stage (Spark disallows stateful ops downstream of
+  * flatMapGroupsWithState in append mode anyway).
+  *
+  * 100 TB posture: state per group is one bucket of the inverted index —
+  * the same memory the batch join materializes, amortized over the stream;
+  * a deployment bounds it with an event-time timeout evicting signatures
+  * older than the dedup horizon (same mechanism as
+  * [[EventStream.sessionizeWithTimeout]]). Replayed doc_ids are ignored
+  * (state membership check), so an at-least-once source cannot re-emit a
+  * pair.
+  */
+object DocStream {
+
+  private val Bands = 4
+  private val BandBits = 15
+  private val BandMask = 0x7FFFL
+  private val MaxHamming = 3L
+
+  /** Banded streaming signatures for a `documents`-shaped stream
+    * (doc_id, text).
+    */
+  def bandedSignatures(docs: DataFrame): Dataset[BandedSig] = {
+    val s = docs.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        call_function("simhash60", split(col("text"), " ")).as("simhash"))
+      .select(explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), BandBits * b).bitwiseAND(lit(BandMask))
+            .as("key"),
+          col("doc_id"), col("simhash"))
+      }: _*)).as("bk"))
+      .select("bk.*").as[BandedSig]
+  }
+
+  /** The streaming near-dup pair stream (see object doc). */
+  def nearDupPairs(docs: DataFrame): Dataset[SimPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bandedSignatures(docs)
+      .groupByKey(bs => (bs.band, bs.key))
+      .flatMapGroupsWithState[List[(Long, Long)], SimPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(bandDedupFn)
+  }
+
+  private def minMatchingBand(sa: Long, sb: Long): Int =
+    (0 until Bands).find(b =>
+      ((sa >> (BandBits * b)) & BandMask) == ((sb >> (BandBits * b)) & BandMask)
+    ).get // total for hamming ≤ 3: pigeonhole gives ≥1 equal band
+
+  private def bandDedupFn(key: (Int, Long), it: Iterator[BandedSig],
+      state: GroupState[List[(Long, Long)]]): Iterator[SimPair] = {
+    val members = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    members ++= state.getOption.getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SimPair]
+    // doc_id order makes within-batch pair evaluation deterministic
+    for (d <- it.toList.sortBy(_.doc_id)) {
+      if (!members.exists(_._1 == d.doc_id)) { // replay-safe
+        for ((oid, osig) <- members) {
+          val ham = java.lang.Long.bitCount(d.simhash ^ osig).toLong
+          if (ham <= MaxHamming &&
+              minMatchingBand(d.simhash, osig) == key._1) {
+            out += SimPair(math.min(oid, d.doc_id),
+              math.max(oid, d.doc_id), ham)
+          }
+        }
+        members += ((d.doc_id, d.simhash))
+      }
+    }
+    state.update(members.toList)
+    out.iterator
+  }
+}

@@ -336,4 +336,39 @@ class StreamingSpec extends SparkSpec {
     // because the watermark never passes their last-event+gap
     assert(got == Seq((7L, 1700000000L, 2L, 500L)))
   }
+
+  test("streaming simhash near-dup equals batch pairs across micro-batches + replay") {
+    // stream the documents in two halves (one per micro-batch), plus the
+    // first half REPLAYED as a third file: the pair set must equal the
+    // batch operator's exactly — split-spanning pairs emitted when the
+    // second member arrives, replay emitting nothing (state membership)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val staged = java.nio.file.Files.createTempDirectory("docs_stream")
+    Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0)).zipWithIndex.foreach {
+      case (half, i) =>
+        half.coalesce(1).write.parquet(s"$staged/b$i")
+        val f = new java.io.File(s"$staged/b$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$staged/b$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/*.parquet")
+    val got = EventStream.runToMemory(spark,
+        graft.streaming.DocStream.nearDupPairs(stream).toDF(),
+        "stream_simhash_pairs",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = ops.Dedup.simhashPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "no near-dup pairs in the stream — vacuous parity")
+    // exact multiset equality: same pairs, each exactly once
+    assert(got.sorted == expected.sorted)
+  }
 }
