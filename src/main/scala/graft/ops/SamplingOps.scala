@@ -115,7 +115,36 @@ WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
 GROUP BY 1 ORDER BY 1
 """
 
+  // ---------------------------------------------- fixed-size reservoir draw
+  /** Exact-k uniform sample without an RNG: keep the k orders with the
+    * SMALLEST content-hash values — equivalent to a reservoir sample
+    * (every subset of size k equally likely under the hash's uniformity)
+    * but deterministic, rerun-stable, and mergeable: the union of two
+    * shards' k-smallest sets contains the global k-smallest, so the plan
+    * is per-partition top-k heaps + driver merge (`TakeOrdered`), no
+    * shuffle of the data. The Bernoulli twin gives a fixed *rate*; this
+    * gives a fixed *size* — the one you want for "show me exactly 50
+    * rows of this 100 TB table".
+    */
+  def reservoirOrders(s: SparkSession, dir: String): DataFrame =
+    Registry.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        hash60(col("o_orderkey")).as("draw"))
+      .orderBy(col("draw").asc, col("o_orderkey").asc)
+      .limit(50)
+
+  private val reservoirOracle = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+    AS draw
+FROM orders
+ORDER BY draw ASC, o_orderkey ASC
+LIMIT 50
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "sample_reservoir_orders" ->
+      QueryDef(reservoirOrders, Some(reservoirOracle)),
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitOracle)),
     "sample_stratified_quota" ->
       QueryDef(stratifiedQuota, Some(stratifiedQuotaOracle)),
