@@ -17,6 +17,14 @@ class UnsupportedFormatException(fmt: String)
   * while reads/writes are Spark jobs so the actual data path is distributed.
   * S3 vs local FS is a URI scheme, not logic (SURVEY.md §5.2) — tests run on
   * file://, production points the same code at s3a://.
+  *
+  * s3a:// coverage note: the reference's integration test hits real S3
+  * (`tests/integration_tests/test_int_xetra_transformer.py:40-53`); this
+  * sandbox has no network, so the s3a path is exercised only through the
+  * scheme-generic Hadoop `FileSystem` API here (every call in this class
+  * resolves the FS from the URI — no file:// special-casing to diverge).
+  * A deployment smoke test needs exactly one run with `baseUri =
+  * "s3a://bucket/prefix"` plus the usual fs.s3a credentials config.
   */
 final class Connector(spark: SparkSession, baseUri: String) {
 

@@ -371,4 +371,53 @@ class StreamingSpec extends SparkSpec {
     // exact multiset equality: same pairs, each exactly once
     assert(got.sorted == expected.sorted)
   }
+
+  test("sessionization state survives a QUERY RESTART from the checkpoint") {
+    import spark.implicits._
+    // harder than cross-batch: the first query processes batch 0 and
+    // STOPS; a brand-new query (new state store instances) resumes from
+    // the checkpoint, processes batch 1, and must merge user 7's carried
+    // tail — proving open tails live in the checkpointed state store, not
+    // in executor memory
+    def ev(id: Long, minutes: Long, user: Long): (Long, Long, Long, String, Double) =
+      (id, (1700000000L + minutes * 60) * 1000000000L, user, "click", 1.0)
+    val srcDir = java.nio.file.Files.createTempDirectory("events_restart_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("events_restart_ckpt")
+    val sink = java.nio.file.Files.createTempDirectory("events_restart_sink")
+    def stage(rows: Seq[(Long, Long, Long, String, Double)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage").resolve("d")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}")).coalesce(1).write.parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, srcDir.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(EventStream.eventsSchema)
+        .parquet(s"$srcDir/*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamEvent]
+      val q = EventStream.sessionize(stream, flushOpenTails = false).toDF()
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage(Seq(ev(1, 0, 7), ev(2, 10, 7)), "b0.parquet") // open tail only
+    runOnce() // first query: nothing closable, tail goes to the state store
+    stage(Seq(ev(3, 20, 7), ev(4, 2000, 7)), "b1.parquet") // continue + close
+    runOnce() // NEW query, resumed from checkpoint
+    val got = spark.read.parquet(sink.toString)
+      .orderBy("user_id", "session_start_epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // one merged 3-event session (1,2 from run 1 + 3 from run 2); event 4
+    // opened a new tail that stays in state
+    assert(got == Seq((7L, 1700000000L, 3L)))
+  }
 }
