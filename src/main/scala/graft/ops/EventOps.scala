@@ -209,7 +209,63 @@ ORDER BY e.event_id
       .orderBy("event_id")
   }
 
+  // ------------------------------------------- keyless interval join (bins)
+  /** Point-in-interval join WITHOUT an equi key, by time-bucket expansion —
+    * the range-join bin technique: intervals explode to every 6h bucket
+    * they overlap, points carry their own bucket, and the join becomes a
+    * plain EQUI-join on the bucket plus the precise band filter. Where a
+    * naive `ts BETWEEN s AND e` join over two large sides is a
+    * broadcast-nested-loop (O(N·M) compares at 100 TB), this shuffles both
+    * sides once on the bin key; cost grows with overlap density only. The
+    * intervals here are the 20 busiest 6h windows padded ±30min (so they
+    * genuinely span bucket boundaries and the result differs from the
+    * window counts themselves).
+    */
+  def intervalBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val BucketSec = 21600L // 6h
+    val evs = Registry.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("sec"))
+    val busiest = evs
+      .groupBy(expr(s"sec div $BucketSec").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("w").asc)))
+      .filter(col("rk") <= 20)
+      .select((col("w") * BucketSec - 1800).as("s"),
+        (col("w") * BucketSec + BucketSec + 1800).as("e"))
+    val winB = busiest.withColumn("bucket",
+      explode(sequence(expr(s"s div $BucketSec"),
+        expr(s"(e - 1) div $BucketSec"))))
+    val evB = evs.withColumn("bucket", expr(s"sec div $BucketSec"))
+    evB.join(winB, Seq("bucket"))
+      .filter(col("sec") >= col("s") && col("sec") < col("e"))
+      .groupBy(col("s").as("w_start"), col("e").as("w_end"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("w_start")
+  }
+
+  private val intervalBucketJoinOracle = """
+WITH evs AS (
+  SELECT event_id, user_id,
+    CAST(floor(CAST(epoch(ts) AS DOUBLE)) AS BIGINT) AS sec
+  FROM events),
+busiest AS (
+  SELECT w * 21600 - 1800 AS s, w * 21600 + 21600 + 1800 AS e FROM (
+    SELECT w, row_number() OVER (ORDER BY n DESC, w ASC) AS rk FROM (
+      SELECT sec // 21600 AS w, count(*) AS n FROM evs GROUP BY 1))
+  WHERE rk <= 20)
+SELECT s AS w_start, e AS w_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM evs JOIN busiest ON sec >= s AND sec < e
+GROUP BY s, e ORDER BY w_start
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "interval_bucket_join" ->
+      QueryDef(intervalBucketJoin, Some(intervalBucketJoinOracle)),
     "window_tumbling_daily" -> QueryDef(tumblingDaily, Some(tumblingDailyOracle)),
     "window_sliding_6h3h" -> QueryDef(slidingActivity, Some(slidingActivityOracle)),
     "sessionize_30m" -> QueryDef(sessionize, Some(sessionizeOracle)),

@@ -319,6 +319,15 @@ class PlanSpec extends SparkSpec {
       s"AQE did not mark/split the skewed SMJ partition:\n${plan.take(3000)}")
   }
 
+  test("keyless interval join runs as a bucket EQUI-join, not a nested loop") {
+    val plan = executedPlan(ops.EventOps.intervalBucketJoin(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "bin expansion must turn the range join into an equi-join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), "no hash/merge equi-join found")
+  }
+
   test("bm25: broadcast 1-row stats, map-only scoring, TakeOrdered top-k") {
     val plan = executedPlan(ops.SearchOps.bm25TopK(spark, sfDir))
     // corpus stats join the per-doc stream as a broadcast (1 row) — never a
