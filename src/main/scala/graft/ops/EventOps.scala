@@ -263,9 +263,45 @@ FROM evs JOIN busiest ON sec >= s AND sec < e
 GROUP BY s, e ORDER BY w_start
 """
 
+  // ---------------------------------------------------- retention cohorts
+  /** Classic cohort retention: users grouped by first-activity day, then
+    * per (cohort, day-offset ≤ 7) distinct-active counts. Two aggregates
+    * and one co-partitioned join on user_id — the first-activity table and
+    * the distinct (user, day) activity table shuffle on the same key, so
+    * no extra exchange family; nothing resembling a per-user window over
+    * raw events is needed.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val activity = Registry.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort"))
+    activity.join(cohorts, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort")))
+      .filter(col("offset") <= 7)
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "offset")
+  }
+
+  private val retentionCohortsOracle = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort FROM activity GROUP BY user_id)
+SELECT c.cohort, date_diff('day', c.cohort, a.day) AS "offset",
+  CAST(count(*) AS BIGINT) AS n_active
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+WHERE date_diff('day', c.cohort, a.day) <= 7
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "interval_bucket_join" ->
       QueryDef(intervalBucketJoin, Some(intervalBucketJoinOracle)),
+    "retention_cohorts" ->
+      QueryDef(retentionCohorts, Some(retentionCohortsOracle)),
     "window_tumbling_daily" -> QueryDef(tumblingDaily, Some(tumblingDailyOracle)),
     "window_sliding_6h3h" -> QueryDef(slidingActivity, Some(slidingActivityOracle)),
     "sessionize_30m" -> QueryDef(sessionize, Some(sessionizeOracle)),

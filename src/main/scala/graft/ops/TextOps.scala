@@ -392,7 +392,45 @@ FROM seg s LEFT JOIN boiler b ON s.seg = b.seg
 GROUP BY s.doc_id ORDER BY s.doc_id
 """
 
+  // --------------------------------------------------- BPE first merge step
+  /** The first iteration of BPE vocabulary training: corpus-wide counts of
+    * ADJACENT token pairs, top 20 — the statistic the first merge rule is
+    * chosen from. Map-side combinable (pair extraction is per-document;
+    * the shuffle carries (pair, partial count), size O(distinct pairs)),
+    * so the full BPE loop at 100 TB is this query iterated with a
+    * merge-table broadcast.
+    */
+  def bpeFirstMerge(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    docs(s, dir)
+      .select(toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  private val bpeFirstMergeOracle = """
+WITH tok AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS pair
+  FROM tok WHERE len(t) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "vocab_bpe_first_merge" ->
+      QueryDef(bpeFirstMerge, Some(bpeFirstMergeOracle)),
     "text_boilerplate_removal" ->
       QueryDef(boilerplateRemoval, Some(boilerplateOracle)),
     "text_repetition_ratio" ->
