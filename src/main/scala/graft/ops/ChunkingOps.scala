@@ -171,9 +171,74 @@ FROM a WHERE rk = 1
 GROUP BY centroid_id ORDER BY centroid_id
 """
 
+  /** The other half of the Lloyd iteration: per-cluster mean vectors from
+    * the current assignment — exact int64 coordinate sums on the quantized
+    * grid (posexplode → (centroid, dim) aggregate, map-side combined), the
+    * mean being the single IEEE division at the end. assign + update
+    * together make one full k-means iteration expressible as two queries;
+    * the loop at scale re-broadcasts the 10×64 result each round.
+    */
+  def kmeansUpdateStep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val corpus = table(s, dir, "embeddings").select(
+      col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+      .withColumn("nrm", call_function("vec_dot_long", col("qv"), col("qv")))
+    val centroids = corpus.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("dist2", col("nrm") + col("cnrm") -
+        lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("centroid_id"), col("qv"))
+    assigned
+      .select(col("centroid_id"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy("centroid_id", "dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+      .select(col("centroid_id"), col("dim").cast("long").as("dim"), col("n"),
+        (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"))
+      .orderBy("centroid_id", "dim")
+  }
+
+  private val kmeansUpdateOracle = s"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM q),
+c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
+      FROM n WHERE vec_id < $NumCentroids),
+d AS (
+  SELECT v.vec_id, v.qv, c.centroid_id,
+    v.nrm + c.cnrm - 2 * CAST(list_sum(
+      list_transform(range(1, 65), k -> v.qv[k] * c.cv[k])) AS BIGINT) AS dist2
+  FROM n v, c),
+a AS (
+  SELECT vec_id, qv, centroid_id,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, centroid_id ASC) AS rk
+  FROM d)
+SELECT centroid_id, CAST(k - 1 AS BIGINT) AS dim,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(qv[k]) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+FROM a, UNNEST(range(1, 65)) u(k)
+WHERE rk = 1
+GROUP BY centroid_id, k ORDER BY centroid_id, dim
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "chunk_documents_stride" -> QueryDef(chunkDocuments, Some(chunkDocumentsOracle)),
     "context_length_buckets" -> QueryDef(contextLengthBuckets, Some(contextLengthBucketsOracle)),
-    "kmeans_assign_step" -> QueryDef(kmeansAssignStep, Some(kmeansAssignOracle))
+    "kmeans_assign_step" -> QueryDef(kmeansAssignStep, Some(kmeansAssignOracle)),
+    "kmeans_update_step" -> QueryDef(kmeansUpdateStep, Some(kmeansUpdateOracle))
   )
 }
