@@ -79,5 +79,25 @@ final class Report1Job(spark: SparkSession, cfg: JobConfig, clock: Clock) {
     true
   }
 
+  /** Job-level observability: `Dataset.observe` attaches named aggregates
+    * (rows written, distinct instruments, null prev-close boundary rows)
+    * that the EXISTING execution computes as it runs — no second pass over
+    * the data, unlike a `count()` after the fact, and the numbers describe
+    * exactly the rows the sink saw. A `QueryExecutionListener` (or
+    * `observedMetrics` on the completed execution, as the spec does)
+    * receives them — the hook a production run wires to its metrics
+    * system.
+    */
+  def transformObserved(bars: DataFrame): DataFrame =
+    transform(bars).observe("report1_metrics",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows_out"),
+      org.apache.spark.sql.functions.approx_count_distinct(cfg.source.colIsin)
+        .as("approx_instruments"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col(cfg.target.colChPrevClos)
+            .isNull, 1L).otherwise(0L)).as("null_prev_close_rows"))
+
   def run(): Boolean = load(transform(extract()))
 }

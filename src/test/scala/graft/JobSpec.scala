@@ -182,6 +182,22 @@ class JobSpec extends SparkSpec {
     assert(spark.read.parquet(root.resolve("tbl").toString).count() == 2)
   }
 
+  test("observe() metrics describe exactly the written rows, no extra pass") {
+    val root = Files.createTempDirectory("graftjob_obs")
+    val cfg = Configs.load(configFile(root).toString)
+    val job = new Report1Job(spark, cfg, clock)
+    val observed = job.transformObserved(job.extract())
+    observed.collect() // one execution — the metrics ride along with it
+    val metrics = observed.queryExecution.observedMetrics("report1_metrics")
+    // golden fixture → 3 report rows (2021-04-17..19), one instrument, and
+    // ZERO null-boundary rows — the job's −1-day overlap (04-16 extracted
+    // purely to feed the lag) is exactly what this metric exists to watch:
+    // a nonzero value in production means a cold-start boundary leaked
+    assert(metrics.getAs[Long]("rows_out") == 3L)
+    assert(metrics.getAs[Long]("approx_instruments") == 1L)
+    assert(metrics.getAs[Long]("null_prev_close_rows") == 0L)
+  }
+
   test("connector csv round-trip with header") {
     val root = Files.createTempDirectory("graftconn3")
     val c = new Connector(spark, root.toUri.toString)
