@@ -334,7 +334,125 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY i, j
 """
 
+  // --------------------------------------------- weighted shingle cosine
+  /** Near-dup pairs by MULTISET 5-gram cosine ≥ 0.8 — the weighted
+    * complement of `dedup_ngram_jaccard`: repeated shingles count, so a doc
+    * that loops one passage scores differently than under set semantics.
+    * Same inverted-index scale posture (pairs only materialize for
+    * co-occurring shingles; the posting join shuffles (hash, doc, tf)
+    * rows), and the threshold is decided in EXACT integers before any
+    * double exists: cos ≥ 0.8 ⟺ 25·dot² ≥ 16·‖a‖²·‖b‖² (dot ≥ 0), so no
+    * engine can flap a borderline pair.
+    */
+  def shingleCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val tf = docs(s, dir)
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes_5", split(col("text"), " ")))
+          .as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = tf.as("a"); val b = tf.as("b")
+    val cand = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    cand
+      .join(norms.select(col("doc_id").as("i"), col("n2").as("na")), "i")
+      .join(norms.select(col("doc_id").as("j"), col("n2").as("nb")), "j")
+      .filter(col("dot") * col("dot") * 25 >= col("na") * col("nb") * 16)
+      .select(col("i"), col("j"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .orderBy("i", "j")
+  }
+
+  private val shingleCosineOracle = """
+WITH sh AS (
+  SELECT doc_id,
+    [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 5),
+tf AS (
+  SELECT doc_id, shingle, count(*) AS tf
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+  GROUP BY 1, 2),
+norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, sum(a.tf * b.tf) AS dot
+  FROM tf a JOIN tf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT i, j,
+  CAST(dot AS DOUBLE)
+    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM cand
+JOIN norms na ON na.doc_id = i
+JOIN norms nb ON nb.doc_id = j
+WHERE dot * dot * 25 >= na.n2 * nb.n2 * 16
+ORDER BY i, j
+"""
+
+  // ------------------------------------------------------ containment pairs
+  /** Asymmetric CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) ≥ 0.8 over
+    * distinct 5-gram sets — catches a short doc embedded inside a longer
+    * one, which symmetric Jaccard misses (the union term drowns the small
+    * side). Same inverted-index candidates as the Jaccard pipeline; the
+    * threshold is the exact integer compare 10·inter ≥ 8·min(na,nb). The
+    * flags mark which side is (80%-)contained in which.
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val d = docs(s, dir).select(col("doc_id"),
+      array_distinct(call_function("shingle_hashes_5", split(col("text"), " ")))
+        .as("sh"))
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("ss"))
+    val a = ex.as("a"); val b = ex.as("b")
+    val cand = a.join(b,
+        col("a.ss") === col("b.ss") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    cand
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .filter(col("inter") * 10 >= least(col("sa.n"), col("sb.n")) * 8)
+      .select(col("i"), col("j"), col("inter"),
+        col("sa.n").as("na"), col("sb.n").as("nb"),
+        (col("inter").cast("double") / least(col("sa.n"), col("sb.n")))
+          .as("containment"),
+        (col("inter") * 10 >= col("sa.n") * 8).as("i_in_j"),
+        (col("inter") * 10 >= col("sb.n") * 8).as("j_in_i"))
+      .orderBy("i", "j")
+  }
+
+  private val containmentOracle = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(toks[i:i+4], ' ')
+                   for i in range(1, len(toks) - 3)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 5),
+ex AS (SELECT doc_id, unnest(s) AS ss FROM sh),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM ex a JOIN ex b ON a.ss = b.ss AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+SELECT i, j, CAST(inter AS BIGINT) AS inter, sa.n AS na, sb.n AS nb,
+  CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment,
+  inter * 10 >= sa.n * 8 AS i_in_j,
+  inter * 10 >= sb.n * 8 AS j_in_i
+FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+WHERE inter * 10 >= least(sa.n, sb.n) * 8
+ORDER BY i, j
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "dedup_shingle_cosine" ->
+      QueryDef(shingleCosinePairs, Some(shingleCosineOracle)),
+    "dedup_containment" -> QueryDef(containmentPairs, Some(containmentOracle)),
     "dedup_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsOracle)),
     "dedup_exact" -> QueryDef(exactDedup, Some(exactDedupOracle)),
     "dedup_normalized_tokens" -> QueryDef(normalizedDedup, Some(normalizedDedupOracle)),

@@ -243,7 +243,96 @@ SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p
 ORDER BY stage
 """
 
+  // --------------------------------------- incremental aggregate maintenance
+  /** Incremental (materialized-view) aggregate maintenance: the per-priority
+    * order stats are NOT recomputed from the full history — the pre-1997
+    * "stored snapshot" partial aggregates (count / exact cent sum / min /
+    * max, all algebraic) are merged with the partial aggregates of the new
+    * delta by a full-outer join on the group key. At 100 TB this is THE
+    * pattern for daily-refreshed aggregates: the base table is never
+    * re-scanned (here both sides derive from one table only because the
+    * testdata has no real history); the merge cost is O(groups). The oracle
+    * recomputes from scratch — hash equality proves the merge algebra.
+    */
+  def incrementalSnapshotAgg(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100).cast("long")
+    def partial(df: DataFrame, p: String): DataFrame =
+      df.groupBy("o_orderpriority").agg(
+        count(lit(1)).as(s"${p}_n"), sum(cents).as(s"${p}_cents"),
+        min("o_totalprice").as(s"${p}_min"), max("o_totalprice").as(s"${p}_max"))
+    val o = Registry.table(s, dir, "orders")
+    val base = partial(o.filter(col("o_orderdate") < "1997-01-01"), "b")
+    val delta = partial(o.filter(col("o_orderdate") >= "1997-01-01"), "d")
+    base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(
+        col("o_orderpriority"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        ((coalesce(col("b_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+          .cast("double") / 100).as("revenue"),
+        least(col("b_min"), col("d_min")).as("min_price"),
+        greatest(col("b_max"), col("d_max")).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val incrementalSnapshotAggOracle = """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT))
+       AS DOUBLE) / 100 AS revenue,
+  min(o_totalprice) AS min_price,
+  max(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+  // ------------------------------------------------- global shuffle shards
+  /** Deterministic global corpus shuffle into training shards — the layout
+    * step before sequence packing: every doc lands in shard
+    * `hash(doc_id) mod 16` and is ordered WITHIN its shard by the same
+    * content hash, giving a reproducible pseudorandom permutation with no
+    * RNG state and no global sort (each shard orders independently — the
+    * window partitions by shard, so at 100 TB this is one shuffle at
+    * O(corpus keys), never a single-reducer order-by). The order-sensitive
+    * checksum Σ position·doc_id proves BOTH the membership and the exact
+    * within-shard order against the oracle — a set-equal-but-misordered
+    * shard would hash-mismatch.
+    */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val h = SamplingOps.hash60(col("doc_id"))
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        h.as("h"), pmod(h, lit(16)).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy("shard")
+  }
+
+  private val shuffleShardsOracle = """
+WITH d AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM documents),
+p AS (
+  SELECT *, h % 16 AS shard,
+    CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+         AS BIGINT) AS pos
+  FROM d)
+SELECT shard, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+FROM p GROUP BY shard ORDER BY shard
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "incremental_snapshot_agg" ->
+      QueryDef(incrementalSnapshotAgg, Some(incrementalSnapshotAggOracle)),
+    "global_shuffle_shards" -> QueryDef(shuffleShards, Some(shuffleShardsOracle)),
     "heavy_hitter_tokens" -> QueryDef(heavyHitters, Some(heavyHittersOracle)),
     "cdc_snapshot_diff" -> QueryDef(cdcSnapshotDiff, Some(cdcSnapshotDiffOracle)),
     "pack_sequences_4k" -> QueryDef(packSequences, Some(packSequencesOracle)),

@@ -367,7 +367,141 @@ SELECT o_orderpriority,
 FROM cum GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+  // ------------------------------------------- chi-square independence
+  /** Pearson chi-square test of independence for `lang` × `source` over
+    * documents. The contingency table is one hash aggregation (shuffle =
+    * O(|langs|·|sources|), tiny); row/column totals re-aggregate the CELLS,
+    * not the corpus, and join back broadcast — the 100 TB cost is the one
+    * fact-table pass. Per-cell work is integer-exact: observed counts and
+    * row·col products stay on the integer grid, expected = cast-to-double
+    * of an exact product then ONE division. The total statistic is a
+    * LEFT-TO-RIGHT FOLD over the (lang, source)-sorted cell contributions
+    * (`aggregate` over a sorted array / DuckDB `list_reduce` over an
+    * ordered list): both engines execute the identical IEEE op sequence,
+    * so the sum is bit-exact — a plain double `sum()` would flap on
+    * accumulation order.
+    */
+  def chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    val cells = table(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cols = cells.groupBy("source").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"),
+      count_distinct(col("lang")).as("nl"),
+      count_distinct(col("source")).as("ns"))
+    val e = (col("r") * col("c")).cast("double") / col("n")
+    val od = col("o").cast("double")
+    cells
+      .join(broadcast(rows), "lang")
+      .join(broadcast(cols), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"), col("nl"), col("ns"),
+        ((od - e) * (od - e) / e).as("contrib"))
+      .groupBy()
+      .agg(max("n").as("n_docs"),
+        ((max("nl") - 1) * (max("ns") - 1)).as("dof"),
+        aggregate(
+          sort_array(collect_list(struct(col("lang"), col("source"),
+            col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("chi2"))
+  }
+
+  private val chi2Oracle = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+rows_ AS (SELECT lang, sum(o) AS r FROM cells GROUP BY lang),
+cols_ AS (SELECT source, sum(o) AS c FROM cells GROUP BY source),
+tot AS (
+  SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
+         count(DISTINCT source) AS ns
+  FROM cells),
+contrib AS (
+  SELECT cells.lang, cells.source, n, nl, ns,
+    (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / n)
+      * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / n)
+      / (CAST(r * c AS DOUBLE) / n) AS contrib
+  FROM cells
+  JOIN rows_ USING (lang) JOIN cols_ USING (source) CROSS JOIN tot)
+SELECT CAST(max(n) AS BIGINT) AS n_docs,
+  CAST((max(nl) - 1) * (max(ns) - 1) AS BIGINT) AS dof,
+  list_reduce(
+    list_prepend(0.0, list(contrib ORDER BY lang, source)),
+    (acc, x) -> acc + x) AS chi2
+FROM contrib
+"""
+
+  // ------------------------------------------------------- Welch's t-test
+  /** Welch's unequal-variance t-test: click vs purchase event values. One
+    * conditional-aggregation pass over the fact table (map-side combined —
+    * no per-group shuffle at all, the groupBy is empty) producing exact
+    * power sums on the integer micros grid; mean/variance/t/df are then a
+    * fixed IEEE op sequence on those exact sums, mirrored token-for-token
+    * in the oracle, so the statistic is bit-identical cross-engine.
+    */
+  def welchTTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Registry.events(s, dir)
+    val vmic = (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long")
+    def side(t: String, e: Column) = when(col("event_type") === t, e)
+    val sums = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy()
+      .agg(
+        count(side("click", lit(1))).cast("double").as("n1"),
+        dsum(side("click", vmic), 0).as("a1"),
+        dsum(side("click", vmic * vmic), 0).as("q1"),
+        count(side("purchase", lit(1))).cast("double").as("n2"),
+        dsum(side("purchase", vmic), 0).as("a2"),
+        dsum(side("purchase", vmic * vmic), 0).as("q2"))
+    val m1 = col("a1") / col("n1"); val m2 = col("a2") / col("n2")
+    val v1 = (col("q1") - col("a1") * col("a1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("q2") - col("a2") * col("a2") / col("n2")) / (col("n2") - 1)
+    val se1 = v1 / col("n1"); val se2 = v2 / col("n2")
+    val se = se1 + se2
+    sums.select(
+      col("n1").cast("long").as("n_click"),
+      col("n2").cast("long").as("n_purchase"),
+      (m1 / 1e6).as("mean_click"),
+      (m2 / 1e6).as("mean_purchase"),
+      ((m1 - m2) / sqrt(se)).as("t_stat"),
+      (se * se / (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
+        .as("welch_df"))
+  }
+
+  private val welchOracle = """
+WITH v AS (
+  SELECT event_type,
+    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic
+  FROM events WHERE event_type IN ('click', 'purchase')),
+sums AS (
+  SELECT
+    CAST(count(*) FILTER (event_type = 'click') AS DOUBLE) AS n1,
+    CAST(sum(CAST(vmic AS DECIMAL(30,0)))
+         FILTER (event_type = 'click') AS DOUBLE) AS a1,
+    CAST(sum(CAST(vmic * vmic AS DECIMAL(30,0)))
+         FILTER (event_type = 'click') AS DOUBLE) AS q1,
+    CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE) AS n2,
+    CAST(sum(CAST(vmic AS DECIMAL(30,0)))
+         FILTER (event_type = 'purchase') AS DOUBLE) AS a2,
+    CAST(sum(CAST(vmic * vmic AS DECIMAL(30,0)))
+         FILTER (event_type = 'purchase') AS DOUBLE) AS q2
+  FROM v),
+st AS (
+  SELECT n1, n2, a1 / n1 AS m1, a2 / n2 AS m2,
+    ((q1 - a1 * a1 / n1) / (n1 - 1)) / n1 AS se1,
+    ((q2 - a2 * a2 / n2) / (n2 - 1)) / n2 AS se2
+  FROM sums)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+  m1 / 1e6 AS mean_click, m2 / 1e6 AS mean_purchase,
+  (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+  (se1 + se2) * (se1 + se2)
+    / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)) AS welch_df
+FROM st
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_chi2_independence" ->
+      QueryDef(chi2Independence, Some(chi2Oracle)),
+    "stats_welch_ttest" -> QueryDef(welchTTest, Some(welchOracle)),
     "stats_quantiles_histogram" ->
       QueryDef(quantilesHistogram, Some(quantilesHistogramOracle)),
     "stats_mode_custom_agg" -> QueryDef(modeOrderPriority, Some(modeOracle)),
