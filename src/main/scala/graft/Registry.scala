@@ -40,7 +40,8 @@ object Registry {
     ops.LayoutOps.queries,
     ops.TimeSeriesOps.queries,
     ops.PartSuppOps.queries,
-    ops.CurriculumOps.queries
+    ops.CurriculumOps.queries,
+    ops.GraphOps.queries
   ).reduce(_ ++ _)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =

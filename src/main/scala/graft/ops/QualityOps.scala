@@ -109,8 +109,56 @@ UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM a
 ORDER BY rule
 """
 
+  // ------------------------------------------------- volume anomaly scan
+  /** Ingest-volume anomaly detection — the drift monitor a production
+    * pipeline runs per partition landing: daily event counts per type,
+    * z-scored against that type's own history. One fact pass aggregates to
+    * the (type, day) grid; the per-type mean/stddev then derive from exact
+    * integer power sums over that TINY grid (never a second corpus pass)
+    * and broadcast-join back. The z computation is a fixed IEEE op
+    * sequence on exact integers, so the ±2σ anomaly cut is bit-identical
+    * cross-engine — a flagged day can't flap.
+    */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val daily = Registry.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("nd"),
+      sum("n_events").cast("double").as("s1"),
+      sum(col("n_events") * col("n_events")).cast("double").as("s2"))
+    val mean = col("s1") / col("nd")
+    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("nd"))
+      / (col("nd") - 1))
+    val z = (col("n_events").cast("double") - mean) / sd
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"), col("n_events"),
+        z.as("zscore"), (abs(z) >= 2.0).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  private val anomalyZscoreOracle = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type,
+    CAST(count(*) AS DOUBLE) AS nd,
+    CAST(CAST(sum(n_events) AS BIGINT) AS DOUBLE) AS s1,
+    CAST(CAST(sum(n_events * n_events) AS BIGINT) AS DOUBLE) AS s2
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, d.day, d.n_events,
+  (CAST(d.n_events AS DOUBLE) - s1 / nd)
+    / sqrt((s2 - s1 * s1 / nd) / (nd - 1)) AS zscore,
+  abs((CAST(d.n_events AS DOUBLE) - s1 / nd)
+    / sqrt((s2 - s1 * s1 / nd) / (nd - 1))) >= 2.0 AS is_anomaly
+FROM daily d JOIN stats s ON s.event_type = d.event_type
+ORDER BY d.event_type, day
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "dq_profile_orders" -> QueryDef(profileOrders, Some(profileOracle)),
-    "dq_expectations" -> QueryDef(expectations, Some(expectationsOracle))
+    "dq_expectations" -> QueryDef(expectations, Some(expectationsOracle)),
+    "dq_anomaly_zscore" -> QueryDef(anomalyZscore, Some(anomalyZscoreOracle))
   )
 }
