@@ -346,11 +346,16 @@ ORDER BY i, j
     */
   def shingleCosinePairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    // materialize the posting list once (localCheckpoint): norms and both
+    // sides of the self-join read it from memory instead of replaying the
+    // shingle explode + aggregation 3× — the production form persists the
+    // inverted index before the pair join at any scale
     val tf = docs(s, dir)
       .select(col("doc_id"),
         explode(call_function("shingle_hashes_5", split(col("text"), " ")))
           .as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val norms = tf.groupBy("doc_id")
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val a = tf.as("a"); val b = tf.as("b")

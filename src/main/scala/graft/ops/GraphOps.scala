@@ -36,11 +36,14 @@ object GraphOps {
     * beyond that, coarsen the grid or lift shares to decimal.
     *
     * Rank mass: teleport = (15·Scale) div (100·N) to each node, 85% of
-    * each node's rank distributed by share. Nodes without out-edges leak
-    * their damped mass (the standard dangling simplification — none exist
-    * in this graph); integral-division remainders leak < 1e-6·Scale per
-    * step. Both are deterministic, and the oracle replays the identical
-    * arithmetic.
+    * each node's rank distributed by share, and DANGLING mass (nodes with
+    * no out-edges — at small SFs most nations have customers but no
+    * suppliers) redistributed uniformly each step, the textbook
+    * completion; without it the dangling nodes bleed the graph (73% of
+    * mass gone in 3 iterations at sf0.001). Total mass is conserved up to
+    * integral-division remainders (< 1e-4·Scale per step — the mass law in
+    * Round5PropertySpec pins it). Deterministic; the oracle replays the
+    * identical arithmetic.
     */
   def pagerankNations(s: SparkSession, dir: String): DataFrame = {
     val cents = (col("l_extendedprice")
@@ -81,14 +84,18 @@ object GraphOps {
         .join(ranks.select(col("nk").as("u"), col("r").as("ru")), "u")
         .withColumn("c", expr("(ru * share) div 1000000"))
         .groupBy("v").agg(sum("c").as("sc"))
-      ranks = nodes.crossJoin(broadcast(nn))
+      val dangling = ranks
+        .join(outw.select(col("u").as("nk")), Seq("nk"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dg"))
+      ranks = nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dangling))
         .join(contribs.select(col("v").as("nk"), col("sc")), Seq("nk"),
           "left_outer")
         .withColumn("scn", coalesce(col("sc"), lit(0L)))
         .withColumn("r",
           // 15·Scale precomputed with an L suffix: int×int literals would
           // overflow int32 under ANSI before any long promotion
-          expr(s"${15 * Scale}L div (100 * nn) + (85 * scn) div 100"))
+          expr(s"${15 * Scale}L div (100 * nn) + (85 * scn) div 100" +
+            " + (85 * dg) div (100 * nn)"))
         .select("nk", "r")
     }
     ranks
@@ -118,27 +125,39 @@ shares AS (
 nodes AS (SELECT u AS nk FROM edges UNION SELECT v FROM edges),
 tot AS (SELECT count(*) AS nn FROM nodes),
 r0 AS (SELECT nk, $Scale // nn AS r FROM nodes CROSS JOIN tot),
+d1 AS (
+  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
+  FROM r0 r WHERE r.nk NOT IN (SELECT u FROM outw)),
 c1 AS (
   SELECT sh.v, CAST(sum((r.r * sh.share) // 1000000) AS BIGINT) AS sc
   FROM shares sh JOIN r0 r ON r.nk = sh.u GROUP BY sh.v),
 r1 AS (
   SELECT n.nk,
-    ${15 * Scale} // (100 * nn) + (85 * coalesce(c.sc, 0)) // 100 AS r
-  FROM nodes n CROSS JOIN tot LEFT JOIN c1 c ON c.v = n.nk),
+    ${15 * Scale} // (100 * nn) + (85 * coalesce(c.sc, 0)) // 100
+      + (85 * dg) // (100 * nn) AS r
+  FROM nodes n CROSS JOIN tot CROSS JOIN d1 LEFT JOIN c1 c ON c.v = n.nk),
+d2 AS (
+  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
+  FROM r1 r WHERE r.nk NOT IN (SELECT u FROM outw)),
 c2 AS (
   SELECT sh.v, CAST(sum((r.r * sh.share) // 1000000) AS BIGINT) AS sc
   FROM shares sh JOIN r1 r ON r.nk = sh.u GROUP BY sh.v),
 r2 AS (
   SELECT n.nk,
-    ${15 * Scale} // (100 * nn) + (85 * coalesce(c.sc, 0)) // 100 AS r
-  FROM nodes n CROSS JOIN tot LEFT JOIN c2 c ON c.v = n.nk),
+    ${15 * Scale} // (100 * nn) + (85 * coalesce(c.sc, 0)) // 100
+      + (85 * dg) // (100 * nn) AS r
+  FROM nodes n CROSS JOIN tot CROSS JOIN d2 LEFT JOIN c2 c ON c.v = n.nk),
+d3 AS (
+  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
+  FROM r2 r WHERE r.nk NOT IN (SELECT u FROM outw)),
 c3 AS (
   SELECT sh.v, CAST(sum((r.r * sh.share) // 1000000) AS BIGINT) AS sc
   FROM shares sh JOIN r2 r ON r.nk = sh.u GROUP BY sh.v),
 r3 AS (
   SELECT n.nk,
-    ${15 * Scale} // (100 * nn) + (85 * coalesce(c.sc, 0)) // 100 AS r
-  FROM nodes n CROSS JOIN tot LEFT JOIN c3 c ON c.v = n.nk)
+    ${15 * Scale} // (100 * nn) + (85 * coalesce(c.sc, 0)) // 100
+      + (85 * dg) // (100 * nn) AS r
+  FROM nodes n CROSS JOIN tot CROSS JOIN d3 LEFT JOIN c3 c ON c.v = n.nk)
 SELECT na.n_name, r3.r AS rank_scaled,
   CAST(r3.r AS DOUBLE) / 1e9 AS pagerank
 FROM r3 JOIN nation na ON na.n_nationkey = r3.nk

@@ -513,7 +513,153 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
 WHERE rank <= $TopK ORDER BY query_id, rank
 """
 
+  private val PqM = 8 // subspaces
+  private val PqDim = 8 // dims per subspace (8×8 = the 64-dim vectors)
+  private val PqK = 16 // codebook entries per subspace
+
+  /** Product-quantization ANN with ADC (asymmetric distance computation) —
+    * the third classic compression scheme next to [[sq8Rerank]] (SQ8) and
+    * [[ivfMultiprobe]] (IVF): vectors are cut into [[PqM]] subspaces; each
+    * subspace has a [[PqK]]-entry codebook (deterministic init: the
+    * sub-vectors of the first 16 corpus vectors, the same seeding the IVF
+    * coarse quantizer uses); a vector's code is its per-subspace nearest
+    * centroid, 4 bits per subspace — 8 codes replace 64 floats (64× smaller
+    * than float32). Queries stay UNquantized: each probe precomputes a
+    * 16-entry distance table per subspace, and a candidate's approximate
+    * distance is the 8-way table-lookup sum — the ADC trick that makes PQ
+    * scans memory-bound instead of FLOP-bound. Top [[CandPool]] ADC
+    * candidates are then reranked with the exact cosine.
+    *
+    * Everything is exact int64 (quantized grids): encoding argmins, table
+    * entries, and the ADC sums are bit-deterministic, so the oracle
+    * replays the exact candidate cut and final ranking — PQ's recall loss
+    * vs `ann_brute_topk` is visible as rank differences, never float
+    * noise. 100 TB posture: encoding is a map pass against the broadcast
+    * codebook; the ADC scan shuffles (query, neighbor) partial sums of
+    * the code join, O(corpus·M·probes) narrow rows; exact math touches
+    * only `CandPool·probes` vectors.
+    */
+  def pqAdcRerank(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val subs = corpus.select(col("vec_id"), explode(array((0 until PqM).map {
+        m => struct(lit(m).as("sub"),
+          slice(col("qv"), m * PqDim + 1, PqDim).as("sv"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .withColumn("svn", call_function("vec_dot_long", col("sv"), col("sv")))
+    val codebook = subs.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"), col("sub"), col("sv").as("cv"),
+        col("svn").as("cvn"))
+    val wEnc = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2").asc, col("code").asc)
+    val codes = subs.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        (col("svn") + col("cvn") -
+          lit(2L) * call_function("vec_dot_long", col("sv"), col("cv")))
+          .as("d2"))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sub", "code")
+    val dtab = subs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sv").as("psv"), col("svn").as("psvn"))
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        (col("psvn") + col("cvn") -
+          lit(2L) * call_function("vec_dot_long", col("psv"), col("cv")))
+          .as("pd2"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    val cands = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pd2").as("adc_d2"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= CandPool)
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("query_id"), col("qv").as("pq"),
+        col("nrm").as("pnrm"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("qv"),
+        col("nrm")), "neighbor_id")
+      .join(broadcast(probes), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("pq"), col("qv"), col("pnrm"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val pqAdcOracle = s"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+subs AS (
+  SELECT vec_id, u.sub,
+    qv[u.sub*$PqDim+1 : u.sub*$PqDim+$PqDim] AS sv
+  FROM q, (SELECT unnest(range(0, $PqM)) AS sub) u),
+subn AS (
+  SELECT vec_id, sub, sv,
+    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS svn
+  FROM subs),
+cb AS (
+  SELECT vec_id AS code, sub, sv AS cv, svn AS cvn
+  FROM subn WHERE vec_id < $PqK),
+enc AS (
+  SELECT vec_id, sub, code,
+    row_number() OVER (PARTITION BY vec_id, sub ORDER BY
+      svn + cvn - 2 * CAST(list_sum(
+        list_transform(range(1, ${PqDim + 1}), k -> sv[k] * cv[k]))
+        AS BIGINT) ASC,
+      code ASC) AS rk
+  FROM subn JOIN cb USING (sub)),
+codes AS (SELECT vec_id, sub, code FROM enc WHERE rk = 1),
+dtab AS (
+  SELECT p.vec_id AS query_id, p.sub, cb.code,
+    p.svn + cb.cvn - 2 * CAST(list_sum(
+      list_transform(range(1, ${PqDim + 1}), k -> p.sv[k] * cb.cv[k]))
+      AS BIGINT) AS pd2
+  FROM subn p JOIN cb USING (sub)
+  WHERE p.vec_id < $NumProbes),
+adc AS (
+  SELECT d.query_id, c.vec_id AS neighbor_id,
+    CAST(sum(d.pd2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN dtab d ON d.sub = c.sub AND d.code = c.code
+  WHERE c.vec_id <> d.query_id
+  GROUP BY 1, 2),
+cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_d2 ASC, neighbor_id ASC) AS arank
+    FROM adc)
+  WHERE arank <= $CandPool),
+reranked AS (
+  SELECT ca.query_id, ca.neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k]))
+         AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM cands ca
+  JOIN q p ON p.vec_id = ca.query_id
+  JOIN q c ON c.vec_id = ca.neighbor_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM reranked)
+WHERE rank <= $TopK ORDER BY query_id, rank
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "ann_pq_adc" -> QueryDef(pqAdcRerank, Some(pqAdcOracle)),
     "ann_brute_topk" -> QueryDef(bruteForceTopK, Some(bruteForceOracle)),
     "ann_sq8_rerank" -> QueryDef(sq8Rerank, Some(sq8RerankOracle)),
     "ann_ivf_label" -> QueryDef(ivfTopK, Some(ivfOracle)),

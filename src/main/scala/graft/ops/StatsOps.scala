@@ -382,8 +382,14 @@ FROM cum GROUP BY o_orderpriority ORDER BY o_orderpriority
     * accumulation order.
     */
   def chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint the contingency cells: row totals, column totals, the
+    // grand total and the cell join all re-read the |langs|·|sources|-row
+    // table from memory — without it each derivation replays the corpus
+    // aggregation (measured: 4 fact scans; ReuseExchange does not fire
+    // across the differing parent aggregates)
     val cells = table(s, dir, "documents")
       .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val rows = cells.groupBy("lang").agg(sum("o").as("r"))
     val cols = cells.groupBy("source").agg(sum("o").as("c"))
     val tot = cells.agg(sum("o").as("n"),
@@ -498,7 +504,67 @@ SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
 FROM st
 """
 
+  /** Exact 10%-two-sided TRIMMED mean per group, by the same histogram-
+    * selection machinery as [[quantilesHistogram]] — the robust-statistics
+    * member of the family: the (group, value¢) histogram is a distributed
+    * map-side-combined aggregate; each distinct value then contributes
+    * `min(cum, hi) − max(cum − c, lo)` (clamped ≥ 0) kept copies, where
+    * (lo, hi] is the kept rank band — so the trim needs NO per-group sort
+    * of raw rows, only the cumulative walk over distinct values. Integer
+    * cents end-to-end; the mean is two final IEEE divisions mirrored in
+    * the oracle. `lo = n div 10` keeps even the band edges integral.
+    */
+  def trimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val hist = table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), cents.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("o_orderpriority").orderBy("v")
+    val wAll = Window.partitionBy("o_orderpriority")
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .withColumn("lo", expr("n div 10"))
+      .withColumn("hi", col("n") - col("lo"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("hi")) - greatest(col("cum") - col("c"), col("lo"))))
+      .groupBy("o_orderpriority")
+      .agg(max("n").as("n"), max(col("hi") - col("lo")).as("kept_n"),
+        sum(col("v") * col("kept")).as("kept_cents"))
+      .select(col("o_orderpriority"), col("n"), col("kept_n"),
+        (col("kept_cents").cast("double") / col("kept_n") / 100)
+          .as("trimmed_mean"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val trimmedMeanOracle = """
+WITH hist AS (
+  SELECT o_orderpriority,
+    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+    count(*) AS c
+  FROM orders GROUP BY 1, 2),
+cum AS (
+  SELECT o_orderpriority, v, c,
+    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v) AS cum,
+    sum(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM hist),
+kept AS (
+  SELECT o_orderpriority, v, n, n // 10 AS lo, n - n // 10 AS hi,
+    greatest(0, least(cum, n - n // 10) - greatest(cum - c, n // 10)) AS k
+  FROM cum)
+SELECT o_orderpriority,
+  CAST(max(n) AS BIGINT) AS n,
+  CAST(max(hi - lo) AS BIGINT) AS kept_n,
+  CAST(CAST(sum(v * k) AS BIGINT) AS DOUBLE) / max(hi - lo) / 100
+    AS trimmed_mean
+FROM kept GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_trimmed_mean" -> QueryDef(trimmedMean, Some(trimmedMeanOracle)),
     "stats_chi2_independence" ->
       QueryDef(chi2Independence, Some(chi2Oracle)),
     "stats_welch_ttest" -> QueryDef(welchTTest, Some(welchOracle)),

@@ -328,6 +328,31 @@ class PlanSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), "no hash/merge equi-join found")
   }
 
+  test("chi2 + pagerank: iterations/derivations read checkpointed state, not the fact table") {
+    // both ops materialize their tiny reduction (contingency cells / edge
+    // list) with localCheckpoint; everything downstream must plan against
+    // the in-memory RDD — a parquet scan in the final plan means a
+    // derivation is replaying the corpus pass
+    val chi = executedPlan(ops.StatsOps.chi2Independence(spark, sfDir))
+    assert(!chi.contains("Scan parquet") && chi.contains("ExistingRDD"),
+      s"chi2 derivations replay the fact scan:\n${chi.take(2000)}")
+    val pr = executedPlan(ops.GraphOps.pagerankNations(spark, sfDir))
+    assert(!pr.contains("lineitem"),
+      s"pagerank iterations replay the fact join:\n${pr.take(2000)}")
+    assert(!pr.contains("CartesianProduct"),
+      "scalar N broadcast degraded to a cartesian product")
+  }
+
+  test("pq-adc: codebook and distance tables broadcast, no cartesian, no SMJ") {
+    val plan = executedPlan(ops.Similarity.pqAdcRerank(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ pipeline grew a cartesian product:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "codebook/dtab/probe joins must broadcast, not sort-merge")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      "expected codebook, dtab and probe joins to broadcast")
+  }
+
   test("bm25: broadcast 1-row stats, map-only scoring, TakeOrdered top-k") {
     val plan = executedPlan(ops.SearchOps.bm25TopK(spark, sfDir))
     // corpus stats join the per-doc stream as a broadcast (1 row) — never a

@@ -68,4 +68,75 @@ class Round5PropertySpec extends SparkSpec {
       assert(members.exists(_.getLong(0) == rep))
     }
   }
+
+  // ---------------------------------------------- trimmed-mean kernel law
+  /** The spec: drop the lowest `n div 10` and highest `n div 10` values,
+    * average the remainder.
+    */
+  private def trimmedSpec(xs: List[Long]): (Long, Double) = {
+    val lo = xs.size / 10
+    val kept = xs.sorted.slice(lo, xs.size - lo)
+    (kept.size.toLong, kept.sum.toDouble / kept.size)
+  }
+
+  test("histogram trimmed mean equals the sorted-slice definition on any multiset") {
+    forAllSeeded(valueLists, n = 25) { xs =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hist = xs.toDF("v").groupBy("v").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val row = hist
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("lo", expr("n div 10"))
+        .withColumn("hi", col("n") - col("lo"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("hi")) -
+            greatest(col("cum") - col("c"), col("lo"))))
+        .agg(max(col("hi") - col("lo")).as("kept_n"),
+          sum(col("v") * col("kept")).as("kept_sum"))
+        .head()
+      val (keptN, mean) = trimmedSpec(xs)
+      assert(row.getLong(0) == keptN, s"kept_n on $xs")
+      assert(row.getLong(1).toDouble / row.getLong(0) == mean, s"mean on $xs")
+    }
+  }
+
+  // ------------------------------------------------- containment vs jaccard
+  test("containment pairs are a superset of jaccard pairs at the same threshold") {
+    // C(A,B) = |A∩B|/min(|A|,|B|) ≥ |A∩B|/|A∪B| = J(A,B), so every
+    // jaccard-0.8 pair must appear among the containment-0.8 pairs
+    val jac = ops.Dedup.jaccardPairs(spark, sfDir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = ops.Dedup.containmentPairs(spark, sfDir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(cont),
+      s"jaccard pairs missing from containment: ${jac.diff(cont).take(5)}")
+    assert(cont.nonEmpty)
+  }
+
+  // -------------------------------------------------- pagerank mass laws
+  test("pagerank: every rank at least teleport share, total mass bounded by Scale") {
+    val ranks = ops.GraphOps.pagerankNations(spark, sfDir)
+      .select("rank_scaled").collect().map(_.getLong(0))
+    val n = ranks.length
+    val teleport = 15L * 1000000000L / (100L * n)
+    assert(ranks.forall(_ >= teleport),
+      s"a node fell below the teleport floor $teleport")
+    // integral-division remainders and damped leakage only ever LOSE mass
+    assert(ranks.sum <= 1000000000L, s"mass grew: ${ranks.sum}")
+    assert(ranks.sum > 900000000L, s"mass leaked implausibly: ${ranks.sum}")
+  }
+
+  // ----------------------------------------------------- welch df bounds
+  test("welch df lies in [min(n1,n2)-1, n1+n2-2] and t is finite") {
+    val r = ops.StatsOps.welchTTest(spark, sfDir).head()
+    val n1 = r.getAs[Long]("n_click"); val n2 = r.getAs[Long]("n_purchase")
+    val df = r.getAs[Double]("welch_df")
+    assert(df >= (math.min(n1, n2) - 1).toDouble - 1e-9)
+    assert(df <= (n1 + n2 - 2).toDouble + 1e-9)
+    assert(!r.getAs[Double]("t_stat").isNaN)
+  }
 }
