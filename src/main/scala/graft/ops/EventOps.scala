@@ -297,7 +297,53 @@ WHERE date_diff('day', c.cohort, a.day) <= 7
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+  // -------------------------------------------------- Markov transitions
+  /** First-order Markov transition statistics over each user's time-ordered
+    * event sequence: count (current → next) event-type bigrams via one lag
+    * window per user, then the row-conditional transition probability
+    * P(next | current). The window partitions by user (parallel at any
+    * scale); the transition matrix is |types|² — tiny — and the
+    * probability is ONE division of exact counts, so the matrix is
+    * hash-exact cross-engine. The sequence-model cousin of
+    * `text_bigram_quality`, on behavioral rather than textual tokens.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bi = Registry.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead("cur", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      // |types|²-row matrix: checkpoint so the row-totals derivation and
+      // the probability join don't replay the corpus window+aggregation
+      .localCheckpoint()
+    val totals = bi.groupBy("cur").agg(sum("n").as("n_cur"))
+    bi.join(broadcast(totals), "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        (col("n").cast("double") / col("n_cur")).as("p"))
+      .orderBy("cur", "nxt")
+  }
+
+  private val markovOracle = """
+WITH seq AS (
+  SELECT event_type AS cur,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+  FROM events),
+bi AS (
+  SELECT cur, nxt, count(*) AS n FROM seq
+  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM bi GROUP BY cur)
+SELECT bi.cur, bi.nxt, bi.n,
+  CAST(bi.n AS DOUBLE) / t.n_cur AS p
+FROM bi JOIN t ON t.cur = bi.cur
+ORDER BY bi.cur, nxt
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "events_markov_transitions" ->
+      QueryDef(markovTransitions, Some(markovOracle)),
     "interval_bucket_join" ->
       QueryDef(intervalBucketJoin, Some(intervalBucketJoinOracle)),
     "retention_cohorts" ->

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Registry}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -382,7 +382,136 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 GROUP BY p_brand ORDER BY p_brand
 """
 
+  // ------------------------------------------------------ RFM segmentation
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic warehouse scoring op: per customer, days since last order,
+    * order count, and exact lifetime cents; each scored into quintiles
+    * WITHIN the customer's market segment (the partitioned form — a global
+    * ntile would funnel every customer through one task; per-segment
+    * quintiles parallelize and are the analytically meaningful
+    * comparison). Deterministic: every ntile orders by (metric, custkey).
+    * One fact aggregation + one broadcast scalar + three windows over the
+    * same segment partitioning (one exchange).
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val o = Registry.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        cents.as("wt"))
+    val refDate = o.agg(max("d").as("ref"))
+    val perCust = o.groupBy("o_custkey")
+      .agg(max("d").as("last_d"), count(lit(1)).as("frequency"),
+        sum("wt").as("monetary_cents"))
+      .crossJoin(broadcast(refDate))
+      .withColumn("recency_days", datediff(col("ref"), col("last_d")))
+    def quintile(metric: Column): Column =
+      ntile(5).over(Window.partitionBy("c_mktsegment")
+        .orderBy(metric, col("o_custkey").asc)).cast("long")
+    perCust
+      .join(Registry.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_mktsegment"),
+        col("recency_days").cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        quintile(col("recency_days").asc).as("r_q"),
+        quintile(col("frequency").desc).as("f_q"),
+        quintile(col("monetary_cents").desc).as("m_q"))
+      .orderBy("custkey")
+  }
+
+  private val rfmOracle = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS wt
+  FROM orders),
+ref AS (SELECT max(d) AS refd FROM o),
+pc AS (
+  SELECT o_custkey, max(d) AS last_d,
+    count(*) AS frequency,
+    CAST(sum(wt) AS BIGINT) AS monetary_cents
+  FROM o GROUP BY o_custkey),
+j AS (
+  SELECT o_custkey AS custkey, c_mktsegment,
+    CAST(date_diff('day', last_d, refd) AS BIGINT) AS recency_days,
+    frequency, monetary_cents
+  FROM pc CROSS JOIN ref JOIN customer ON c_custkey = o_custkey)
+SELECT custkey, c_mktsegment, recency_days, frequency, monetary_cents,
+  CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+    ORDER BY recency_days ASC, custkey ASC) AS BIGINT) AS r_q,
+  CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+    ORDER BY frequency DESC, custkey ASC) AS BIGINT) AS f_q,
+  CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+    ORDER BY monetary_cents DESC, custkey ASC) AS BIGINT) AS m_q
+FROM j ORDER BY custkey
+"""
+
+  // ------------------------------------------------- market-basket lift
+  /** Market-basket affinity between part brands: for every unordered brand
+    * pair co-occurring in an order, support counts and the lift statistic
+    * n_ab·N / (n_a·n_b). The pair join is WITHIN-ORDER (self-join on
+    * o_orderkey over the deduplicated order×brand set) — baskets are
+    * bounded (≤7 lineitems), so candidate pairs stay linear in orders and
+    * the shuffle key is the order key, never a brand cross product. The
+    * lift threshold is decided in exact integers (n_ab·N > n_a·n_b ⟺
+    * lift > 1); the surfaced lift is one IEEE division sequence. The
+    * basket matrix (brands²-bounded) is checkpointed so the margin join
+    * doesn't replay the fact scan.
+    */
+  def basketBrandLift(s: SparkSession, dir: String): DataFrame = {
+    val ob = Registry.table(s, dir, "lineitem")
+      .join(broadcast(Registry.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+      .localCheckpoint()
+    val nOrders = ob.select("okey").distinct().count()
+    val margins = ob.groupBy("brand").agg(count(lit(1)).as("n_b"))
+    val a = ob.as("a"); val b = ob.as("b")
+    val pairs = a.join(b, col("a.okey") === col("b.okey") &&
+        col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(margins.select(col("brand").as("brand_a"),
+        col("n_b").as("n_a"))), "brand_a")
+      .join(broadcast(margins.select(col("brand").as("brand_b"),
+        col("n_b").as("n_bb"))), "brand_b")
+      .filter(col("n_ab") * lit(nOrders) > col("n_a") * col("n_bb"))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        (col("n_ab").cast("double") * lit(nOrders).cast("double") /
+          (col("n_a").cast("double") * col("n_bb").cast("double")))
+          .as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  private val basketLiftOracle = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+m AS (SELECT brand, count(*) AS n_b FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2)
+SELECT brand_a, brand_b, n_ab,
+  CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+    / (CAST(ma.n_b AS DOUBLE) * CAST(mb.n_b AS DOUBLE)) AS lift
+FROM pairs
+JOIN m ma ON ma.brand = brand_a
+JOIN m mb ON mb.brand = brand_b
+CROSS JOIN n
+WHERE n_ab * n_orders > ma.n_b * mb.n_b
+ORDER BY brand_a, brand_b
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "basket_brand_lift" -> QueryDef(basketBrandLift, Some(basketLiftOracle)),
+    "rfm_customer_segments" -> QueryDef(rfmSegments, Some(rfmOracle)),
     "q19_disjunctive_join" ->
       QueryDef(disjunctiveJoin, Some(disjunctiveJoinOracle)),
     "q6_forecast_revenue" ->

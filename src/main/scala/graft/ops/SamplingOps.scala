@@ -142,7 +142,77 @@ ORDER BY draw ASC, o_orderkey ASC
 LIMIT 50
 """
 
+  private val PpsK = 100L // systematic draws
+
+  /** Systematic probability-proportional-to-size (PPS) sampling — the
+    * auditing/survey-sampling standard: lay the [[PpsK]] evenly spaced
+    * selection points p_i = ((2i+1)·W) div (2k) over the cumulative-weight
+    * axis (W = total order value in cents) and select every order whose
+    * cumulative interval contains a point; heavy orders can be hit more
+    * than once (multiplicity = their weight share times k). No RNG at all:
+    * the draw is a pure function of the data, reproducible on rerun and
+    * engine-portable because the hit count per row has the closed integer
+    * form f(cum) − f(cum − w) with f(x) = clamp((2k·x + W − 1) div (2W),
+    * 0, k). One window pass in key order + one broadcast scalar — no
+    * per-row loop over the k points.
+    */
+  def systematicPps(s: SparkSession, dir: String): DataFrame = {
+    // the global cumulative sum is a TWO-LEVEL prefix sum, never a global
+    // single-partition window: within-bucket running sums parallelize over
+    // deterministic key-range buckets (o_orderkey div 4096), and only the
+    // per-bucket totals — thousands of rows at any SF — pass through the
+    // unpartitioned offset window
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val wIn = Window.partitionBy("bkt").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = Registry.table(s, dir, "orders")
+      .select(col("o_orderkey"), cents.as("wt"))
+      .withColumn("bkt", expr("o_orderkey div 4096"))
+      .withColumn("cum_in", sum("wt").over(wIn))
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = inBucket.groupBy("bkt").agg(sum("wt").as("bw"))
+      .withColumn("off", coalesce(sum("bw").over(wOff), lit(0L)))
+      .select("bkt", "off")
+    val cum = inBucket.join(broadcast(offsets), "bkt")
+      .withColumn("cum", col("cum_in") + col("off"))
+    val tot = cum.agg(max("cum").as("bigw"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("f_hi", greatest(lit(0L), least(lit(PpsK),
+        expr(s"(2 * $PpsK * cum + bigw - 1) div (2 * bigw)"))))
+      .withColumn("f_lo", greatest(lit(0L), least(lit(PpsK),
+        expr(s"(2 * $PpsK * (cum - wt) + bigw - 1) div (2 * bigw)"))))
+      .withColumn("hits", col("f_hi") - col("f_lo"))
+      .filter(col("hits") > 0)
+      .select(col("o_orderkey"), col("wt"), col("hits"))
+      .orderBy("o_orderkey")
+  }
+
+  private val systematicPpsOracle = s"""
+WITH c AS (
+  SELECT o_orderkey,
+    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS wt,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT))
+      OVER (ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum
+  FROM orders),
+t AS (SELECT max(cum) AS bigw FROM c),
+h AS (
+  SELECT o_orderkey, wt,
+    greatest(0, least($PpsK,
+      (2 * $PpsK * cum + bigw - 1) // (2 * bigw))) -
+    greatest(0, least($PpsK,
+      (2 * $PpsK * (cum - wt) + bigw - 1) // (2 * bigw))) AS hits
+  FROM c CROSS JOIN t)
+SELECT o_orderkey, wt, hits FROM h WHERE hits > 0 ORDER BY o_orderkey
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "sample_systematic_pps" ->
+      QueryDef(systematicPps, Some(systematicPpsOracle)),
     "sample_reservoir_orders" ->
       QueryDef(reservoirOrders, Some(reservoirOracle)),
     "sample_hash_split" -> QueryDef(hashSplit, Some(hashSplitOracle)),

@@ -74,6 +74,61 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("LEFT OUTER stream-stream join: inner part exact, nulls emitted by watermark") {
+    import org.apache.spark.sql.functions._
+    // purchases left-joined to same-user signups in the preceding hour;
+    // unmatched purchases must surface with null s_id — but only once the
+    // watermark PROVES no matching signup can still arrive (wm > p_ts).
+    val purchases = EventStream.readEvents(spark, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = EventStream.readEvents(spark, eventsPath)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("interval 1 hour"),
+      "left_outer")
+      .select("p_id", "s_id")
+    val got = EventStream.runToMemory(spark, joined, "stream_ss_left_join",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+    val gotInner = got.filter(!_.isNullAt(1)).map(_.toSeq).toSet
+    val gotNullIds = got.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+
+    val ev = Registry.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val sgn = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+    val cond = col("p_user") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr("interval 1 hour")
+    val expInner = p.join(sgn, cond).select("p_id", "s_id")
+      .collect().map(_.toSeq).toSet
+    assert(gotInner == expInner, "inner part of the left-outer join drifted")
+    // the watermark the bounded run ends on: min over both inputs of
+    // (max event time − 1h); a purchase can emit its null row only when
+    // wm > p_ts (the latest admissible signup is at s_ts = p_ts)
+    val wmMs = math.min(
+      p.agg(max("p_ts")).head().getTimestamp(0).getTime,
+      sgn.agg(max("s_ts")).head().getTimestamp(0).getTime) - 3600 * 1000L
+    val unmatchedFlushable = p.join(sgn, cond, "left_anti")
+      .filter(col("p_ts") < timestamp_millis(lit(wmMs)))
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(gotNullIds == unmatchedFlushable,
+      s"null-row set mismatch: extra=${(gotNullIds -- unmatchedFlushable).take(5)} " +
+        s"missing=${(unmatchedFlushable -- gotNullIds).take(5)}")
+    assert(gotNullIds.nonEmpty, "test vacuous: no unmatched purchase flushed")
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals batch session_window") {
     import spark.implicits._
     val stream = EventStream.readEvents(spark, eventsPath)
