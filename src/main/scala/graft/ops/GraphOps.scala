@@ -70,15 +70,22 @@ object GraphOps {
       .withColumn("w6", expr("wc div 100"))
       .filter(col("w6") > 0)
       .localCheckpoint()
-    val outw = edges.groupBy("u").agg(sum("w6").as("wu"))
+    // shares/nodes are ≤625/≤50 rows: checkpoint them too so the three
+    // iterations don't re-derive the joins/distinct (each re-derivation is
+    // a stage; on a tiny graph the stage COUNT is the whole cost), and
+    // resolve the node count to a literal — N is part of the statistic's
+    // definition, folding it removes two broadcast exchanges per iteration
+    val outw = edges.groupBy("u").agg(sum("w6").as("wu")).localCheckpoint()
     val shares = edges.join(outw, "u")
       .withColumn("share", expr("(w6 * 1000000) div wu"))
-      .select("u", "v", "share")
+      .select("u", "v", "share").localCheckpoint()
     val nodes = edges.select(col("u").as("nk"))
-      .union(edges.select(col("v").as("nk"))).distinct()
-    val nn = nodes.agg(count(lit(1)).as("nn"))
-    var ranks = nodes.crossJoin(broadcast(nn))
-      .withColumn("r", expr(s"$Scale div nn")).select("nk", "r")
+      .union(edges.select(col("v").as("nk"))).distinct().localCheckpoint()
+    val nnV: Long = nodes.count()
+    // 15·Scale with explicit L: int×int literals would overflow int32
+    // under ANSI before any long promotion
+    val teleport = s"${15 * Scale}L div ${100 * nnV}"
+    var ranks = nodes.withColumn("r", lit(Scale / nnV)).select("nk", "r")
     for (_ <- 1 to 3) {
       val contribs = shares
         .join(ranks.select(col("nk").as("u"), col("r").as("ru")), "u")
@@ -87,15 +94,12 @@ object GraphOps {
       val dangling = ranks
         .join(outw.select(col("u").as("nk")), Seq("nk"), "left_anti")
         .agg(coalesce(sum("r"), lit(0L)).as("dg"))
-      ranks = nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dangling))
+      ranks = nodes.crossJoin(broadcast(dangling))
         .join(contribs.select(col("v").as("nk"), col("sc")), Seq("nk"),
           "left_outer")
         .withColumn("scn", coalesce(col("sc"), lit(0L)))
         .withColumn("r",
-          // 15·Scale precomputed with an L suffix: int×int literals would
-          // overflow int32 under ANSI before any long promotion
-          expr(s"${15 * Scale}L div (100 * nn) + (85 * scn) div 100" +
-            " + (85 * dg) div (100 * nn)"))
+          expr(s"$teleport + (85 * scn) div 100 + (85 * dg) div ${100 * nnV}"))
         .select("nk", "r")
     }
     ranks

@@ -451,29 +451,36 @@ FROM j ORDER BY custkey
   // ------------------------------------------------- market-basket lift
   /** Market-basket affinity between part brands: for every unordered brand
     * pair co-occurring in an order, support counts and the lift statistic
-    * n_ab·N / (n_a·n_b). The pair join is WITHIN-ORDER (self-join on
-    * o_orderkey over the deduplicated order×brand set) — baskets are
-    * bounded (≤7 lineitems), so candidate pairs stay linear in orders and
-    * the shuffle key is the order key, never a brand cross product. The
-    * lift threshold is decided in exact integers (n_ab·N > n_a·n_b ⟺
-    * lift > 1); the surfaced lift is one IEEE division sequence. The
-    * basket matrix (brands²-bounded) is checkpointed so the margin join
-    * doesn't replay the fact scan.
+    * n_ab·N / (n_a·n_b). Pair generation is WITHIN-ORDER: one shuffle
+    * groups the fact table into per-basket sorted brand sets, and the
+    * unordered pairs come from a per-row array combination — baskets are
+    * bounded (≤7 lineitems), so pairs stay linear in orders with no
+    * self-join and no brand cross product. The lift threshold is decided
+    * in exact integers (n_ab·N > n_a·n_b ⟺ lift > 1); the surfaced lift
+    * is one IEEE division sequence. The checkpointed basket table feeds
+    * margins, pairs and the order count without replaying the fact scan.
     */
   def basketBrandLift(s: SparkSession, dir: String): DataFrame = {
-    val ob = Registry.table(s, dir, "lineitem")
+    // ONE corpus shuffle (groupBy order key → distinct brand set per
+    // basket), then pairs are generated per-row by array combination —
+    // baskets are bounded, so no okey self-join and no second corpus
+    // shuffle; the checkpointed basket table feeds margins, pairs and the
+    // order count
+    val baskets = Registry.table(s, dir, "lineitem")
       .join(broadcast(Registry.table(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       .localCheckpoint()
-    val nOrders = ob.select("okey").distinct().count()
-    val margins = ob.groupBy("brand").agg(count(lit(1)).as("n_b"))
-    val a = ob.as("a"); val b = ob.as("b")
-    val pairs = a.join(b, col("a.okey") === col("b.okey") &&
-        col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+    val nOrders = baskets.count()
+    val margins = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_b"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), i + 2, size(col("bs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(margins.select(col("brand").as("brand_a"),

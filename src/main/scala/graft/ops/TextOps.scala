@@ -428,7 +428,52 @@ ORDER BY n DESC, pair ASC
 LIMIT 20
 """
 
+  // ------------------------------------------------ vocabulary coverage
+  private val VocabSize = 20
+
+  /** Tokenizer-vocabulary coverage audit — the health check run before
+    * committing to a vocabulary: fix the vocab as the corpus's top
+    * [[VocabSize]] tokens (count desc, token asc — deterministic), then
+    * measure per-source out-of-vocabulary rates. The vocab derivation is
+    * the heavy-hitter aggregation (map-side combined, O(vocabulary)
+    * shuffle); the audit join is a BROADCAST membership probe — the corpus
+    * is never shuffled. Integer counts, one final division.
+    */
+  def vocabOovRate(s: SparkSession, dir: String): DataFrame = {
+    val ex = docs(s, dir)
+      .select(col("source"), explode(WS_TOKENS).as("tok"))
+    val vocab = ex.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(VocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    ex.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("source")
+  }
+
+  private val vocabOovOracle = s"""
+WITH ex AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM ex GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT $VocabSize)),
+audit AS (
+  SELECT source, count(*) AS n_tokens,
+    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM ex LEFT JOIN vocab v USING (tok)
+  GROUP BY source)
+SELECT source, n_tokens, n_oov,
+  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+FROM audit ORDER BY source
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "vocab_oov_rate" -> QueryDef(vocabOovRate, Some(vocabOovOracle)),
     "vocab_bpe_first_merge" ->
       QueryDef(bpeFirstMerge, Some(bpeFirstMergeOracle)),
     "text_boilerplate_removal" ->
