@@ -130,6 +130,58 @@ class Round5PropertySpec extends SparkSpec {
     assert(ranks.sum > 900000000L, s"mass leaked implausibly: ${ranks.sum}")
   }
 
+  // ------------------------------------------------ systematic PPS laws
+  private val weightLists: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(1L, 5000L))
+
+  test("systematic PPS hit counts partition exactly k draws on any weights") {
+    forAllSeeded(weightLists, n = 25) { ws =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = 7L
+      val w = Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = ws.zipWithIndex.map { case (wt, i) => (i.toLong, wt) }
+        .toDF("id", "wt")
+        .withColumn("cum", sum("wt").over(w))
+      val tot = cum.agg(max("cum").as("bigw"))
+      val hits = cum.crossJoin(broadcast(tot))
+        .withColumn("f_hi", greatest(lit(0L), least(lit(k),
+          expr(s"(2 * $k * cum + bigw - 1) div (2 * bigw)"))))
+        .withColumn("f_lo", greatest(lit(0L), least(lit(k),
+          expr(s"(2 * $k * (cum - wt) + bigw - 1) div (2 * bigw)"))))
+        .withColumn("hits", col("f_hi") - col("f_lo"))
+      val rows = hits.select("wt", "hits").collect()
+      // the k evenly spaced draws are partitioned among the rows: every
+      // hit count non-negative, total exactly k
+      assert(rows.forall(_.getLong(1) >= 0), s"negative hits on $ws")
+      assert(rows.map(_.getLong(1)).sum == k, s"draw total != $k on $ws")
+      // a row hit more than once must carry more than 1/k of total weight
+      val bigw = ws.sum.toDouble
+      rows.filter(_.getLong(1) >= 2).foreach { r =>
+        assert(r.getLong(0) > bigw / k / 2, s"light row multi-hit on $ws")
+      }
+    }
+  }
+
+  // -------------------------------------------------- basket margin law
+  test("basket lift pair supports never exceed either margin") {
+    val lift = ops.RelationalExtras.basketBrandLift(spark, sfDir).collect()
+    val baskets = Registry.table(spark, sfDir, "lineitem")
+      .join(Registry.table(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lift.nonEmpty)
+    lift.foreach { r =>
+      val (a, b, nab) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(nab <= math.min(baskets(a), baskets(b)),
+        s"support $nab exceeds margin of $a/$b")
+      assert(r.getDouble(3) > 1.0, "emitted pair with lift <= 1")
+    }
+  }
+
   // ----------------------------------------------------- welch df bounds
   test("welch df lies in [min(n1,n2)-1, n1+n2-2] and t is finite") {
     val r = ops.StatsOps.welchTTest(spark, sfDir).head()
