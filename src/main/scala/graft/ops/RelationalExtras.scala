@@ -473,7 +473,9 @@ FROM j ORDER BY custkey
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       .localCheckpoint()
-    val nOrders = baskets.count()
+    // the order count rides the plan as a broadcast 1-row scalar — no
+    // separate driver action/job
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val margins = baskets.select(explode(col("bs")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).as("n_b"))
     val pairs = baskets
@@ -487,9 +489,10 @@ FROM j ORDER BY custkey
         col("n_b").as("n_a"))), "brand_a")
       .join(broadcast(margins.select(col("brand").as("brand_b"),
         col("n_b").as("n_bb"))), "brand_b")
-      .filter(col("n_ab") * lit(nOrders) > col("n_a") * col("n_bb"))
+      .crossJoin(broadcast(nOrders))
+      .filter(col("n_ab") * col("n_orders") > col("n_a") * col("n_bb"))
       .select(col("brand_a"), col("brand_b"), col("n_ab"),
-        (col("n_ab").cast("double") * lit(nOrders).cast("double") /
+        (col("n_ab").cast("double") * col("n_orders").cast("double") /
           (col("n_a").cast("double") * col("n_bb").cast("double")))
           .as("lift"))
       .orderBy("brand_a", "brand_b")

@@ -594,8 +594,10 @@ WHERE rank <= $TopK ORDER BY query_id, rank
       .orderBy("query_id", "rank")
   }
 
-  private val pqAdcOracle = s"""
-WITH q AS (
+  /** The PQ pipeline's shared CTE chain (through exact rerank) — the
+    * top-k oracle and the recall oracle both build on it.
+    */
+  private val pqPipelineCtes = s"""q AS (
   SELECT vec_id,
     list_transform(embedding,
       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
@@ -649,7 +651,10 @@ reranked AS (
       AS cosine
   FROM cands ca
   JOIN q p ON p.vec_id = ca.query_id
-  JOIN q c ON c.vec_id = ca.neighbor_id)
+  JOIN q c ON c.vec_id = ca.neighbor_id)"""
+
+  private val pqAdcOracle = s"""
+WITH $pqPipelineCtes
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
   SELECT query_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY query_id
@@ -658,8 +663,64 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
 WHERE rank <= $TopK ORDER BY query_id, rank
 """
 
+  /** Recall@k of the PQ/ADC path vs the exact brute-force baseline — the
+    * same approximation-QA metric as [[lshRecall]], for the compressed-
+    * domain scan: per probe, |PQ∩exact| / k. Integer counts, one final
+    * division; quantifies what 4-bit-per-subspace compression costs in
+    * neighbor fidelity, and the measurement itself is oracle-exact.
+    */
+  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
+    val pq = pqAdcRerank(s, dir)
+      .select(col("query_id").as("p_q"), col("neighbor_id").as("p_n"))
+    brute
+      .join(pq, col("query_id") === col("p_q") &&
+        col("neighbor_id") === col("p_n"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("p_n").isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .select(col("query_id"), col("n_exact"), col("n_common"),
+        (col("n_common").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  private val pqRecallOracle = s"""
+WITH $pqPipelineCtes,
+pqtop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM reranked)
+  WHERE rank <= $TopK),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+          DESC, c.vec_id ASC) AS rank
+    FROM q p JOIN q c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id)
+  WHERE rank <= $TopK)
+SELECT b.query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM pqtop l
+                             WHERE l.query_id = b.query_id
+                               AND l.neighbor_id = b.neighbor_id)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM pqtop l
+                             WHERE l.query_id = b.query_id
+                               AND l.neighbor_id = b.neighbor_id)
+            THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS recall
+FROM brute b GROUP BY b.query_id ORDER BY query_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "ann_pq_adc" -> QueryDef(pqAdcRerank, Some(pqAdcOracle)),
+    "ann_pq_recall" -> QueryDef(pqRecall, Some(pqRecallOracle)),
     "ann_brute_topk" -> QueryDef(bruteForceTopK, Some(bruteForceOracle)),
     "ann_sq8_rerank" -> QueryDef(sq8Rerank, Some(sq8RerankOracle)),
     "ann_ivf_label" -> QueryDef(ivfTopK, Some(ivfOracle)),
