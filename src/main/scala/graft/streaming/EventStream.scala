@@ -196,6 +196,66 @@ object EventStream {
     }
   }
 
+  /** Per-user funnel progress carried across micro-batches. Timestamps are
+    * epoch millis of the FIRST qualifying event per stage (click must
+    * strictly follow the first view, purchase the first qualifying click —
+    * the same strict sequencing as the batch `funnel_conversion`).
+    */
+  final case class FunnelProgress(viewMs: Option[Long], clickMs: Option[Long],
+      purchaseMs: Option[Long]) {
+    def stage: Int =
+      if (purchaseMs.isDefined) 3 else if (clickMs.isDefined) 2
+      else if (viewMs.isDefined) 1 else 0
+  }
+
+  /** One funnel-state row per user per micro-batch that changed it. */
+  final case class UserFunnel(user_id: Long, stage: Int)
+
+  /** Streaming funnel — the stateful twin of the batch
+    * `funnel_conversion` query: each user's view→click→purchase progress
+    * lives in `mapGroupsWithState` state, advancing monotonically as
+    * events arrive (each batch's events are sorted by time before
+    * folding, and a stage only advances on an event strictly after the
+    * previous stage's timestamp). Emits the user's current stage each
+    * batch; in update mode the sink holds each user's latest stage, so
+    * stage counts aggregate downstream without recounting history. State
+    * is O(users), three optional longs each.
+    *
+    * Ordering contract: WITHIN a batch, disorder is handled (sorted
+    * fold); ACROSS batches the fold assumes per-user event-time order —
+    * a qualifying click delivered in a batch *before* the batch carrying
+    * its preceding view is not revisited (state keeps only the stage
+    * minima, not an event buffer). Sources with cross-batch disorder get
+    * the standard remedy: a watermark-buffered sort stage in front (cf.
+    * the session operators' watermark contract).
+    */
+  def funnelStages(events: Dataset[StreamEvent]): Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelProgress, UserFunnel](
+        GroupStateTimeout.NoTimeout()) { (userId, it, state) =>
+        val prev = state.getOption.getOrElse(FunnelProgress(None, None, None))
+        val next = it.toList.sortBy(e => (e.ts.getTime, e.event_id))
+          .foldLeft(prev) { (st, e) =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if st.viewMs.isEmpty =>
+                st.copy(viewMs = Some(t))
+              case "click" if st.clickMs.isEmpty &&
+                  st.viewMs.exists(_ < t) =>
+                st.copy(clickMs = Some(t))
+              case "purchase" if st.purchaseMs.isEmpty &&
+                  st.clickMs.exists(_ < t) =>
+                st.copy(purchaseMs = Some(t))
+              case _ => st
+            }
+          }
+        state.update(next)
+        UserFunnel(userId, next.stage)
+      }
+  }
+
   private def toSession(userId: Long, es: List[StreamEvent]): UserSession =
     UserSession(
       user_id = userId,

@@ -149,6 +149,86 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stateful streaming funnel matches the batch funnel stage counts") {
+    import spark.implicits._
+    val stream = EventStream.readEvents(spark, eventsPath)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent]
+    val got = EventStream.runToMemory(spark,
+        EventStream.funnelStages(stream).toDF(), "stream_funnel",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      // update-mode memory sink may hold one row per user per batch;
+      // stages advance monotonically, so the user's final stage is the max
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = ops.PipelineOps.funnelConversion(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.count(_ >= 1) == expected("1_view"))
+    assert(got.values.count(_ >= 2) == expected("2_click_after_view"))
+    assert(got.values.count(_ >= 3) == expected("3_purchase_after_click"))
+    assert(expected("3_purchase_after_click") > 0, "test vacuous")
+  }
+
+  test("streaming funnel state advances across time-ordered micro-batches") {
+    import spark.implicits._
+    // same staging trick as the sessionization split: two time-ordered
+    // files, one per micro-batch — funnel stages reached only by
+    // combining both batches must still be reached via carried state
+    val dir = java.nio.file.Files.createTempDirectory("funnel_two_batches")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // split EARLY (Jan 3): the funnel saturates fast, so a mid-corpus
+    // split would leave every stage point in batch 0 (vacuous)
+    val splitNanos = java.time.Instant.parse("2024-01-03T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    raw.filter(col("ts") < splitNanos).coalesce(1)
+      .write.parquet(s"$dir/batch0")
+    raw.filter(col("ts") >= splitNanos).coalesce(1)
+      .write.parquet(s"$dir/batch1")
+    val staged = java.nio.file.Files.createTempDirectory("funnel_staged")
+    Seq("batch0", "batch1").zipWithIndex.foreach { case (b, i) =>
+      val src = new java.io.File(s"$dir/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$staged/$b.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent]
+    val got = EventStream.runToMemory(spark,
+        EventStream.funnelStages(stream).toDF(), "stream_funnel_mb",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = ops.PipelineOps.funnelConversion(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.count(_ >= 1) == expected("1_view"))
+    assert(got.values.count(_ >= 2) == expected("2_click_after_view"))
+    assert(got.values.count(_ >= 3) == expected("3_purchase_after_click"))
+    // the split must actually exercise cross-batch advancement: at least
+    // one user needs both batches to reach their final stage — verify the
+    // first batch ALONE reaches fewer total stage points
+    val b0only = Registry.events(spark, sfDir)
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+    val b0stages = {
+      val e = b0only
+      val view = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val click = e.filter(col("event_type") === "click")
+        .join(view, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      view.count() + click.count()
+    }
+    val fullStages = expected("1_view") + expected("2_click_after_view")
+    assert(b0stages < fullStages,
+      "split vacuous: batch 0 alone already reaches every stage point")
+  }
+
   test("stream-static enrichment join matches the batch join") {
     // the standard streaming enrichment: an unbounded event stream joined
     // to a static (batch) dimension — no watermark needed on the static
