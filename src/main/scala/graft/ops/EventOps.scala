@@ -341,7 +341,50 @@ FROM bi JOIN t ON t.cur = bi.cur
 ORDER BY bi.cur, nxt
 """
 
+  // ------------------------------------------------------ activity streaks
+  /** Gaps-and-islands: each user's LONGEST run of consecutive active days.
+    * The classic trick — within a user, `day − row_number()` is constant
+    * exactly along a consecutive run — turns streak detection into a
+    * groupBy on the island key: two stacked windows/aggregations over the
+    * same user partitioning (one exchange), no self-join, no iteration.
+    * Dates are day-ordinals (integer) end-to-end.
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("user_id").orderBy("d")
+    val days = Registry.events(s, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .distinct()
+    days
+      .withColumn("island", col("d") - row_number().over(byDay))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  private val activityStreaksOracle = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+      AS d
+  FROM events),
+isl AS (
+  SELECT user_id, d,
+    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days),
+runs AS (
+  SELECT user_id, island, count(*) AS len
+  FROM isl GROUP BY user_id, island)
+SELECT user_id, max(len) AS longest_streak,
+  count(*) AS n_streaks
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "events_activity_streaks" ->
+      QueryDef(activityStreaks, Some(activityStreaksOracle)),
     "events_markov_transitions" ->
       QueryDef(markovTransitions, Some(markovOracle)),
     "interval_bucket_join" ->

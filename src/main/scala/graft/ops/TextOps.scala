@@ -472,7 +472,55 @@ SELECT source, n_tokens, n_oov,
 FROM audit ORDER BY source
 """
 
+  // ------------------------------------------------------ n-gram novelty
+  /** Corpus novelty curve — the measurement behind "how much NEW content
+    * does each increment add", the planning statistic for incremental
+    * corpus growth: processing docs in doc_id order, a document's novelty
+    * is the fraction of its distinct 5-gram shingles never seen in any
+    * earlier document. First-occurrence attribution is one aggregation
+    * (shingle → min doc_id, map-side combined, shuffle O(distinct
+    * shingles)) joined back to the doc's own postings — no doc×doc term
+    * anywhere. Integer counts, one division; near-dup docs show novelty
+    * ≈ 0 without any pairwise comparison.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val ex = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          call_function("shingle_hashes_5", WS_TOKENS))).as("sh"))
+    val firstSeen = ex.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    ex.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  private val ngramNoveltyOracle = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(t[i:i+4], ' ')
+                   for i in range(1, len(t) - 3)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 5),
+ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+fs AS (SELECT sh, min(doc_id) AS first_doc FROM ex GROUP BY sh)
+SELECT ex.doc_id,
+  count(*) AS n_shingles,
+  CAST(sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(sum(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS novelty
+FROM ex JOIN fs USING (sh)
+GROUP BY ex.doc_id ORDER BY doc_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "text_ngram_novelty" -> QueryDef(ngramNovelty, Some(ngramNoveltyOracle)),
     "vocab_oov_rate" -> QueryDef(vocabOovRate, Some(vocabOovOracle)),
     "vocab_bpe_first_merge" ->
       QueryDef(bpeFirstMerge, Some(bpeFirstMergeOracle)),
