@@ -236,24 +236,72 @@ object EventStream {
       .mapGroupsWithState[FunnelProgress, UserFunnel](
         GroupStateTimeout.NoTimeout()) { (userId, it, state) =>
         val prev = state.getOption.getOrElse(FunnelProgress(None, None, None))
-        val next = it.toList.sortBy(e => (e.ts.getTime, e.event_id))
-          .foldLeft(prev) { (st, e) =>
-            val t = e.ts.getTime
-            e.event_type match {
-              case "view" if st.viewMs.isEmpty =>
-                st.copy(viewMs = Some(t))
-              case "click" if st.clickMs.isEmpty &&
-                  st.viewMs.exists(_ < t) =>
-                st.copy(clickMs = Some(t))
-              case "purchase" if st.purchaseMs.isEmpty &&
-                  st.clickMs.exists(_ < t) =>
-                st.copy(purchaseMs = Some(t))
-              case _ => st
-            }
-          }
+        val next = advanceFunnel(prev, it)
         state.update(next)
         UserFunnel(userId, next.stage)
       }
+  }
+
+  /** The funnel state machine shared by both stateful APIs: fold a batch
+    * of events (time-sorted) into the carried progress.
+    */
+  private def advanceFunnel(prev: FunnelProgress,
+      events: Iterator[StreamEvent]): FunnelProgress =
+    events.toList.sortBy(e => (e.ts.getTime, e.event_id))
+      .foldLeft(prev) { (st, e) =>
+        val t = e.ts.getTime
+        e.event_type match {
+          case "view" if st.viewMs.isEmpty =>
+            st.copy(viewMs = Some(t))
+          case "click" if st.clickMs.isEmpty && st.viewMs.exists(_ < t) =>
+            st.copy(clickMs = Some(t))
+          case "purchase" if st.purchaseMs.isEmpty &&
+              st.clickMs.exists(_ < t) =>
+            st.copy(purchaseMs = Some(t))
+          case _ => st
+        }
+      }
+
+  /** The same funnel on Spark 4's `transformWithState` — the new
+    * arbitrary-state API (typed `ValueState` handles, RocksDB-backed
+    * store, per-state TTL, timers) that supersedes
+    * `flatMapGroupsWithState` for new code. Same state machine as
+    * [[funnelStages]] (the spec asserts they emit identical final
+    * stages); requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider.
+    */
+  def funnelStagesTws(events: Dataset[StreamEvent]): Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Typed stateful processor holding one [[FunnelProgress]] per user. */
+  final class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StreamEvent, UserFunnel] {
+    @transient private var progress:
+        org.apache.spark.sql.streaming.ValueState[FunnelProgress] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      progress = getHandle.getValueState[FunnelProgress]("progress",
+        org.apache.spark.sql.Encoders.product[FunnelProgress],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserFunnel] = {
+      val prev =
+        if (progress.exists()) progress.get()
+        else FunnelProgress(None, None, None)
+      val next = advanceFunnel(prev, rows)
+      progress.update(next)
+      Iterator.single(UserFunnel(userId, next.stage))
+    }
   }
 
   private def toSession(userId: Long, es: List[StreamEvent]): UserSession =

@@ -169,6 +169,34 @@ class StreamingSpec extends SparkSpec {
     assert(expected("3_purchase_after_click") > 0, "test vacuous")
   }
 
+  test("transformWithState funnel (Spark 4 API) matches the classic-API funnel") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStream.readEvents(spark, eventsPath)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamEvent]
+      val got = EventStream.runToMemory(spark,
+          EventStream.funnelStagesTws(stream).toDF(), "stream_funnel_tws",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expected = ops.PipelineOps.funnelConversion(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.values.count(_ >= 1) == expected("1_view"))
+      assert(got.values.count(_ >= 2) == expected("2_click_after_view"))
+      assert(got.values.count(_ >= 3) == expected("3_purchase_after_click"))
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming funnel state advances across time-ordered micro-batches") {
     import spark.implicits._
     // same staging trick as the sessionization split: two time-ordered
