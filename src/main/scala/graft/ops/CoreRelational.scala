@@ -395,7 +395,45 @@ WHERE l_returnflag = 'R' AND l_shipdate >= DATE '2000-01-01'
 ORDER BY l_orderkey, l_linenumber, l_quantity
 """
 
+  // ------------------------------------------------ null-semantics probe
+  /** Three-valued-logic / null-propagation parity probe: a nullable column
+    * is derived deterministically (negative balances → null), then the
+    * SQL null rules are exercised side by side — null-safe equality
+    * (`<=>` / IS NOT DISTINCT FROM), null arithmetic propagation,
+    * `x AND false = false` / `x OR true = true` even for null x, and
+    * coalesce. Hash equality proves both engines implement the same
+    * three-valued logic — the class of semantics bug no rows-only check
+    * would ever catch.
+    */
+  def nullSemanticsProbe(s: SparkSession, dir: String): DataFrame = {
+    val nb = when(col("c_acctbal") >= 0, col("c_acctbal"))
+    Registry.table(s, dir, "customer")
+      .select(col("c_custkey"), nb.as("nb"),
+        (nb <=> lit(0.0)).as("null_safe_eq_zero"),
+        (nb + lit(1.0)).as("plus_one"),
+        ((nb > 0) && lit(false)).as("and_false"),
+        ((nb > 0) || lit(true)).as("or_true"),
+        coalesce(nb, lit(-1.0)).as("coalesced"))
+      .orderBy("c_custkey")
+  }
+
+  private val nullSemanticsOracle = """
+WITH t AS (
+  SELECT c_custkey,
+    CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS nb
+  FROM customer)
+SELECT c_custkey, nb,
+  nb IS NOT DISTINCT FROM 0.0 AS null_safe_eq_zero,
+  nb + 1.0 AS plus_one,
+  (nb > 0) AND FALSE AS and_false,
+  (nb > 0) OR TRUE AS or_true,
+  coalesce(nb, -1.0) AS coalesced
+FROM t ORDER BY c_custkey
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "null_semantics_probe" ->
+      QueryDef(nullSemanticsProbe, Some(nullSemanticsOracle)),
     "q1_pricing_summary" -> QueryDef(pricingSummary, Some(pricingSummaryOracle)),
     "join_region_revenue" -> QueryDef(regionRevenue, Some(regionRevenueOracle)),
     "join_priority_shipping" -> QueryDef(priorityShipping, Some(priorityShippingOracle)),

@@ -382,7 +382,44 @@ SELECT user_id, max(len) AS longest_streak,
 FROM runs GROUP BY user_id ORDER BY user_id
 """
 
+  // ------------------------------------------------ rolling active users
+  /** Exact 7-day rolling active users (the WAU curve): each (user, day)
+    * activity fact is expanded to the ≤7 window-ends it participates in,
+    * then distinct users count per window end. The expansion is the
+    * standard exact-sliding-distinct trick — bounded 7× blowup of the
+    * DEDUPLICATED (user, day) grid (tiny vs the raw event stream), versus
+    * an unbounded per-window re-scan; distinct-count state is per window
+    * end. Trailing partial windows past the last active day are cut by
+    * the broadcast max-day scalar.
+    */
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Registry.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val maxDay = ud.agg(max("day").as("max_day"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wend"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wend") <= col("max_day"))
+      .groupBy("wend")
+      .agg(countDistinct("user_id").as("wau"))
+      .orderBy("wend")
+  }
+
+  private val rollingActiveUsersOracle = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+ex AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS wend
+  FROM ud, (SELECT unnest(range(7)) AS i))
+SELECT wend, count(DISTINCT user_id) AS wau
+FROM ex
+WHERE wend <= (SELECT max(day) FROM ud)
+GROUP BY wend ORDER BY wend
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "window_rolling_active_users" ->
+      QueryDef(rollingActiveUsers, Some(rollingActiveUsersOracle)),
     "events_activity_streaks" ->
       QueryDef(activityStreaks, Some(activityStreaksOracle)),
     "events_markov_transitions" ->
