@@ -156,9 +156,78 @@ FROM daily d JOIN stats s ON s.event_type = d.event_type
 ORDER BY d.event_type, day
 """
 
+  // --------------------------------------------- robust (MAD) anomaly scan
+  /** Robust twin of [[anomalyZscore]]: daily volumes flagged by MEDIAN
+    * absolute deviation instead of mean/stddev — a single wild day cannot
+    * drag the baseline the way it inflates a standard deviation. Both
+    * medians (per-type daily median, then median of absolute deviations)
+    * use the histogram-selection kernel over the TINY (type, day) grid —
+    * one fact pass total, checkpointed. The σ-consistent 3σ-equivalent
+    * cut |x − med| > 3·1.4826·MAD is decided as the exact integer
+    * comparison |x − med|·10000 > MAD·44478 — no float anywhere.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def medianByKey(df: DataFrame, v: String, out: String): DataFrame = {
+      val hist = df.groupBy(col("event_type"), col(v)).agg(count(lit(1)).as("c_"))
+      val wC = Window.partitionBy("event_type").orderBy(v)
+      val wA = Window.partitionBy("event_type")
+      hist.withColumn("cum", sum("c_").over(wC))
+        .withColumn("n", sum("c_").over(wA))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= ceil(col("n") * 0.5), col(v))).as(out))
+    }
+    val daily = Registry.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
+    val med = medianByKey(daily, "n_events", "med")
+    val withDev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("n_events") - col("med")))
+    val mad = medianByKey(withDev, "adev", "mad")
+    withDev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("med"), col("mad"),
+        (col("adev") * 10000 > col("mad") * 44478).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  private val anomalyMadOracle = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+h1 AS (
+  SELECT event_type, n_events AS v, count(*) AS c_ FROM daily GROUP BY 1, 2),
+m1 AS (
+  SELECT event_type, min(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS med
+  FROM (SELECT event_type, v,
+          sum(c_) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+          sum(c_) OVER (PARTITION BY event_type) AS n
+        FROM h1)
+  GROUP BY event_type),
+dev AS (
+  SELECT d.event_type, d.day, d.n_events, m1.med,
+    abs(d.n_events - m1.med) AS adev
+  FROM daily d JOIN m1 USING (event_type)),
+h2 AS (
+  SELECT event_type, adev AS v, count(*) AS c_ FROM dev GROUP BY 1, 2),
+m2 AS (
+  SELECT event_type, min(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS mad
+  FROM (SELECT event_type, v,
+          sum(c_) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+          sum(c_) OVER (PARTITION BY event_type) AS n
+        FROM h2)
+  GROUP BY event_type)
+SELECT dev.event_type, dev.day, dev.n_events, dev.med, m2.mad,
+  dev.adev * 10000 > m2.mad * 44478 AS is_anomaly
+FROM dev JOIN m2 USING (event_type)
+ORDER BY dev.event_type, dev.day
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "dq_profile_orders" -> QueryDef(profileOrders, Some(profileOracle)),
     "dq_expectations" -> QueryDef(expectations, Some(expectationsOracle)),
-    "dq_anomaly_zscore" -> QueryDef(anomalyZscore, Some(anomalyZscoreOracle))
+    "dq_anomaly_zscore" -> QueryDef(anomalyZscore, Some(anomalyZscoreOracle)),
+    "dq_anomaly_mad" -> QueryDef(anomalyMad, Some(anomalyMadOracle))
   )
 }
