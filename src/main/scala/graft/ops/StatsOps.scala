@@ -563,7 +563,82 @@ SELECT o_orderpriority,
 FROM kept GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+  /** Revenue concentration (the Pareto audit): what share of total order
+    * value the top-1% highest-value customers hold — WITHOUT a global
+    * sort. The per-customer revenue histogram feeds the selection kernel
+    * from the quantile/trimmed-mean family, inverted to the top: the
+    * threshold value v* is the largest revenue with at least
+    * k = ceil(n/100) customers at or above it, and the exact top-k mass
+    * is Σ(rev > v*) + (k − count(rev > v*))·v* — tie surplus settled in
+    * integer cents, so the statistic is exact even when many customers
+    * share the threshold value. One fact aggregation + one
+    * vocabulary-sized selection; no row leaves its partition sorted.
+    */
+  def paretoShare(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val perCust = table(s, dir, "orders")
+      .groupBy("o_custkey").agg(sum(cents).as("rev"))
+    val hist = perCust.groupBy("rev").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("rev").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum_ge", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .withColumn("total_cents", sum(col("rev") * col("c")).over(wAll))
+      .withColumn("k", ceil(col("n") * 0.01).cast("long"))
+      .withColumn("above_cents",
+        coalesce(sum(col("rev") * col("c")).over(Window
+          .orderBy(col("rev").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_ge") >= col("k") &&
+        col("cum_ge") - col("c") < col("k"))
+      .select(col("n").as("n_customers"), col("k").as("topk"),
+        (col("above_cents") +
+          (col("k") - (col("cum_ge") - col("c"))) * col("rev"))
+          .as("topk_cents"),
+        col("total_cents"),
+        ((col("above_cents") +
+          (col("k") - (col("cum_ge") - col("c"))) * col("rev"))
+          .cast("double") / col("total_cents").cast("double"))
+          .as("top1pct_share"))
+  }
+
+  private val paretoShareOracle = """
+WITH pc AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT))
+         AS BIGINT) AS rev
+  FROM orders GROUP BY o_custkey),
+hist AS (SELECT rev, count(*) AS c FROM pc GROUP BY rev),
+cum AS (
+  SELECT rev, c,
+    CAST(sum(c) OVER (ORDER BY rev DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ge,
+    CAST(sum(c) OVER () AS BIGINT) AS n,
+    CAST(sum(rev * c) OVER () AS BIGINT) AS total_cents,
+    CAST(coalesce(sum(rev * c) OVER (ORDER BY rev DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS above_cents
+  FROM hist)
+SELECT n AS n_customers,
+  CAST(ceil(n * 0.01) AS BIGINT) AS topk,
+  above_cents + (CAST(ceil(n * 0.01) AS BIGINT) - (cum_ge - c)) * rev
+    AS topk_cents,
+  total_cents,
+  CAST(above_cents + (CAST(ceil(n * 0.01) AS BIGINT) - (cum_ge - c)) * rev
+       AS DOUBLE) / CAST(total_cents AS DOUBLE) AS top1pct_share
+FROM cum
+WHERE cum_ge >= CAST(ceil(n * 0.01) AS BIGINT)
+  AND cum_ge - c < CAST(ceil(n * 0.01) AS BIGINT)
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_pareto_share" -> QueryDef(paretoShare, Some(paretoShareOracle)),
     "stats_trimmed_mean" -> QueryDef(trimmedMean, Some(trimmedMeanOracle)),
     "stats_chi2_independence" ->
       QueryDef(chi2Independence, Some(chi2Oracle)),
