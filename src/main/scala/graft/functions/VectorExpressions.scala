@@ -56,36 +56,28 @@ case class LongArrayDot(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Idempotently register `vec_dot_long` in the session's function registry
-    * (usable from both the Column API via `expr` and plain SQL).
+  /** Idempotently register the custom expressions in the session's function
+    * registry (usable from both the Column API via `expr` and plain SQL).
+    * Registration is guarded by an existence check: unconditional
+    * `createOrReplaceTempFunction` logs a `SimpleFunctionRegistry ...
+    * replaced a previously registered function` WARN on every call, and ops
+    * call `register` per query — across a 150-query bench that spam crowds
+    * the bounded stdout tail the harness keeps.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot_long",
-      exprs => LongArrayDot(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes_5",
-      exprs => ShingleHashes(exprs.head, 5),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig_5_32",
-      exprs => MinHashSignature(exprs.head, 5, 32),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash60",
-      exprs => SimHash60(exprs.head),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes_2",
-      exprs => ShingleHashes(exprs.head, 2),
-      "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    add("vec_dot_long")(exprs => LongArrayDot(exprs(0), exprs(1)))
+    add("shingle_hashes_5")(exprs => ShingleHashes(exprs.head, 5))
+    add("minhash_sig_5_32")(exprs => MinHashSignature(exprs.head, 5, 32))
+    add("simhash60")(exprs => SimHash60(exprs.head))
+    add("shingle_hashes_2")(exprs => ShingleHashes(exprs.head, 2))
     // aggregate: the analyzer wraps a bare AggregateFunction in an
     // AggregateExpression during resolution, so the builder returns it raw
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_mode",
-      exprs => DeterministicMode(exprs.head),
-      "scala_udf")
+    add("graft_mode")(exprs => DeterministicMode(exprs.head))
   }
 }
 

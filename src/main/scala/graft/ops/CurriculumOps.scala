@@ -48,9 +48,14 @@ object CurriculumOps {
     * totals — the table a curriculum scheduler consumes.
     */
   def decileBuckets(s: SparkSession, dir: String): DataFrame = {
+    // the scored projection is consumed three times (histogram, corpus
+    // count, final bucket assignment); localCheckpoint materializes the
+    // expensive scoreM tokenization ONCE — without it each consumer
+    // re-scans and re-tokenizes the corpus (3 passes at 100 TB)
     val d = Registry.table(s, dir, "documents")
       .select(col("doc_id"), scoreM.as("sm"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint()
     val hist = d.groupBy("sm").agg(count(lit(1)).as("c"))
     // global single-partition window — safe BY CONSTRUCTION: its input is
     // the histogram (≤ 10001 grid values however large the corpus), never

@@ -366,7 +366,12 @@ ORDER BY i, j
     cand
       .join(norms.select(col("doc_id").as("i"), col("n2").as("na")), "i")
       .join(norms.select(col("doc_id").as("j"), col("n2").as("nb")), "j")
-      .filter(col("dot") * col("dot") * 25 >= col("na") * col("nb") * 16)
+      // decimal(38,0) products, not int64: long·long wraps silently in
+      // non-ANSI Spark where DuckDB raises on overflow — for long or
+      // repetitive docs na·nb can exceed 2^63 and the "exact" threshold
+      // compare would diverge between engines (oracle: HUGEINT)
+      .filter(col("dot").cast("decimal(38,0)") * col("dot") * 25 >=
+        col("na").cast("decimal(38,0)") * col("nb") * 16)
       .select(col("i"), col("j"),
         (col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -395,7 +400,7 @@ SELECT i, j,
 FROM cand
 JOIN norms na ON na.doc_id = i
 JOIN norms nb ON nb.doc_id = j
-WHERE dot * dot * 25 >= na.n2 * nb.n2 * 16
+WHERE CAST(dot AS HUGEINT) * dot * 25 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 16
 ORDER BY i, j
 """
 

@@ -128,12 +128,18 @@ ORDER BY rule
       sum("n_events").cast("double").as("s1"),
       sum(col("n_events") * col("n_events")).cast("double").as("s2"))
     val mean = col("s1") / col("nd")
-    val sd = sqrt((col("s2") - col("s1") * col("s1") / col("nd"))
-      / (col("nd") - 1))
-    val z = (col("n_events").cast("double") - mean) / sd
+    val variance =
+      (col("s2") - col("s1") * col("s1") / col("nd")) / (col("nd") - 1)
+    // degenerate histories are NOT anomalies: a type active on a single
+    // day (nd=1) or with constant daily volume (variance=0) has no z —
+    // without the guard the NaN/Inf z compares above 2.0 in both engines
+    // and such days get silently flagged
+    val defined = col("nd") > 1 && variance > 0
+    val z = when(defined,
+      (col("n_events").cast("double") - mean) / sqrt(variance))
     daily.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("day"), col("n_events"),
-        z.as("zscore"), (abs(z) >= 2.0).as("is_anomaly"))
+        z.as("zscore"), coalesce(abs(z) >= 2.0, lit(false)).as("is_anomaly"))
       .orderBy("event_type", "day")
   }
 
@@ -148,10 +154,13 @@ stats AS (
     CAST(CAST(sum(n_events * n_events) AS BIGINT) AS DOUBLE) AS s2
   FROM daily GROUP BY event_type)
 SELECT d.event_type, d.day, d.n_events,
-  (CAST(d.n_events AS DOUBLE) - s1 / nd)
-    / sqrt((s2 - s1 * s1 / nd) / (nd - 1)) AS zscore,
-  abs((CAST(d.n_events AS DOUBLE) - s1 / nd)
-    / sqrt((s2 - s1 * s1 / nd) / (nd - 1))) >= 2.0 AS is_anomaly
+  CASE WHEN nd > 1 AND (s2 - s1 * s1 / nd) / (nd - 1) > 0
+       THEN (CAST(d.n_events AS DOUBLE) - s1 / nd)
+            / sqrt((s2 - s1 * s1 / nd) / (nd - 1)) END AS zscore,
+  coalesce(abs(CASE WHEN nd > 1 AND (s2 - s1 * s1 / nd) / (nd - 1) > 0
+       THEN (CAST(d.n_events AS DOUBLE) - s1 / nd)
+            / sqrt((s2 - s1 * s1 / nd) / (nd - 1)) END) >= 2.0, false)
+    AS is_anomaly
 FROM daily d JOIN stats s ON s.event_type = d.event_type
 ORDER BY d.event_type, day
 """

@@ -101,7 +101,115 @@ ORDER BY score DESC, doc_id
 LIMIT 20
 """
 
+  // ------------------------------------------------- hybrid retrieval (RRF)
+  private val RrfK = 60L // the standard reciprocal-rank-fusion constant
+
+  /** Hybrid sparse+dense retrieval with reciprocal rank fusion — the
+    * production RAG/retrieval shape: the BM25 top-20 (lexical) and the
+    * cosine top-20 against probe vector 0 (semantic; `vec_id` keys a
+    * partially-embedded corpus — documents without an embedding simply get
+    * no dense contribution) are fused by `Σ 1/(60+rank)`, a rank-space
+    * formula immune to the two scorers' incomparable scales.
+    *
+    * Determinism: each RRF term is one IEEE division of exact small ints,
+    * summed in fixed (sparse, dense) order and tie-broken by doc_id, so
+    * the fused ranking is bit-identical cross-engine. Scale: both arms end
+    * in TakeOrdered top-k; the fusion join touches 40 rows — the windows
+    * that assign ranks see ONLY those top-k rows.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25TopK(s, dir)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long").as("r_bm25"))
+    val corpus = Similarity.quantized(s, dir)
+    val probe = corpus.filter(col("vec_id") === 0)
+      .select(col("qv").as("pq"), col("nrm").as("pn"))
+    val dense = corpus.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        (call_function("vec_dot_long", col("qv"), col("pq")).cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("pn").cast("double"))))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id")))
+        .cast("long").as("r_dense"))
+    val term: Column => Column = r =>
+      coalesce(lit(1.0) / (lit(RrfK) + r).cast("double"), lit(0.0))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (term(col("r_bm25")) + term(col("r_dense"))).as("rrf"),
+        col("r_bm25"), col("r_dense"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  private val hybridOracle = s"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+  FROM documents),
+per AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+    CAST(len(list_filter(toks, t -> t = '${Terms(0)}')) AS BIGINT) AS tf0,
+    CAST(len(list_filter(toks, t -> t = '${Terms(1)}')) AS BIGINT) AS tf1
+  FROM tok),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+  FROM per),
+bmtop AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id,
+      (CASE WHEN tf0 > 0 THEN
+        CAST((2*n - 2*df0 + 1) * tf0 * 22 * sumdl AS DOUBLE)
+        / CAST((2*df0 + 1) * (10*tf0*sumdl + 3*sumdl + 9*dl*n) AS DOUBLE)
+       ELSE 0.0 END) +
+      (CASE WHEN tf1 > 0 THEN
+        CAST((2*n - 2*df1 + 1) * tf1 * 22 * sumdl AS DOUBLE)
+        / CAST((2*df1 + 1) * (10*tf1*sumdl + 3*sumdl + 9*dl*n) AS DOUBLE)
+       ELSE 0.0 END) AS score
+    FROM per, st)
+  ORDER BY score DESC, doc_id LIMIT 20),
+bm AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS r_bm25
+  FROM bmtop),
+nn AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+nq AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM nn),
+probe AS (SELECT qv AS pq, nrm AS pn FROM nq WHERE vec_id = 0),
+dtop AS (
+  SELECT doc_id, cos FROM (
+    SELECT vec_id AS doc_id,
+      CAST(list_sum(list_transform(range(1, 65), k -> qv[k] * pq[k]))
+           AS DOUBLE)
+        / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(pn AS DOUBLE))) AS cos
+    FROM nq, probe WHERE vec_id <> 0)
+  ORDER BY cos DESC, doc_id LIMIT 20),
+dn AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                      AS BIGINT) AS r_dense
+  FROM dtop)
+SELECT doc_id,
+  coalesce(CAST(1.0 AS DOUBLE) / CAST($RrfK + r_bm25 AS DOUBLE), 0.0)
+    + coalesce(CAST(1.0 AS DOUBLE) / CAST($RrfK + r_dense AS DOUBLE), 0.0)
+    AS rrf,
+  r_bm25, r_dense
+FROM bm FULL OUTER JOIN dn USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
   val queries: Map[String, QueryDef] = Map(
-    "search_bm25_topk" -> QueryDef(bm25TopK, Some(bm25Oracle))
+    "search_bm25_topk" -> QueryDef(bm25TopK, Some(bm25Oracle)),
+    "search_hybrid_rrf" -> QueryDef(hybridRrf, Some(hybridOracle))
   )
 }

@@ -26,7 +26,7 @@ object Similarity {
   /** Quantized vectors with the squared norm precomputed once per row —
     * the norm must not be recomputed per candidate pair.
     */
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def quantized(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Registry.table(s, dir, "embeddings").select(
       col("vec_id"), col("label"),

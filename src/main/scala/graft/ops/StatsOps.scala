@@ -452,12 +452,15 @@ FROM contrib
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy()
       .agg(
+        // square in decimal, not int64: a long·long product wraps silently
+        // in non-ANSI Spark where DuckDB raises — decimal keeps both
+        // engines exact for any micros magnitude up to 10^19
         count(side("click", lit(1))).cast("double").as("n1"),
         dsum(side("click", vmic), 0).as("a1"),
-        dsum(side("click", vmic * vmic), 0).as("q1"),
+        dsum(side("click", vmic.cast(DecimalType(30, 0)) * vmic), 0).as("q1"),
         count(side("purchase", lit(1))).cast("double").as("n2"),
         dsum(side("purchase", vmic), 0).as("a2"),
-        dsum(side("purchase", vmic * vmic), 0).as("q2"))
+        dsum(side("purchase", vmic.cast(DecimalType(30, 0)) * vmic), 0).as("q2"))
     val m1 = col("a1") / col("n1"); val m2 = col("a2") / col("n2")
     val v1 = (col("q1") - col("a1") * col("a1") / col("n1")) / (col("n1") - 1)
     val v2 = (col("q2") - col("a2") * col("a2") / col("n2")) / (col("n2") - 1)
@@ -483,12 +486,12 @@ sums AS (
     CAST(count(*) FILTER (event_type = 'click') AS DOUBLE) AS n1,
     CAST(sum(CAST(vmic AS DECIMAL(30,0)))
          FILTER (event_type = 'click') AS DOUBLE) AS a1,
-    CAST(sum(CAST(vmic * vmic AS DECIMAL(30,0)))
+    CAST(sum(CAST(vmic AS DECIMAL(30,0)) * vmic)
          FILTER (event_type = 'click') AS DOUBLE) AS q1,
     CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE) AS n2,
     CAST(sum(CAST(vmic AS DECIMAL(30,0)))
          FILTER (event_type = 'purchase') AS DOUBLE) AS a2,
-    CAST(sum(CAST(vmic * vmic AS DECIMAL(30,0)))
+    CAST(sum(CAST(vmic AS DECIMAL(30,0)) * vmic)
          FILTER (event_type = 'purchase') AS DOUBLE) AS q2
   FROM v),
 st AS (
@@ -565,45 +568,79 @@ FROM kept GROUP BY o_orderpriority ORDER BY o_orderpriority
 
   /** Revenue concentration (the Pareto audit): what share of total order
     * value the top-1% highest-value customers hold — WITHOUT a global
-    * sort. The per-customer revenue histogram feeds the selection kernel
-    * from the quantile/trimmed-mean family, inverted to the top: the
-    * threshold value v* is the largest revenue with at least
-    * k = ceil(n/100) customers at or above it, and the exact top-k mass
-    * is Σ(rev > v*) + (k − count(rev > v*))·v* — tie surplus settled in
-    * integer cents, so the statistic is exact even when many customers
-    * share the threshold value. One fact aggregation + one
-    * vocabulary-sized selection; no row leaves its partition sorted.
+    * sort, via TWO-LEVEL histogram selection. Exact cent revenues are
+    * nearly unique per customer, so a direct revenue histogram is
+    * O(n_customers) and a single-task cumulative window over it would
+    * funnel every customer through one task at 100 TB. Instead:
+    *
+    *  1. revenues bucket onto a fixed $10k grid (`rev div 1e6` cents) —
+    *     the bucket table is bounded by the VALUE RANGE (max_rev/1e6
+    *     buckets, independent of customer count), so its descending
+    *     cumulative walk is safely single-task;
+    *  2. the walk finds the threshold bucket b* where the top-k rank
+    *     falls; only rows of that ONE bucket (≤ 1e6 distinct cent values
+    *     by construction) enter the fine-grained selection walk that
+    *     resolves the exact threshold value v* and its tie surplus.
+    *
+    * Total mass above b* comes from the bucket walk, mass inside b* from
+    * the fine walk, tie surplus settled in integer cents — the statistic
+    * is exactly the naive top-k sum, and both windows have bounded input
+    * by construction. The per-customer reduction is `localCheckpoint`ed:
+    * both levels read the materialized reduction, not the fact table.
     */
   def paretoShare(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = (col("o_totalprice")
       .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
       .cast("long")
+    val bucketW = 1000000L // $10k in cents: grid size = max_rev / 1e6
     val perCust = table(s, dir, "orders")
       .groupBy("o_custkey").agg(sum(cents).as("rev"))
-    val hist = perCust.groupBy("rev").agg(count(lit(1)).as("c"))
-    val wCum = Window.orderBy(col("rev").desc)
+      .localCheckpoint()
+    // level 1: bounded bucket grid, descending cumulative counts + mass
+    val buckets = perCust.groupBy(expr(s"rev div $bucketW").as("b"))
+      .agg(count(lit(1)).as("bc"), sum("rev").as("bmass"))
+    val wCumB = Window.orderBy(col("b").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    hist
-      .withColumn("cum_ge", sum("c").over(wCum))
-      .withColumn("n", sum("c").over(wAll))
-      .withColumn("total_cents", sum(col("rev") * col("c")).over(wAll))
+    val bstar = buckets
+      .withColumn("cum_ge", sum("bc").over(wCumB))
+      .withColumn("n", sum("bc").over(wAll))
+      .withColumn("total_cents", sum("bmass").over(wAll))
       .withColumn("k", ceil(col("n") * 0.01).cast("long"))
+      .withColumn("above_cnt", col("cum_ge") - col("bc"))
       .withColumn("above_cents",
-        coalesce(sum(col("rev") * col("c")).over(Window
-          .orderBy(col("rev").desc)
+        coalesce(sum("bmass").over(Window.orderBy(col("b").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("cum_ge") >= col("k") &&
-        col("cum_ge") - col("c") < col("k"))
+      .filter(col("cum_ge") >= col("k") && col("above_cnt") < col("k"))
+      .select("b", "n", "total_cents", "k", "above_cnt", "above_cents")
+    // level 2: distinct revenues of the ONE threshold bucket (≤ bucketW
+    // values by construction) — fine walk resolves v* and the tie surplus
+    val fine = perCust.join(broadcast(bstar),
+        expr(s"rev div $bucketW") === col("b"))
+      .groupBy("b", "rev", "n", "total_cents", "k", "above_cnt", "above_cents")
+      .agg(count(lit(1)).as("c"))
+    val wCumF = Window.partitionBy("b")
+      .orderBy(col("rev").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAboveF = Window.partitionBy("b")
+      .orderBy(col("rev").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fine
+      .withColumn("cum_ge_f", col("above_cnt") + sum("c").over(wCumF))
+      .withColumn("above_f",
+        col("above_cents") +
+          coalesce(sum(col("rev") * col("c")).over(wAboveF), lit(0L)))
+      .filter(col("cum_ge_f") >= col("k") &&
+        col("cum_ge_f") - col("c") < col("k"))
       .select(col("n").as("n_customers"), col("k").as("topk"),
-        (col("above_cents") +
-          (col("k") - (col("cum_ge") - col("c"))) * col("rev"))
+        (col("above_f") +
+          (col("k") - (col("cum_ge_f") - col("c"))) * col("rev"))
           .as("topk_cents"),
         col("total_cents"),
-        ((col("above_cents") +
-          (col("k") - (col("cum_ge") - col("c"))) * col("rev"))
+        ((col("above_f") +
+          (col("k") - (col("cum_ge_f") - col("c"))) * col("rev"))
           .cast("double") / col("total_cents").cast("double"))
           .as("top1pct_share"))
   }

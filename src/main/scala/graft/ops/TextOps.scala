@@ -428,6 +428,142 @@ ORDER BY n DESC, pair ASC
 LIMIT 20
 """
 
+  // ------------------------------------------------- iterated BPE merges
+  /** THREE iterations of BPE vocabulary training — the loop
+    * [[bpeFirstMerge]] computes one step of. Per iteration: corpus-wide
+    * adjacent-pair counts (map-side combined, shuffle O(distinct pairs)),
+    * top-1 rule picked by (count desc, pair asc), then the corpus rewritten
+    * by applying the rule greedily left-to-right and re-counted. Unrolled
+    * like `GraphOps.pagerankNations`, each rule `localCheckpoint`ed (tiny
+    * 1-row barrier) and applied to the corpus as a broadcast.
+    *
+    * The rewrite needs NO per-token lambda: token sequences are carried as
+    * a delimited string — every token wrapped in single spaces, so
+    * neighbors are separated by DOUBLE spaces and a merged token (which
+    * contains single spaces) can never be confused with a boundary. One
+    * merge step is then a single codegen'd `replace(s, " x  y ", " x y ")`
+    * whose left-to-right non-overlapping semantics are exactly BPE's
+    * greedy application — and are identical in Java and DuckDB, so the
+    * chained oracle reproduces all three rules bit-for-bit.
+    */
+  /** The shared 3-iteration training chain: returns the three 1-row merge
+    * rules and the fully rewritten corpus (with `source` and the pre-merge
+    * token count carried through for the downstream coverage audit).
+    */
+  private def bpeChain(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    val c0 = docs(s, dir)
+      .select(col("source"), size(toks).cast("long").as("n0"),
+        concat(lit(" "), array_join(toks, "  "), lit(" ")).as("s"))
+    def topPair(c: DataFrame): DataFrame = {
+      val t = split(trim(col("s")), "  ")
+      c.select(t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("x"),
+            element_at(col("t"), i + 1).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("x").asc, col("y").asc)
+        .limit(1)
+        .localCheckpoint()
+    }
+    def applyMerge(c: DataFrame, m: DataFrame): DataFrame =
+      c.crossJoin(broadcast(m))
+        .select(col("source"), col("n0"),
+          call_function("replace", col("s"),
+            concat(lit(" "), col("x"), lit("  "), col("y"), lit(" ")),
+            concat(lit(" "), col("x"), lit(" "), col("y"), lit(" "))).as("s"))
+    val m1 = topPair(c0)
+    val c1 = applyMerge(c0, m1)
+    val m2 = topPair(c1)
+    val c2 = applyMerge(c1, m2)
+    val m3 = topPair(c2)
+    (Seq(m1, m2, m3), applyMerge(c2, m3))
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val (rules, _) = bpeChain(s, dir)
+    rules.zipWithIndex.map { case (m, i) =>
+      m.select(lit(i + 1L).as("step"), col("x"), col("y"), col("n"))
+    }.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** Tokenizer APPLICATION — the consumer side of [[bpeMerges]]: rewrite
+    * the corpus with all three learned rules and audit per-source token
+    * compression (the number a tokenization budget is planned from).
+    * The rewrite is the same broadcast-rule `replace` chain; the audit is
+    * one map-side-combined aggregation.
+    */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val (_, c3) = bpeChain(s, dir)
+    val after = when(trim(col("s")) === "", 0L)
+      .otherwise(size(split(trim(col("s")), "  ")).cast("long"))
+    c3.select(col("source"), col("n0"), after.as("n3"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n0").as("tokens_before"),
+        sum("n3").as("tokens_after"))
+      .withColumn("compression",
+        col("tokens_after").cast("double") /
+          col("tokens_before").cast("double"))
+      .orderBy("source")
+  }
+
+  /** One oracle iteration: tokens of `$prev` → pair counts → top-1 rule
+    * `m$k` → rewritten corpus `c$k` (source + pre-merge count carried). */
+  private def bpeIterCte(k: Int, prev: String) = s"""
+t$k AS (SELECT string_split(trim(s), '  ') AS t FROM $prev),
+p$k AS (
+  SELECT pr.x AS x, pr.y AS y, count(*) AS n
+  FROM (SELECT unnest([{'x': t[i], 'y': t[i+1]}
+                       for i in range(1, len(t))]) AS pr
+        FROM t$k WHERE len(t) >= 2)
+  GROUP BY 1, 2),
+m$k AS (SELECT x, y, CAST(n AS BIGINT) AS n FROM p$k
+        ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+c$k AS (SELECT source, n0, replace(s, ' ' || m.x || '  ' || m.y || ' ',
+                          ' ' || m.x || ' ' || m.y || ' ') AS s
+        FROM $prev, m$k m)"""
+
+  private val bpeChainCtes = s"""c0 AS (
+  SELECT source,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '')) AS BIGINT) AS n0,
+    ' ' || array_to_string(
+      list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''),
+      '  ') || ' ' AS s
+  FROM documents),
+${bpeIterCte(1, "c0")},
+${bpeIterCte(2, "c1")},
+${bpeIterCte(3, "c2")}"""
+
+  private val bpeMergesOracle = s"""
+WITH $bpeChainCtes
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, x, y, n FROM m1
+  UNION ALL SELECT 2, x, y, n FROM m2
+  UNION ALL SELECT 3, x, y, n FROM m3)
+ORDER BY step
+"""
+
+  private val bpeApplyOracle = s"""
+WITH $bpeChainCtes
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n0) AS BIGINT) AS tokens_before,
+  CAST(sum(n3) AS BIGINT) AS tokens_after,
+  CAST(CAST(sum(n3) AS BIGINT) AS DOUBLE)
+    / CAST(CAST(sum(n0) AS BIGINT) AS DOUBLE) AS compression
+FROM (
+  SELECT source, n0,
+    CASE WHEN trim(s) = '' THEN 0
+         ELSE CAST(len(string_split(trim(s), '  ')) AS BIGINT) END AS n3
+  FROM c3)
+GROUP BY source ORDER BY source
+"""
+
   // ------------------------------------------------ vocabulary coverage
   private val VocabSize = 20
 
@@ -524,6 +660,8 @@ GROUP BY ex.doc_id ORDER BY doc_id
     "vocab_oov_rate" -> QueryDef(vocabOovRate, Some(vocabOovOracle)),
     "vocab_bpe_first_merge" ->
       QueryDef(bpeFirstMerge, Some(bpeFirstMergeOracle)),
+    "vocab_bpe_merges" -> QueryDef(bpeMerges, Some(bpeMergesOracle)),
+    "vocab_bpe_apply" -> QueryDef(bpeApply, Some(bpeApplyOracle)),
     "text_boilerplate_removal" ->
       QueryDef(boilerplateRemoval, Some(boilerplateOracle)),
     "text_repetition_ratio" ->

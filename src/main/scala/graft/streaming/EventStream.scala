@@ -60,7 +60,22 @@ object EventStream {
     * today, then exit" batch loop.
     */
   def runToMemory(spark: SparkSession, agg: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+      mode: OutputMode = OutputMode.Complete()): DataFrame =
+    runToMemoryWithWatermark(spark, agg, name, mode)._1
+
+  /** As [[runToMemory]], but also returns the query's final event-time
+    * watermark (epoch millis, 0 if none reported) from `lastProgress` —
+    * the authoritative "no older row can still arrive" boundary of the
+    * LAST executed micro-batch. Tests that assert on watermark-driven
+    * emissions (e.g. outer-join null flushes) must derive the expected
+    * set from THIS value rather than re-computing the advancement rule
+    * (`min over inputs of max event time − delay`): how many batches run
+    * after the final advance under `Trigger.AvailableNow` is
+    * version-sensitive, the reported value is what the engine applied.
+    */
+  def runToMemoryWithWatermark(spark: SparkSession, agg: DataFrame,
+      name: String, mode: OutputMode = OutputMode.Complete())
+      : (DataFrame, Long) = {
     val q = agg.writeStream
       .outputMode(mode)
       .format("memory")
@@ -68,7 +83,11 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val wm = Option(q.lastProgress)
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(ts => java.time.Instant.parse(ts).toEpochMilli)
+      .getOrElse(0L)
+    (spark.table(name), wm)
   }
 
   /** The incremental report job in native Structured Streaming form: the

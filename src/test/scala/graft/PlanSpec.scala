@@ -353,6 +353,55 @@ class PlanSpec extends SparkSpec {
       "expected codebook, dtab and probe joins to broadcast")
   }
 
+  test("decile buckets: consumers read the checkpointed scores, ONE corpus pass") {
+    // the scored projection is localCheckpoint'ed; histogram, corpus count
+    // and final bucket assignment must all plan against the in-memory RDD —
+    // a parquet scan in the final plan means a consumer re-tokenizes the
+    // corpus (3 passes instead of 1 at 100 TB)
+    val plan = executedPlan(ops.CurriculumOps.decileBuckets(spark, sfDir))
+    assert(!plan.contains("Scan parquet") && plan.contains("ExistingRDD"),
+      s"decile bucket consumers replay the documents scan:\n${plan.take(2000)}")
+  }
+
+  test("canonical pick reuses the memoized cluster map (no pair-pipeline replay)") {
+    // the (doc_id, cluster_rep) map is session-memoized: repeated calls must
+    // return the identical cached DataFrame, and canonicalPick's plan must
+    // never re-run the shingle/Jaccard pair pipeline (its only documents
+    // access is the n_chars projection)
+    val m1 = ops.DedupClusters.clusterMap(spark, sfDir)
+    val m2 = ops.DedupClusters.clusterMap(spark, sfDir)
+    assert(m1 eq m2, "cluster map not memoized - union-find re-runs per call")
+    val plan = executedPlan(ops.DedupClusters.canonicalPick(spark, sfDir))
+    assert(!plan.contains("shingle_hashes"),
+      s"canonical pick replays the shingle pipeline:\n${plan.take(2000)}")
+  }
+
+  test("semantic dedup pairs are cell-bucketed equi-joins, never vec×vec") {
+    val df = ops.DedupClusters.semanticPairs(spark, sfDir)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic pair stage grew a cartesian product:\n${plan.take(2000)}")
+    // the only admissible nested loop is the 16-row centroid fan-out; the
+    // candidate join itself must be a hash equi-join on the cell key
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"corpus-level nested loop in semantic pair stage:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      "candidate generation lost its equi-join")
+  }
+
+  test("pareto share: both selection windows see bounded input (bucket grid + one bucket)") {
+    // level-1 window input is the $10k bucket grid (bounded by value range),
+    // level-2 only the threshold bucket's distinct revenues — the raw
+    // per-customer reduction is checkpointed and must never feed a window
+    // directly. Structural proxy: the plan reads the checkpointed reduction
+    // (ExistingRDD), not the orders parquet, and every Window sits above an
+    // aggregation of it
+    val plan = executedPlan(ops.StatsOps.paretoShare(spark, sfDir))
+    assert(!plan.contains("Scan parquet") && plan.contains("ExistingRDD"),
+      s"pareto share replays the orders scan past the checkpoint:\n${plan.take(2000)}")
+  }
+
   test("bm25: broadcast 1-row stats, map-only scoring, TakeOrdered top-k") {
     val plan = executedPlan(ops.SearchOps.bm25TopK(spark, sfDir))
     // corpus stats join the per-doc stream as a broadcast (1 row) — never a

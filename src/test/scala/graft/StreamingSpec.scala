@@ -95,9 +95,10 @@ class StreamingSpec extends SparkSpec {
         col("s_ts") >= col("p_ts") - expr("interval 1 hour"),
       "left_outer")
       .select("p_id", "s_id")
-    val got = EventStream.runToMemory(spark, joined, "stream_ss_left_join",
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      .collect()
+    val (table, reportedWm) = EventStream.runToMemoryWithWatermark(spark,
+      joined, "stream_ss_left_join",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = table.collect()
     val gotInner = got.filter(!_.isNullAt(1)).map(_.toSeq).toSet
     val gotNullIds = got.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
 
@@ -114,14 +115,14 @@ class StreamingSpec extends SparkSpec {
     val expInner = p.join(sgn, cond).select("p_id", "s_id")
       .collect().map(_.toSeq).toSet
     assert(gotInner == expInner, "inner part of the left-outer join drifted")
-    // the watermark the bounded run ends on: min over both inputs of
-    // (max event time − 1h); a purchase can emit its null row only when
-    // wm > p_ts (the latest admissible signup is at s_ts = p_ts)
-    val wmMs = math.min(
-      p.agg(max("p_ts")).head().getTimestamp(0).getTime,
-      sgn.agg(max("s_ts")).head().getTimestamp(0).getTime) - 3600 * 1000L
+    // a purchase emits its null row only when the watermark passes p_ts
+    // (the latest admissible signup is at s_ts = p_ts). The boundary is
+    // the watermark the LAST batch actually applied — taken from the
+    // query's own lastProgress, NOT re-derived as min(max event time)−1h:
+    // whether an extra flush batch runs after the final watermark advance
+    // under Trigger.AvailableNow is version-sensitive engine behavior
     val unmatchedFlushable = p.join(sgn, cond, "left_anti")
-      .filter(col("p_ts") < timestamp_millis(lit(wmMs)))
+      .filter(col("p_ts") < timestamp_millis(lit(reportedWm)))
       .select("p_id").collect().map(_.getLong(0)).toSet
     assert(gotNullIds == unmatchedFlushable,
       s"null-row set mismatch: extra=${(gotNullIds -- unmatchedFlushable).take(5)} " +
