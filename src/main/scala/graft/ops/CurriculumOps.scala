@@ -151,8 +151,71 @@ SELECT source, n_docs, tokens, w_num,
 FROM per, tot ORDER BY source
 """
 
+  /** Temperature-scaled mixture sampling at α = 1/2 — the multilingual-
+    * corpus balancing rule (sampling probability ∝ p_s^α flattens the
+    * source distribution; α = 1/2 is chosen here because √ is an EXACT
+    * IEEE-754 operation, so unlike a general pow() the statistic is
+    * bit-identical cross-engine): q_s = √tokens_s / Σ√tokens, each source
+    * draws q_s·B of a budget B = total/10, rate capped at 1.
+    *
+    * The Σ√ normalizer is a LEFT-TO-RIGHT FOLD over the source-sorted
+    * weights (the chi² trick — `aggregate` over `sort_array`, DuckDB
+    * `list_reduce` over `list(... ORDER BY source)`) so the double sum has
+    * ONE defined addition order. Everything is per-source aggregates and a
+    * 1-row broadcast; the corpus shuffles O(sources).
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Registry.table(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .withColumn("w", sqrt(col("tokens").cast("double")))
+    val norm = perSource.agg(
+      sum("tokens").as("total_tokens"),
+      aggregate(
+        sort_array(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("z"))
+    perSource.join(broadcast(norm))
+      .withColumn("q_temp", col("w") / col("z"))
+      .withColumn("budget", expr("total_tokens div 10"))
+      .withColumn("sampling_rate",
+        least(lit(1.0),
+          col("q_temp") * col("budget").cast("double")
+            / col("tokens").cast("double")))
+      .select(col("source"), col("n_docs"), col("tokens"), col("q_temp"),
+        col("sampling_rate"),
+        floor(col("sampling_rate") * col("tokens").cast("double"))
+          .cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val temperatureOracle = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+    sqrt(CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE))
+      AS w
+  FROM documents GROUP BY source),
+norm AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+    list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                (acc, x) -> acc + x) AS z
+  FROM per)
+SELECT source, n_docs, tokens,
+  w / z AS q_temp,
+  least(1.0, (w / z) * CAST(total_tokens // 10 AS DOUBLE)
+             / CAST(tokens AS DOUBLE)) AS sampling_rate,
+  CAST(floor(least(1.0, (w / z) * CAST(total_tokens // 10 AS DOUBLE)
+                   / CAST(tokens AS DOUBLE))
+             * CAST(tokens AS DOUBLE)) AS BIGINT) AS kept_tokens
+FROM per, norm ORDER BY source
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "curriculum_decile_buckets" -> QueryDef(decileBuckets, Some(decileOracle)),
-    "mix_sampling_rates" -> QueryDef(mixSamplingRates, Some(mixOracle))
+    "mix_sampling_rates" -> QueryDef(mixSamplingRates, Some(mixOracle)),
+    "sample_temperature_mix" ->
+      QueryDef(temperatureMix, Some(temperatureOracle))
   )
 }

@@ -165,7 +165,76 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+  // --------------------------------------------- perceptual-hash signature
+  /** 60-bit aHash-style perceptual signature over the opaque payloads —
+    * the media catalog column a dedup pass blocks on: each payload is
+    * resampled onto a FIXED 60-block grid (block k = bytes
+    * [⌊kL/60⌋, ⌊(k+1)L/60⌋) — the "resize to fixed grid" an image aHash
+    * does with pixels), bit k = block-k mean byte > payload mean byte,
+    * decided as the EXACT integer compare `sum_block·L > sum_total·len_k`
+    * so no engine can flap a boundary bit.
+    *
+    * Computed in the same `mapPartitions` decode seam as
+    * [[mediaFeatures]] (one tight byte loop per payload — where a real
+    * deployment hashes decoded pixels/samples instead of raw bytes). The
+    * pairing step for these signatures is the 4-band pigeonhole blocking
+    * + Hamming verification already proven on `dedup_simhash_pairs`; on
+    * this corpus the near-dups are token-level edits that do not preserve
+    * byte-block structure, so the signature ships as a catalog column and
+    * the banding composition stays with the text/embedding families.
+    */
+  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = media(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val L = bytes.length
+      var stot = 0L
+      var i = 0
+      while (i < L) { stot += bytes(i) & 0xff; i += 1 }
+      var ph = 0L
+      var k = 0
+      while (k < 60) {
+        val lo = (k.toLong * L / 60).toInt
+        val hi = ((k + 1).toLong * L / 60).toInt
+        var sb = 0L
+        var j = lo
+        while (j < hi) { sb += bytes(j) & 0xff; j += 1 }
+        if (sb * L > stot * (hi - lo)) ph |= 1L << k
+        k += 1
+      }
+      (id, ph)
+    }).toDF("doc_id", "phash")
+      .orderBy("doc_id")
+  }
+
+  private val mediaPhashOracle = """
+WITH tot AS (
+  SELECT doc_id, length(text) AS L,
+    list_sum(list_prepend(0,
+      list_transform(string_split_regex(text, ''), c -> ascii(c)))) AS stot
+  FROM documents),
+blk AS (
+  SELECT t.doc_id, k, t.L, t.stot,
+    CAST(floor((k+1) * t.L / 60.0) - floor(k * t.L / 60.0) AS BIGINT) AS bl,
+    list_sum(list_prepend(0, list_transform(
+      string_split_regex(substr(d.text,
+        CAST(floor(k * t.L / 60.0) AS INT) + 1,
+        CAST(floor((k+1) * t.L / 60.0) - floor(k * t.L / 60.0) AS INT)), ''),
+      c -> ascii(c)))) AS sb
+  FROM tot t JOIN documents d USING (doc_id),
+    (SELECT unnest(range(0, 60)) AS k)),
+sig AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN sb * L > stot * bl
+             THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS phash
+  FROM blk GROUP BY doc_id)
+SELECT doc_id, phash FROM sig ORDER BY doc_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "media_phash" -> QueryDef(mediaPhash, Some(mediaPhashOracle)),
     "media_metadata" -> QueryDef(mediaMetadata, Some(mediaMetadataOracle)),
     "media_features_mappartitions" -> QueryDef(mediaFeatures, Some(mediaFeaturesOracle)),
     "media_frame_sample" -> QueryDef(frameSample, Some(frameSampleOracle)),

@@ -446,11 +446,30 @@ LIMIT 20
     * greedy application — and are identical in Java and DuckDB, so the
     * chained oracle reproduces all three rules bit-for-bit.
     */
+  /** Session-scoped memo for the learned merge rules + rewritten corpus:
+    * training (`vocab_bpe_merges`) and application (`vocab_bpe_apply`)
+    * consume the same chain, and the rules are eager 1-row
+    * `localCheckpoint` barriers — without the memo each query re-runs the
+    * three corpus-counting jobs per invocation. Same pattern as
+    * `Dedup.pairsCache`; weak keying releases it with the session.
+    */
+  private val bpeCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (Seq[DataFrame], DataFrame)]]()
+
+  private def bpeChain(s: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) =
+    bpeCache.synchronized {
+      val bySf = bpeCache.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty)
+      bySf.getOrElseUpdate(dir, bpeChainUncached(s, dir))
+    }
+
   /** The shared 3-iteration training chain: returns the three 1-row merge
     * rules and the fully rewritten corpus (with `source` and the pre-merge
     * token count carried through for the downstream coverage audit).
     */
-  private def bpeChain(s: SparkSession, dir: String)
+  private def bpeChainUncached(s: SparkSession, dir: String)
       : (Seq[DataFrame], DataFrame) = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
     val c0 = docs(s, dir)
