@@ -438,13 +438,16 @@ LIMIT 20
     * 1-row barrier) and applied to the corpus as a broadcast.
     *
     * The rewrite needs NO per-token lambda: token sequences are carried as
-    * a delimited string — every token wrapped in single spaces, so
-    * neighbors are separated by DOUBLE spaces and a merged token (which
-    * contains single spaces) can never be confused with a boundary. One
-    * merge step is then a single codegen'd `replace(s, " x  y ", " x y ")`
+    * a delimited string — every token wrapped in `|` (which cannot occur
+    * inside the `[a-z ]` token alphabet), so token boundaries are `||`
+    * and a rule pattern `|x||y|` can only match real adjacencies. One
+    * merge step is then a single codegen'd `replace(s, "|x||y|", "|x y|")`
     * whose left-to-right non-overlapping semantics are exactly BPE's
-    * greedy application — and are identical in Java and DuckDB, so the
-    * chained oracle reproduces all three rules bit-for-bit.
+    * greedy application — identical in Java and DuckDB, so the chained
+    * oracle reproduces all three rules bit-for-bit. The encoding law
+    * (incl. the overlapping x==y chain and merged-tokens-with-spaces
+    * cases) is property-tested against a direct list-walk reference in
+    * Round6PropertySpec.
     */
   /** Session-scoped memo for the learned merge rules + rewritten corpus:
     * training (`vocab_bpe_merges`) and application (`vocab_bpe_apply`)
@@ -472,11 +475,18 @@ LIMIT 20
   private def bpeChainUncached(s: SparkSession, dir: String)
       : (Seq[DataFrame], DataFrame) = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    // every token wrapped in '|' (boundaries between tokens are therefore
+    // '||'); merged tokens join with a single space. '|' cannot occur
+    // INSIDE any token (alphabet is [a-z ]), so a rule pattern
+    // '|x||y|' can only match real token boundaries — a space-delimited
+    // encoding is ambiguous here because a merged token's inner space can
+    // masquerade as a boundary (caught by Round6PropertySpec's chained
+    // (b,b) case)
     val c0 = docs(s, dir)
       .select(col("source"), size(toks).cast("long").as("n0"),
-        concat(lit(" "), array_join(toks, "  "), lit(" ")).as("s"))
+        concat(lit("|"), array_join(toks, "||"), lit("|")).as("s"))
     def topPair(c: DataFrame): DataFrame = {
-      val t = split(trim(col("s")), "  ")
+      val t = split(expr("trim(BOTH '|' FROM s)"), "\\|\\|")
       c.select(t.as("t"))
         .filter(size(col("t")) >= 2)
         .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
@@ -492,8 +502,8 @@ LIMIT 20
       c.crossJoin(broadcast(m))
         .select(col("source"), col("n0"),
           call_function("replace", col("s"),
-            concat(lit(" "), col("x"), lit("  "), col("y"), lit(" ")),
-            concat(lit(" "), col("x"), lit(" "), col("y"), lit(" "))).as("s"))
+            concat(lit("|"), col("x"), lit("||"), col("y"), lit("|")),
+            concat(lit("|"), col("x"), lit(" "), col("y"), lit("|"))).as("s"))
     val m1 = topPair(c0)
     val c1 = applyMerge(c0, m1)
     val m2 = topPair(c1)
@@ -517,8 +527,9 @@ LIMIT 20
     */
   def bpeApply(s: SparkSession, dir: String): DataFrame = {
     val (_, c3) = bpeChain(s, dir)
-    val after = when(trim(col("s")) === "", 0L)
-      .otherwise(size(split(trim(col("s")), "  ")).cast("long"))
+    val after = when(expr("trim(BOTH '|' FROM s)") === "", 0L)
+      .otherwise(size(split(expr("trim(BOTH '|' FROM s)"), "\\|\\|"))
+        .cast("long"))
     c3.select(col("source"), col("n0"), after.as("n3"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -533,7 +544,7 @@ LIMIT 20
   /** One oracle iteration: tokens of `$prev` → pair counts → top-1 rule
     * `m$k` → rewritten corpus `c$k` (source + pre-merge count carried). */
   private def bpeIterCte(k: Int, prev: String) = s"""
-t$k AS (SELECT string_split(trim(s), '  ') AS t FROM $prev),
+t$k AS (SELECT string_split(trim(s, '|'), '||') AS t FROM $prev),
 p$k AS (
   SELECT pr.x AS x, pr.y AS y, count(*) AS n
   FROM (SELECT unnest([{'x': t[i], 'y': t[i+1]}
@@ -542,17 +553,17 @@ p$k AS (
   GROUP BY 1, 2),
 m$k AS (SELECT x, y, CAST(n AS BIGINT) AS n FROM p$k
         ORDER BY n DESC, x ASC, y ASC LIMIT 1),
-c$k AS (SELECT source, n0, replace(s, ' ' || m.x || '  ' || m.y || ' ',
-                          ' ' || m.x || ' ' || m.y || ' ') AS s
+c$k AS (SELECT source, n0, replace(s, '|' || m.x || '||' || m.y || '|',
+                          '|' || m.x || ' ' || m.y || '|') AS s
         FROM $prev, m$k m)"""
 
   private val bpeChainCtes = s"""c0 AS (
   SELECT source,
     CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
                          t -> t <> '')) AS BIGINT) AS n0,
-    ' ' || array_to_string(
+    '|' || array_to_string(
       list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''),
-      '  ') || ' ' AS s
+      '||') || '|' AS s
   FROM documents),
 ${bpeIterCte(1, "c0")},
 ${bpeIterCte(2, "c1")},
@@ -577,8 +588,8 @@ SELECT source,
     / CAST(CAST(sum(n0) AS BIGINT) AS DOUBLE) AS compression
 FROM (
   SELECT source, n0,
-    CASE WHEN trim(s) = '' THEN 0
-         ELSE CAST(len(string_split(trim(s), '  ')) AS BIGINT) END AS n3
+    CASE WHEN trim(s, '|') = '' THEN 0
+         ELSE CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) END AS n3
   FROM c3)
 GROUP BY source ORDER BY source
 """

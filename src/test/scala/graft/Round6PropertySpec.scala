@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the round-6 kernels. The load-bearing one is the
+  * BPE encoding law: the engine carries token sequences as delimited
+  * strings and claims `replace(s, " x  y ", " x y ")` IS greedy
+  * left-to-right BPE application — here that claim is checked against a
+  * direct list-walk reference on adversarial inputs (overlapping x==y
+  * chains, merged tokens containing spaces). Same seeded convention as
+  * [[Round2PropertySpec]].
+  */
+class Round6PropertySpec extends SparkSpec {
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(6042L + i)).foreach(body)
+    }
+
+  // ------------------------------------------------- BPE greedy-merge law
+  /** Reference semantics: scan left to right, merge the first available
+    * (x, y) adjacency, never re-use a consumed token.
+    */
+  private def mergeRef(toks: List[String], x: String, y: String)
+      : List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+        out += (x + " " + y); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** The engine's encoding: wrap every token in `|` (boundaries are
+    * `||`), one `replace` per rule, merged tokens join with a space.
+    */
+  private def mergeViaSql(toks: List[String], x: String, y: String)
+      : List[String] = {
+    import spark.implicits._
+    val s0 = "|" + toks.mkString("||") + "|"
+    val out = Seq(s0).toDF("s")
+      .select(call_function("replace", col("s"),
+        lit("|" + x + "||" + y + "|"),
+        lit("|" + x + " " + y + "|")).as("s"))
+      .head().getString(0)
+    val core = out.stripPrefix("|").stripSuffix("|")
+    if (core.isEmpty) Nil else core.split("\\|\\|").toList
+  }
+
+  private val tokenLists: Gen[List[String]] =
+    Gen.listOfN(12, Gen.oneOf("a", "b", "c")) // short alphabet → many repeats
+
+  test("delimited-string replace equals greedy left-to-right BPE merging") {
+    forAllSeeded(tokenLists, n = 10) { toks =>
+      val pairs = toks.zip(toks.drop(1))
+      if (pairs.nonEmpty) {
+        // most frequent adjacency — what topPair would pick
+        val (x, y) = pairs.groupBy(identity).toSeq
+          .maxBy { case (p, g) => (g.size, -p._1.hashCode) }._1
+        val once = mergeViaSql(toks, x, y)
+        assert(once == mergeRef(toks, x, y),
+          s"merge ($x,$y) diverged on $toks")
+        // second rule drawn from the REWRITTEN sequence, so it can contain
+        // a merged token with an inner single space — the case the
+        // double-space delimiter exists for
+        val pairs2 = once.zip(once.drop(1))
+        if (pairs2.nonEmpty) {
+          val (x2, y2) = pairs2.groupBy(identity).toSeq
+            .maxBy { case (p, g) => (g.size, -p._1.hashCode) }._1
+          assert(mergeViaSql(once, x2, y2) == mergeRef(once, x2, y2),
+            s"chained merge ($x2,$y2) diverged on $once")
+        }
+      }
+    }
+  }
+
+  // ----------------------------------------------- pareto two-level law
+  test("two-level pareto selection equals brute-force top-k revenue share") {
+    val row = ops.StatsOps.paretoShare(spark, sfDir).head()
+    val revs = Registry.table(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
+        .cast("long")).as("rev"))
+      .collect().map(_.getLong(1))
+    val k = math.ceil(revs.length * 0.01).toLong
+    val topk = revs.sorted(Ordering[Long].reverse).take(k.toInt).sum
+    assert(row.getAs[Long]("n_customers") == revs.length.toLong)
+    assert(row.getAs[Long]("topk") == k)
+    assert(row.getAs[Long]("topk_cents") == topk,
+      s"two-level selection != brute force (got ${row.getAs[Long]("topk_cents")}, want $topk)")
+    assert(row.getAs[Long]("total_cents") == revs.sum)
+  }
+
+  // --------------------------------------------- temperature-mix laws
+  test("temperature mix: probabilities normalize and strictly flatten") {
+    val rows = ops.CurriculumOps.temperatureMix(spark, sfDir).collect()
+    val qSum = rows.map(_.getAs[Double]("q_temp")).sum
+    assert(math.abs(qSum - 1.0) < 1e-9, s"q does not normalize: $qSum")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("sampling_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("tokens"))
+    }
+    // sqrt-flattening: bigger sources keep a larger q but a SMALLER
+    // q-to-mass ratio than smaller sources
+    val byTok = rows.sortBy(_.getAs[Long]("tokens"))
+    byTok.sliding(2).foreach {
+      case Array(lo, hi) =>
+        val (tl, th) = (lo.getAs[Long]("tokens"), hi.getAs[Long]("tokens"))
+        if (tl < th) {
+          val (ql, qh) =
+            (lo.getAs[Double]("q_temp"), hi.getAs[Double]("q_temp"))
+          assert(qh > ql, "q must grow with mass")
+          assert(qh / ql < th.toDouble / tl,
+            "q ratio must be flatter than the mass ratio")
+        }
+      case _ => ()
+    }
+  }
+
+  // -------------------------------------------- semantic-cluster laws
+  test("semantic clusters: total partition, min-rep, consistent sizes, pair cohesion") {
+    val got = ops.DedupClusters.semanticClusters(spark, sfDir).collect()
+    val all = Registry.table(spark, sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).toSet == all, "not a partition of the corpus")
+    val byRep = got.groupBy(_.getLong(1))
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_.getLong(0)).min == rep,
+        s"cluster rep $rep is not the member minimum")
+      assert(members.count(_.getLong(3) == 1L) == 1,
+        s"cluster $rep canonical count != 1")
+      members.foreach(m => assert(m.getLong(2) == members.length.toLong,
+        s"cluster $rep size column inconsistent"))
+    }
+    // every near-dup pair must land in one cluster
+    val rep = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ops.DedupClusters.semanticPairs(spark, sfDir).collect().foreach { p =>
+      assert(rep(p.getLong(0)) == rep(p.getLong(1)),
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) split across clusters")
+    }
+  }
+
+  // ------------------------------------------------- media phash mirror
+  test("media phash equals the direct per-byte specification") {
+    val got = ops.Multimodal.mediaPhash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Registry.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().foreach { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val L = bytes.length
+        val stot = bytes.map(b => (b & 0xff).toLong).sum
+        var ph = 0L
+        (0 until 60).foreach { k =>
+          val lo = (k.toLong * L / 60).toInt
+          val hi = ((k + 1).toLong * L / 60).toInt
+          val sb = (lo until hi).map(i => (bytes(i) & 0xff).toLong).sum
+          if (sb * L > stot * (hi - lo)) ph |= 1L << k
+        }
+        assert(got(r.getLong(0)) == ph, s"phash mismatch for doc ${r.getLong(0)}")
+      }
+  }
+
+  // ------------------------------------------------------ hybrid RRF laws
+  test("hybrid RRF: scores decompose into rank terms and order descends") {
+    val rows = ops.SearchOps.hybridRrf(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val rb = Option(r.get(2)).map(_.asInstanceOf[Long])
+      val rd = Option(r.get(3)).map(_.asInstanceOf[Long])
+      assert(rb.isDefined || rd.isDefined)
+      rb.foreach(x => assert(x >= 1 && x <= 20))
+      rd.foreach(x => assert(x >= 1 && x <= 20))
+      val want = rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rd.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(1) == want, s"rrf decomposition broke for $r")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(1) >= b.getDouble(1))
+      case _ => ()
+    }
+  }
+}
