@@ -347,10 +347,103 @@ LEFT JOIN sizes sz ON sz.cluster_rep = cl.cluster_rep
 ORDER BY e.vec_id
 """
 
+  /** Incremental SEMANTIC dedup — the embedding twin of
+    * `dedup_incremental_batch`: a new batch (vectors hashing to buckets
+    * 0-1, ~20%) is checked against the EXISTING corpus through the IVF
+    * cells, with neither a corpus×corpus nor a new×new term. Centroids are
+    * the 16 lowest-id EXISTING vectors (a production index is built before
+    * the batch arrives, so seeds cannot leak from the batch); both sides
+    * take the usual dual (rk ≤ 2) assignment and only new×existing pairs
+    * sharing a cell are cosine-verified. At 100 TB the existing side is a
+    * prebuilt cell-partitioned index the batch probes into.
+    */
+  def incrementalSemantic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Similarity.quantized(s, dir)
+      .withColumn("is_new",
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+          16, 10).cast("long"), lit(10)) < 2)
+    val cents = corpus.filter(!col("is_new"))
+      .orderBy("vec_id").limit(SemCells)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val dists = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("is_new"), col("centroid_id"),
+        (col("nrm") + col("cnrm") -
+          lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
+          .as("dist2"))
+    val byNearest = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    val asg = dists.withColumn("rk", row_number().over(byNearest))
+      .filter(col("rk") <= SemProbes)
+      .select(col("vec_id"), col("is_new"), col("centroid_id").as("cell"))
+    val cand = asg.filter(col("is_new")).as("a")
+      .join(asg.filter(!col("is_new")).as("b"), Seq("cell"))
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"))
+      .distinct()
+    val side = corpus.select(col("vec_id"), col("qv"), col("nrm"))
+    cand
+      .join(side.select(col("vec_id").as("new_id"), col("qv").as("qa"),
+        col("nrm").as("na")), "new_id")
+      .join(side.select(col("vec_id").as("corpus_id"), col("qv").as("qb"),
+        col("nrm").as("nb")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (call_function("vec_dot_long", col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= SemThreshold)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val incrementalSemanticOracle = s"""
+WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv,
+    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 10 < 2 AS is_new
+  FROM embeddings),
+nn AS (
+  SELECT vec_id, qv, is_new,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM n),
+c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
+      FROM nn WHERE NOT is_new ORDER BY vec_id LIMIT $SemCells),
+d AS (
+  SELECT v.vec_id, v.is_new, c.centroid_id,
+    v.nrm + c.cnrm - 2 * CAST(list_sum(
+      list_transform(range(1, 65), k -> v.qv[k] * c.cv[k])) AS BIGINT) AS dist2
+  FROM nn v, c),
+rk AS (
+  SELECT vec_id, is_new, centroid_id,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, centroid_id ASC) AS rk
+  FROM d),
+asg AS (SELECT vec_id, is_new, centroid_id AS cell FROM rk
+        WHERE rk <= $SemProbes),
+cand AS (
+  SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS corpus_id
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.is_new AND NOT b.is_new)
+SELECT new_id, corpus_id,
+  CAST(list_sum(list_transform(range(1, 65),
+      k -> na.qv[k] * nb.qv[k])) AS DOUBLE)
+    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+FROM cand
+JOIN nn na ON na.vec_id = new_id
+JOIN nn nb ON nb.vec_id = corpus_id
+WHERE CAST(list_sum(list_transform(range(1, 65),
+      k -> na.qv[k] * nb.qv[k])) AS DOUBLE)
+    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+    >= $SemThreshold
+ORDER BY new_id, corpus_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "dedup_clusters" -> QueryDef(clusters, Some(clustersOracle)),
     "dedup_canonical_pick" -> QueryDef(canonicalPick, Some(canonicalOracle)),
     "dedup_semantic_clusters" ->
-      QueryDef(semanticClusters, Some(semanticOracle))
+      QueryDef(semanticClusters, Some(semanticOracle)),
+    "dedup_incremental_semantic" ->
+      QueryDef(incrementalSemantic, Some(incrementalSemanticOracle))
   )
 }

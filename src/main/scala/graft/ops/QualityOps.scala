@@ -233,10 +233,89 @@ FROM dev JOIN m2 USING (event_type)
 ORDER BY dev.event_type, dev.day
 """
 
+  // --------------------------------------- seasonal (day-of-week) anomaly
+  /** Seasonality-aware twin of [[anomalyMad]]: weekly traffic has a
+    * day-of-week shape, and a raw-median monitor flags every quiet Sunday.
+    * Baseline = per-(type, weekday) MEDIAN daily volume (the seasonal
+    * profile); residual = day − its weekday median; flag
+    * |residual| > 3·1.4826·MAD(residuals). Same histogram-median kernel
+    * over the TINY (type, day) grid, one fact pass (checkpointed), and
+    * the cut is the exact integer compare |r|·10000 > MAD·44478 — no
+    * float anywhere, so the flag cannot flap cross-engine.
+    */
+  def anomalySeasonal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def medianBy(df: DataFrame, keys: Seq[String], v: String,
+        out: String): DataFrame = {
+      val hist = df.groupBy((keys :+ v).map(col): _*)
+        .agg(count(lit(1)).as("c_"))
+      val wC = Window.partitionBy(keys.map(col): _*).orderBy(v)
+      val wA = Window.partitionBy(keys.map(col): _*)
+      hist.withColumn("cum", sum("c_").over(wC))
+        .withColumn("n", sum("c_").over(wA))
+        .groupBy(keys.map(col): _*)
+        .agg(min(when(col("cum") >= ceil(col("n") * 0.5), col(v))).as(out))
+    }
+    val daily = Registry.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+      .localCheckpoint()
+    val seasonal = medianBy(daily, Seq("event_type", "dow"), "n_events", "smed")
+    val withResid = daily.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .withColumn("resid", col("n_events") - col("smed"))
+      .withColumn("aresid", abs(col("resid")))
+    val mad = medianBy(withResid, Seq("event_type"), "aresid", "mad")
+    withResid.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("dow"), col("n_events"),
+        col("smed"), col("resid"),
+        (col("aresid") * 10000 > col("mad") * 44478).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based (Sunday=1)
+  private val anomalySeasonalOracle = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow
+  FROM events GROUP BY 1, 2),
+h1 AS (
+  SELECT event_type, dow, n_events AS v, count(*) AS c_
+  FROM daily GROUP BY 1, 2, 3),
+m1 AS (
+  SELECT event_type, dow,
+    min(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS smed
+  FROM (SELECT event_type, dow, v,
+          sum(c_) OVER (PARTITION BY event_type, dow ORDER BY v) AS cum,
+          sum(c_) OVER (PARTITION BY event_type, dow) AS n
+        FROM h1)
+  GROUP BY 1, 2),
+dev AS (
+  SELECT d.event_type, d.day, d.dow, d.n_events, m1.smed,
+    d.n_events - m1.smed AS resid,
+    abs(d.n_events - m1.smed) AS aresid
+  FROM daily d JOIN m1 USING (event_type, dow)),
+h2 AS (
+  SELECT event_type, aresid AS v, count(*) AS c_ FROM dev GROUP BY 1, 2),
+m2 AS (
+  SELECT event_type, min(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS mad
+  FROM (SELECT event_type, v,
+          sum(c_) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+          sum(c_) OVER (PARTITION BY event_type) AS n
+        FROM h2)
+  GROUP BY event_type)
+SELECT dev.event_type, dev.day, dev.dow, dev.n_events, dev.smed, dev.resid,
+  dev.aresid * 10000 > m2.mad * 44478 AS is_anomaly
+FROM dev JOIN m2 USING (event_type)
+ORDER BY dev.event_type, dev.day
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "dq_profile_orders" -> QueryDef(profileOrders, Some(profileOracle)),
     "dq_expectations" -> QueryDef(expectations, Some(expectationsOracle)),
     "dq_anomaly_zscore" -> QueryDef(anomalyZscore, Some(anomalyZscoreOracle)),
-    "dq_anomaly_mad" -> QueryDef(anomalyMad, Some(anomalyMadOracle))
+    "dq_anomaly_mad" -> QueryDef(anomalyMad, Some(anomalyMadOracle)),
+    "dq_anomaly_seasonal" ->
+      QueryDef(anomalySeasonal, Some(anomalySeasonalOracle))
   )
 }
