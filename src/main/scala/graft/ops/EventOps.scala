@@ -417,7 +417,73 @@ WHERE wend <= (SELECT max(day) FROM ud)
 GROUP BY wend ORDER BY wend
 """
 
+  // ------------------------------------------------ last-touch attribution
+  /** Last-touch attribution: each `purchase` is credited to the user's most
+    * recent PRECEDING touch event (`click` or `view`) within 7 days, else
+    * to `direct` — the standard marketing/conversion attribution join,
+    * expressed as one per-user ordered window instead of a self-join: the
+    * carried "last touch" is `last(touch, ignoreNulls) OVER (user ORDER BY
+    * ts, event_id ROWS UNBOUNDED PRECEDING → 1 PRECEDING)` (event_id
+    * tiebreak makes the order total, so the credit cannot flap between
+    * engines). One hash exchange on user_id, per-user sorted scan —
+    * the sessionize shape; per-user history length bounds the window
+    * state, never corpus size.
+    *
+    * Revenue stays on the exact 1e-6 integer grid ([[dsum]] discipline);
+    * the output is the per-channel credit table a spend report consumes.
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Registry.events(s, dir)
+    val vmic = (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long")
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("ts").as("tts"), col("event_type").as("ch")))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), vmic.as("v"), touch.as("touch"))
+      .withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("v"),
+        when(col("lt").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("lt.tts"))
+            <= 7L * 86400L * 1000000L,
+          col("lt.ch")).otherwise(lit("direct")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("v").as("rev_micros"))
+      .orderBy("channel")
+  }
+
+  private val lastTouchOracle = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+    CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts,
+    CASE WHEN event_type IN ('click', 'view') THEN event_type END
+      AS touch_ch
+  FROM events),
+carried AS (
+  SELECT user_id, ts, event_type, v,
+    last_value(touch_ts IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts,
+    last_value(touch_ch IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ch
+  FROM ev)
+SELECT
+  CASE WHEN lt_ts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(lt_ts) <= CAST(604800000000 AS BIGINT)
+    THEN lt_ch ELSE 'direct' END AS channel,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(sum(v) AS BIGINT) AS rev_micros
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY channel
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "events_last_touch_attribution" ->
+      QueryDef(lastTouchAttribution, Some(lastTouchOracle)),
     "window_rolling_active_users" ->
       QueryDef(rollingActiveUsers, Some(rollingActiveUsersOracle)),
     "events_activity_streaks" ->

@@ -168,7 +168,210 @@ FROM r3 JOIN nation na ON na.n_nationkey = r3.nk
 ORDER BY rank_scaled DESC, n_name
 """
 
+  /** Triangle count + local clustering coefficient over the undirected
+    * nation trade graph — the second classic fixed-point-free graph
+    * statistic (community density) after PageRank's centrality. Edge build
+    * is the same q7-shape star join as [[pagerankNations]]: the fact table
+    * is scanned ONCE and reduced straight to the ≤ 25×25 directed edge
+    * list; everything after operates on that bounded list.
+    *
+    * Undirected edges: symmetrize with (least, greatest) and keep pairs
+    * whose combined trade is ≥ the MEAN edge weight — a data-driven,
+    * scale-free threshold (`w · n_edges ≥ total_w` in exact int64; w tops
+    * out ~1e10 cents and n_edges ≤ 300 at any SF, far inside headroom),
+    * so the graph is neither complete nor empty at every scale factor.
+    *
+    * Triangles a<b<c enumerate as path join (a,b)⋈(b,c) + LEFT SEMI probe
+    * of the closing edge (a,c) — each triangle counted exactly once, no
+    * post-dedup. On a nation graph all three joins are broadcast-sized; on
+    * a general 100 TB graph this is the standard edge-oriented triangle
+    * join whose cost is Σ deg(u)·deg(v) over edges — the node-iterator
+    * bound — and it shuffles only edge keys, never adjacency lists.
+    * Clustering = 2T / (deg·(deg−1)): exact integer numerator/denominator,
+    * ONE IEEE division; null for degree-1 nodes (undefined, not 0).
+    */
+  /** Shared edge build for the undirected-graph queries: the fact table is
+    * scanned ONCE and reduced to the ≤300-pair symmetrized trade graph
+    * behind a checkpoint, then thresholded at the MEAN edge weight
+    * (`w · n_edges ≥ total_w`, exact int64) — data-driven and scale-free,
+    * because the raw nation graph is COMPLETE at every SF (measured), so
+    * only a relative cut yields interesting structure.
+    */
+  private def thresholdedTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100).cast("long")
+    val li = Registry.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), cents.as("c"))
+    val sup = Registry.table(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("u"))
+    val ord = Registry.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Registry.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("v"))
+    val und = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("c"))
+      .groupBy("a", "b").agg(sum("c").as("w"))
+      .localCheckpoint() // lineage cut: fact scanned once, like pagerank
+    val tot = und.agg(count(lit(1)).as("ne"), sum("w").as("tw"))
+    und.crossJoin(broadcast(tot))
+      .filter(col("w") * col("ne") >= col("tw"))
+      .select("a", "b")
+      .localCheckpoint() // consumed repeatedly by every downstream join
+  }
+
+  def triangleClustering(s: SparkSession, dir: String): DataFrame = {
+    val edges = thresholdedTradeEdges(s, dir)
+    val paths = edges
+      .join(edges.toDF("b", "c"), "b") // a<b and b<c ⇒ a<b<c, each once
+    val tris = paths.join(edges.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("nk"))
+      .groupBy("nk").agg(count(lit(1)).as("triangles"))
+    val degrees = edges.select(col("a").as("nk"))
+      .union(edges.select(col("b").as("nk")))
+      .groupBy("nk").agg(count(lit(1)).as("degree"))
+    degrees
+      .join(perNode, Seq("nk"), "left_outer")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .join(broadcast(Registry.table(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))), "nk")
+      .select(col("n_name"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("clustering"))
+      .orderBy("n_name")
+  }
+
+  private val triangleOracle = """
+WITH e AS (
+  SELECT s.s_nationkey AS u, cu.c_nationkey AS v,
+    CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  WHERE s.s_nationkey <> cu.c_nationkey),
+und AS (
+  SELECT least(u, v) AS a, greatest(u, v) AS b,
+    CAST(sum(c) AS BIGINT) AS w
+  FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw
+  FROM und),
+edges AS (
+  SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
+tris AS (
+  SELECT p.a, p.b, p.c
+  FROM (SELECT e1.a, e1.b, e2.b AS c
+        FROM edges e1 JOIN edges e2 ON e1.b = e2.a) p
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.a = p.a AND e3.b = p.c)),
+per_node AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS triangles
+  FROM (SELECT a AS nk FROM tris UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+  GROUP BY nk),
+degrees AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS nk FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY nk)
+SELECT na.n_name, d.degree,
+  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+  CASE WHEN d.degree >= 2
+    THEN CAST(coalesce(p.triangles, 0) * 2 AS DOUBLE)
+         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+  END AS clustering
+FROM degrees d
+LEFT JOIN per_node p ON p.nk = d.nk
+JOIN nation na ON na.n_nationkey = d.nk
+ORDER BY n_name
+"""
+
+  /** Jaccard link prediction on the thresholded trade graph: for every
+    * NON-adjacent nation pair, score = |N(a)∩N(b)| / |N(a)∪N(b)| over
+    * neighbor sets — the classic "which edge appears next" baseline, and
+    * the third member of the graph family (centrality → density → link
+    * prediction). Shares [[triangleClustering]]'s edge build verbatim
+    * (fact scanned once, mean-weight threshold).
+    *
+    * Common-neighbor counting is the wedge join (adj ⋈ adj on the shared
+    * endpoint — Σ deg² work, the node-iterator bound again); the union
+    * size comes from degrees by inclusion–exclusion, NOT a second join:
+    * `|N(a)∪N(b)| = deg(a)+deg(b)−inter`. Non-adjacency is one LEFT ANTI
+    * against the edge list. Exact integer counts, ONE IEEE division per
+    * scored pair; top-20 by (jaccard, a, b) so ties are total.
+    */
+  def jaccardLinks(s: SparkSession, dir: String): DataFrame = {
+    val edges = thresholdedTradeEdges(s, dir)
+    val adj = edges.select(col("a").as("n"), col("b").as("nb"))
+      .union(edges.select(col("b").as("n"), col("a").as("nb")))
+      .localCheckpoint()
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("d"))
+    // wedge join: common neighbors of every ordered pair a<b
+    val inter = adj.toDF("x", "w1")
+      .join(adj.toDF("y", "w2"), col("w1") === col("w2") && col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(edges, Seq("a", "b"), "left_anti") // predicted links only
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .select(col("a"), col("b"), col("inter"),
+        (col("da") + col("db") - col("inter")).as("uni"),
+        (col("inter").cast("double") /
+          (col("da") + col("db") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
+  private val jaccardOracle = """
+WITH e AS (
+  SELECT s.s_nationkey AS u, cu.c_nationkey AS v,
+    CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  WHERE s.s_nationkey <> cu.c_nationkey),
+und AS (
+  SELECT least(u, v) AS a, greatest(u, v) AS b, CAST(sum(c) AS BIGINT) AS w
+  FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw
+  FROM und),
+edges AS (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
+adj AS (
+  SELECT a AS n, b AS nb FROM edges
+  UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
+inter AS (
+  SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM adj x JOIN adj y ON x.nb = y.nb AND x.n < y.n
+  GROUP BY 1, 2),
+scored AS (
+  SELECT i.a, i.b, i.inter, da.d + db.d - i.inter AS uni,
+    CAST(i.inter AS DOUBLE) / CAST(da.d + db.d - i.inter AS DOUBLE)
+      AS jaccard
+  FROM inter i
+  JOIN deg da ON da.n = i.a
+  JOIN deg db ON db.n = i.b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e2 WHERE e2.a = i.a AND e2.b = i.b))
+SELECT a, b, inter, uni, jaccard
+FROM scored
+ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20
+"""
+
   val queries: Map[String, QueryDef] = Map(
-    "graph_pagerank_nations" -> QueryDef(pagerankNations, Some(pagerankOracle))
+    "graph_pagerank_nations" -> QueryDef(pagerankNations, Some(pagerankOracle)),
+    "graph_triangle_clustering" ->
+      QueryDef(triangleClustering, Some(triangleOracle)),
+    "graph_jaccard_links" -> QueryDef(jaccardLinks, Some(jaccardOracle))
   )
 }

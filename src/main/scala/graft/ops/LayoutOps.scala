@@ -108,7 +108,62 @@ SELECT CAST(z >> 20 AS BIGINT) AS z_bucket,
 FROM z GROUP BY z_bucket ORDER BY z_bucket
 """
 
+  // ----------------------------------------------------- compaction planner
+  private val TargetBytes = 4096L
+
+  /** Small-file compaction plan — the table-maintenance decision every
+    * large table needs: group each partition's undersized files into
+    * target-size rewrite groups. Files are modeled as (source,
+    * doc_id div 50) slices of `documents` with byte size Σ n_chars (the
+    * testdata carries no real file listing); the PLANNER itself is the
+    * real operator and runs on file-level METADATA — one row per file —
+    * so at 100 TB its input is ~10⁶ rows however big the data is, and
+    * every window below partitions by `source` (never a global sort).
+    *
+    * Packing rule: within a partition, walk files in file_id order and
+    * open a new group every [[TargetBytes]] of cumulative size —
+    * `group = (cum − size) div target`, the START-OFFSET bin of each
+    * file, which is the streaming first-fit rule computable as one
+    * window cumsum + integer division (no iterative loop, identical in
+    * SQL). Exact int64 end-to-end.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Registry.table(s, dir, "documents")
+      .groupBy(col("source"), expr("doc_id div 50").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+    val wCum = Window.partitionBy("source").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    files
+      .withColumn("cum", sum("bytes").over(wCum))
+      .withColumn("grp", expr(s"(cum - bytes) div $TargetBytes"))
+      .groupBy("source", "grp")
+      .agg(count(lit(1)).as("n_files"), sum("n_docs").as("n_docs"),
+        sum("bytes").as("bytes"),
+        min("file_id").as("first_file"), max("file_id").as("last_file"))
+      .orderBy("source", "grp")
+  }
+
+  private val compactionOracle = s"""
+WITH files AS (
+  SELECT source, doc_id // 50 AS file_id,
+    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2),
+planned AS (
+  SELECT source, file_id, n_docs, bytes,
+    (CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - bytes)
+      // $TargetBytes AS grp
+  FROM files)
+SELECT source, grp, CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs, CAST(sum(bytes) AS BIGINT) AS bytes,
+  min(file_id) AS first_file, max(file_id) AS last_file
+FROM planned GROUP BY source, grp ORDER BY source, grp
+"""
+
   val queries: Map[String, QueryDef] = Map(
-    "zorder_layout_stats" -> QueryDef(zorderStats, Some(zorderStatsOracle))
+    "zorder_layout_stats" -> QueryDef(zorderStats, Some(zorderStatsOracle)),
+    "pipeline_compaction_plan" ->
+      QueryDef(compactionPlan, Some(compactionOracle))
   )
 }

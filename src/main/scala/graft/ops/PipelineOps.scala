@@ -44,6 +44,151 @@ WHERE cnt * 1000 > (SELECT count(*) FROM ex)
 ORDER BY cnt DESC, tok
 """
 
+  // ---------------------------------------------- vocabulary coverage curve
+  private val CoverageRanks = Seq(1, 2, 5, 10, 20, 30)
+
+  /** Cumulative vocabulary coverage curve: what share of all token
+    * positions the top-r vocabulary entries cover, for a fixed rank grid —
+    * the statistic that sizes a tokenizer vocabulary (the knee of this
+    * curve is where extra vocab entries stop paying for themselves).
+    *
+    * Same map-side-combine reduction as [[heavyHitters]] (shuffle is
+    * O(vocabulary)); the ranking window is global but runs over the
+    * VOCABULARY, never the corpus — bounded by construction, the
+    * heavy-hitter precedent. Ties break on the token itself so the rank
+    * order (and hence the curve) is total and engine-independent. Each
+    * grid rank resolves to `min(r, |V|)` so the curve saturates at 1.0
+    * instead of dropping rows when the vocabulary is smaller than the
+    * grid. Coverage is exact-int cumulative ÷ exact-int total — one IEEE
+    * division per row.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum",
+        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = counts.agg(sum("cnt").as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val grid = s.range(1).select(
+      explode(array(CoverageRanks.map(lit(_)): _*)).as("r"))
+    grid.crossJoin(broadcast(tot))
+      .join(ranked, col("rk") === least(col("r"), col("vocab_size")))
+      .select(col("r").cast("long").as("rank"), col("cum").as("cum_tokens"),
+        col("total_tokens"), col("vocab_size"),
+        (col("cum").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy("rank")
+  }
+
+  private val vocabCoverageOracle = s"""
+WITH ex AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY tok),
+ranked AS (
+  SELECT tok, cnt,
+    row_number() OVER (ORDER BY cnt DESC, tok) AS rk,
+    CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM counts),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+    CAST(count(*) AS BIGINT) AS vocab_size
+  FROM counts),
+grid AS (SELECT unnest([${CoverageRanks.mkString(", ")}]) AS r)
+SELECT CAST(g.r AS BIGINT) AS rank, rk.cum AS cum_tokens,
+  t.total_tokens, t.vocab_size,
+  CAST(rk.cum AS DOUBLE) / CAST(t.total_tokens AS DOUBLE) AS coverage
+FROM grid g
+CROSS JOIN tot t
+JOIN ranked rk ON rk.rk = least(g.r, t.vocab_size)
+ORDER BY rank
+"""
+
+  // -------------------------------------------------- MV join-delta rule
+  /** Incremental maintenance of a JOIN materialized view — the delta rule
+    * every MV refresh engine implements: for V = A ⋈ B aggregated, the
+    * view delta after batch inserts ΔA/ΔB is
+    * `ΔV = agg(ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB)` — equivalently, the join
+    * rows where EITHER side is new. The view here is revenue per nation
+    * over orders ⋈ customer; "new" rows are content-hash bucket 0 of 10
+    * on each side's key (deterministic stand-ins for a delta feed).
+    *
+    * THE ORACLE PROVES THE ALGEBRA, not just the arithmetic: the engine
+    * computes the incremental form (one pass over the join with the
+    * either-side-new filter); the oracle computes `V_new − V_old` by FULL
+    * RECOMPUTE of both snapshots. A hash match means the delta rule gave
+    * bit-identical results to recomputation — the property an MV refresh
+    * must guarantee. Output is anchored on all 25 nations (zero deltas
+    * included) so both formulations agree on the row set.
+    *
+    * At scale the deltas arrive as separate files, so each term scans
+    * only ΔA or ΔB joined against the other side (partition-pruned /
+    * broadcast); recompute scans everything — that asymmetry is the whole
+    * point of the rule. Exact cents; counts and sums only.
+    */
+  def mvJoinDelta(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
+      .cast("long")
+    val o = Registry.table(s, dir, "orders")
+      .select(col("o_custkey"), cents.as("c"),
+        (pmod(SamplingOps.hash60(col("o_orderkey")), lit(10)) === 0)
+          .as("o_new"))
+    val cst = Registry.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        (pmod(SamplingOps.hash60(col("c_custkey")), lit(10)) === 0)
+          .as("c_new"))
+    val delta = o
+      .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_new") || col("c_new")) // ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("delta_rows"), sum("c").as("delta_rev_cents"))
+    Registry.table(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .join(broadcast(delta),
+        col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .select(col("n_name"),
+        coalesce(col("delta_rows"), lit(0L)).as("delta_rows"),
+        coalesce(col("delta_rev_cents"), lit(0L)).as("delta_rev_cents"))
+      .orderBy("n_name")
+  }
+
+  private val mvJoinDeltaOracle = """
+WITH o AS (
+  SELECT o_custkey,
+    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c,
+    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+      % 10 = 0 AS o_new
+  FROM orders),
+cst AS (
+  SELECT c_custkey, c_nationkey,
+    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+      % 10 = 0 AS c_new
+  FROM customer),
+v_new AS (
+  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS nr,
+    CAST(sum(c) AS BIGINT) AS rev
+  FROM o JOIN cst ON o_custkey = c_custkey
+  GROUP BY 1),
+v_old AS (
+  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS nr,
+    CAST(sum(c) AS BIGINT) AS rev
+  FROM o JOIN cst ON o_custkey = c_custkey
+  WHERE NOT o_new AND NOT c_new
+  GROUP BY 1)
+SELECT n.n_name,
+  coalesce(vn.nr, 0) - coalesce(vo.nr, 0) AS delta_rows,
+  coalesce(vn.rev, 0) - coalesce(vo.rev, 0) AS delta_rev_cents
+FROM nation n
+LEFT JOIN v_new vn ON vn.nk = n.n_nationkey
+LEFT JOIN v_old vo ON vo.nk = n.n_nationkey
+ORDER BY n_name
+"""
+
   // --------------------------------------------------- CDC snapshot diff
   /** Snapshot change classification — the merge/CDC pattern: given an old
     * and a new snapshot of a keyed table, emit one row per key present in
@@ -334,6 +479,8 @@ FROM p GROUP BY shard ORDER BY shard
       QueryDef(incrementalSnapshotAgg, Some(incrementalSnapshotAggOracle)),
     "global_shuffle_shards" -> QueryDef(shuffleShards, Some(shuffleShardsOracle)),
     "heavy_hitter_tokens" -> QueryDef(heavyHitters, Some(heavyHittersOracle)),
+    "vocab_coverage_curve" ->
+      QueryDef(vocabCoverage, Some(vocabCoverageOracle)),
     "cdc_snapshot_diff" -> QueryDef(cdcSnapshotDiff, Some(cdcSnapshotDiffOracle)),
     "pack_sequences_4k" -> QueryDef(packSequences, Some(packSequencesOracle)),
     "scd2_priority_history" -> QueryDef(scd2PriorityHistory, Some(scd2Oracle)),

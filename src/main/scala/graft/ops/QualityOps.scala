@@ -310,7 +310,86 @@ FROM dev JOIN m2 USING (event_type)
 ORDER BY dev.event_type, dev.day
 """
 
+  // --------------------------------------------------------- drift profile
+  /** Temporal data-drift profile: split `orders` at the midpoint of its
+    * date range and compare per-column summary statistics between the two
+    * halves — the snapshot-over-snapshot check a pipeline runs to catch
+    * upstream distribution shifts before they poison a training mix. (The
+    * KS test in StatsOps is the distributional sibling; this is the
+    * cheap per-metric screen run first.)
+    *
+    * The split point is DATA-DRIVEN — `(min_day + max_day) div 2` epoch
+    * days from a 1-row broadcast — so the query is scale- and
+    * window-agnostic. Each half reduces in ONE conditional aggregation
+    * pass (count / exact cent sum / distinct customers / distinct
+    * priorities), then the metric×period matrix is melted to one row per
+    * metric. Drift is reported in exact parts-per-million:
+    * |v₂−v₁|·10⁶ div max(v₁,1) — pure int64 (values ≤ 10¹² leave 10⁶
+    * headroom), no float anywhere.
+    */
+  def driftProfile(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
+      .cast("long")
+    val o = Registry.table(s, dir, "orders")
+      .select(datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"),
+        cents.as("c"), col("o_custkey"), col("o_orderpriority"))
+    val mid = o.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val half = o.crossJoin(broadcast(mid))
+      .withColumn("p", when(col("day") < col("mid"), 1L).otherwise(2L))
+    val per = half.groupBy("p")
+      .agg(count(lit(1)).as("row_count"),
+        expr("sum(c) div count(1)").as("mean_cents"),
+        countDistinct(col("o_custkey")).as("distinct_customers"),
+        countDistinct(col("o_orderpriority")).as("distinct_priorities"))
+    val metrics =
+      Seq("row_count", "mean_cents", "distinct_customers",
+        "distinct_priorities")
+    per.select(col("p"), explode(map(
+        metrics.flatMap(mc => Seq(lit(mc), col(mc))): _*))
+        .as(Seq("metric", "v")))
+      .groupBy("metric")
+      .agg(max(when(col("p") === 1, col("v"))).as("v_first"),
+        max(when(col("p") === 2, col("v"))).as("v_second"))
+      .withColumn("drift_ppm",
+        expr("(abs(v_second - v_first) * 1000000) div greatest(v_first, 1)"))
+      .orderBy("metric")
+  }
+
+  private val driftOracle = """
+WITH o AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      AS day,
+    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c,
+    o_custkey, o_orderpriority
+  FROM orders),
+mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM o),
+half AS (
+  SELECT CASE WHEN day < mid THEN 1 ELSE 2 END AS p, c, o_custkey,
+    o_orderpriority
+  FROM o CROSS JOIN mid),
+per AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS row_count,
+    CAST(sum(c) AS BIGINT) // count(*) AS mean_cents,
+    CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
+    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS distinct_priorities
+  FROM half GROUP BY p),
+melted AS (
+  SELECT p, 'row_count' AS metric, row_count AS v FROM per
+  UNION ALL SELECT p, 'mean_cents', mean_cents FROM per
+  UNION ALL SELECT p, 'distinct_customers', distinct_customers FROM per
+  UNION ALL SELECT p, 'distinct_priorities', distinct_priorities FROM per)
+SELECT metric,
+  max(CASE WHEN p = 1 THEN v END) AS v_first,
+  max(CASE WHEN p = 2 THEN v END) AS v_second,
+  (abs(max(CASE WHEN p = 2 THEN v END) - max(CASE WHEN p = 1 THEN v END))
+    * 1000000) // greatest(max(CASE WHEN p = 1 THEN v END), 1) AS drift_ppm
+FROM melted GROUP BY metric ORDER BY metric
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "dq_drift_profile" -> QueryDef(driftProfile, Some(driftOracle)),
     "dq_profile_orders" -> QueryDef(profileOrders, Some(profileOracle)),
     "dq_expectations" -> QueryDef(expectations, Some(expectationsOracle)),
     "dq_anomaly_zscore" -> QueryDef(anomalyZscore, Some(anomalyZscoreOracle)),

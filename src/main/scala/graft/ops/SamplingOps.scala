@@ -210,7 +210,96 @@ h AS (
 SELECT o_orderkey, wt, hits FROM h WHERE hits > 0 ORDER BY o_orderkey
 """
 
+  // ------------------------------------------------- k-center coreset
+  private val CoresetPicks = 4 // greedy picks after the vec_id-0 seed
+
+  /** Greedy k-center coreset over `embeddings` — farthest-point traversal,
+    * the classic diverse-subset selector for data-efficient training
+    * (each pick is the vector farthest from everything already chosen, so
+    * k+1 points cover the corpus with the minimax radius up to factor 2).
+    *
+    * Determinism is total: distances are EXACT int64 squared-L2 on the
+    * 1e-6 quantized grid (`‖a‖² + ‖b‖² − 2⟨a,b⟩`, the Similarity kernel —
+    * no floats anywhere in this query), the seed is vec_id 0, and argmax
+    * ties break on the smaller vec_id. Each of the [[CoresetPicks]]
+    * unrolled rounds is one map over the corpus against the BROADCAST
+    * chosen set (≤ k+1 rows) + a global top-1 (TakeOrdered) — O(n·k)
+    * total work, no shuffle of the corpus, the same driver-unrolled
+    * fixed-point shape as [[GraphOps.pagerankNations]]. `sel_dist2` is
+    * each pick's distance to the set at selection time (the radius
+    * sequence, decreasing by construction); the seed reports 0.
+    */
+  def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.quantized(s, dir)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .localCheckpoint() // consumed once per round: cut the scan lineage
+    var chosen = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("qv"), col("nrm"), lit(0L).as("sel_dist2"),
+        lit(0L).as("pick"))
+      .localCheckpoint()
+    for (k <- 1 to CoresetPicks) {
+      val minDist = corpus
+        .crossJoin(broadcast(chosen.select(col("vec_id").as("cid"),
+          col("qv").as("cqv"), col("nrm").as("cnrm"))))
+        .groupBy(col("vec_id"))
+        .agg(min(col("nrm") + col("cnrm") -
+          lit(2L) * call_function("vec_dot_long", col("qv"), col("cqv")))
+          .as("d2"))
+      val next = minDist
+        .orderBy(col("d2").desc, col("vec_id").asc).limit(1)
+        .join(corpus.withColumnRenamed("vec_id", "nv"),
+          col("vec_id") === col("nv"))
+        .select(col("vec_id"), col("qv"), col("nrm"),
+          col("d2").as("sel_dist2"), lit(k.toLong).as("pick"))
+      chosen = chosen.union(next).localCheckpoint()
+    }
+    chosen.select(col("pick"), col("vec_id"), col("sel_dist2"))
+      .orderBy("pick")
+  }
+
+  /** Chained-CTE oracle: each greedy round re-derives the min-distance
+    * table from the union of all previous picks and takes the same
+    * (d2 DESC, vec_id ASC) top-1 — generated from the same round count so
+    * the engines cannot drift.
+    */
+  private val kcenterOracle: String = {
+    val steps = (1 to CoresetPicks).map { k =>
+      val prev = (0 until k).map(i => s"SELECT * FROM p$i").mkString(
+        "(", " UNION ALL ", ")")
+      s"""d$k AS (
+  SELECT v.vec_id, min(v.nrm + c.nrm - 2 * CAST(list_sum(
+    list_transform(range(1, 65), t -> v.qv[t] * c.qv[t])) AS BIGINT)) AS d2
+  FROM nn v, $prev c
+  GROUP BY v.vec_id),
+p$k AS (
+  SELECT nn.vec_id, nn.qv, nn.nrm, d.d2 AS sel_dist2, $k AS pick
+  FROM d$k d JOIN nn ON nn.vec_id = d.vec_id
+  ORDER BY d.d2 DESC, d.vec_id ASC LIMIT 1)"""
+    }.mkString(",\n")
+    s"""
+WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+nn AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM n),
+p0 AS (
+  SELECT vec_id, qv, nrm, CAST(0 AS BIGINT) AS sel_dist2, 0 AS pick
+  FROM nn WHERE vec_id = 0),
+$steps
+SELECT CAST(pick AS BIGINT) AS pick, vec_id, sel_dist2
+FROM (${(0 to CoresetPicks).map(i => s"SELECT * FROM p$i")
+        .mkString(" UNION ALL ")})
+ORDER BY pick
+"""
+  }
+
   val queries: Map[String, QueryDef] = Map(
+    "sample_kcenter_coreset" ->
+      QueryDef(kcenterCoreset, Some(kcenterOracle)),
     "sample_systematic_pps" ->
       QueryDef(systematicPps, Some(systematicPpsOracle)),
     "sample_reservoir_orders" ->

@@ -208,8 +208,116 @@ FROM bm FULL OUTER JOIN dn USING (doc_id)
 ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
+  // ------------------------------------------------------ MMR rerank
+  private val MmrPicks = 4 // greedy picks after the top-relevance seed
+
+  /** Maximal-marginal-relevance rerank of the dense retrieval arm — the
+    * diversification step a RAG pipeline runs between retrieval and
+    * context assembly, so five near-identical chunks don't fill the
+    * context window. Candidates: exact-cosine top-20 vs probe vector 0
+    * (hybridRrf's dense arm). Greedy selection at λ = 1/2: maximizing
+    * `λ·rel − (1−λ)·maxsim` is then the same argmax as `rel − maxsim`,
+    * so NO float λ multiplication ever happens — the margin is one
+    * double subtraction of two already-exact cosines, bit-identical in
+    * both engines; ties break on vec_id.
+    *
+    * Scale shape: the corpus appears ONLY in the candidate stage (a
+    * map-only scored scan + TakeOrdered-20 against the broadcast probe);
+    * the [[MmrPicks]] greedy rounds run entirely on the checkpointed
+    * 20-row candidate set — driver-unrolled like the k-center coreset,
+    * O(k²·|cand|) trivial work independent of corpus size.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.quantized(s, dir)
+    val probe = corpus.filter(col("vec_id") === 0)
+      .select(col("qv").as("pq"), col("nrm").as("pn"))
+    def cos(qa: Column, qb: Column, na: Column, nb: Column): Column =
+      call_function("vec_dot_long", qa, qb).cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    val cand = corpus.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        cos(col("qv"), col("pq"), col("nrm"), col("pn")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+      .localCheckpoint()
+    var chosen = cand
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("rel"),
+        col("rel").as("mmr"), lit(0L).as("pick"))
+      .localCheckpoint()
+    for (k <- 1 to MmrPicks) {
+      val maxsim = cand
+        .join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(chosen.select(col("qv").as("cqv"),
+          col("nrm").as("cnrm"))))
+        .groupBy(col("vec_id"))
+        .agg(max(cos(col("qv"), col("cqv"), col("nrm"), col("cnrm")))
+          .as("maxsim"))
+      val next = cand.join(maxsim, "vec_id")
+        .withColumn("mmr", col("rel") - col("maxsim"))
+        .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("qv"), col("nrm"), col("rel"),
+          col("mmr"), lit(k.toLong).as("pick"))
+      chosen = chosen.union(next).localCheckpoint()
+    }
+    chosen.select(col("pick"), col("vec_id"), col("rel"), col("mmr"))
+      .orderBy("pick")
+  }
+
+  /** Chained-CTE oracle generated from the same round count: each round
+    * recomputes max-similarity-to-chosen over the 20-row candidate set
+    * and takes the same (mmr DESC, vec_id ASC) top-1.
+    */
+  private val mmrOracle: String = {
+    val cosSql = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(range(1, 65),
+        t -> $a.qv[t] * $b.qv[t])) AS DOUBLE)
+        / (sqrt(CAST($a.nrm AS DOUBLE)) * sqrt(CAST($b.nrm AS DOUBLE)))"""
+    val steps = (1 to MmrPicks).map { k =>
+      val prev = (0 until k).map(i => s"SELECT * FROM p$i").mkString(
+        "(", " UNION ALL ", ")")
+      s"""m$k AS (
+  SELECT c.vec_id, max(${cosSql("c", "s")}) AS maxsim
+  FROM cand c, $prev s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev q)
+  GROUP BY c.vec_id),
+p$k AS (
+  SELECT c.vec_id, c.qv, c.nrm, c.rel, c.rel - m.maxsim AS mmr, $k AS pick
+  FROM m$k m JOIN cand c ON c.vec_id = m.vec_id
+  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1)"""
+    }.mkString(",\n")
+    s"""
+WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+nq AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM n),
+probe AS (SELECT qv AS pq, nrm AS pn FROM nq WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, qv, nrm, rel FROM (
+    SELECT vec_id, qv, nrm,
+      CAST(list_sum(list_transform(range(1, 65), t -> qv[t] * pq[t]))
+           AS DOUBLE)
+        / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(pn AS DOUBLE))) AS rel
+    FROM nq, probe WHERE vec_id <> 0)
+  ORDER BY rel DESC, vec_id LIMIT 20),
+p0 AS (
+  SELECT vec_id, qv, nrm, rel, rel AS mmr, 0 AS pick
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+$steps
+SELECT CAST(pick AS BIGINT) AS pick, vec_id, rel, mmr
+FROM (${(0 to MmrPicks).map(i => s"SELECT * FROM p$i")
+        .mkString(" UNION ALL ")})
+ORDER BY pick
+"""
+  }
+
   val queries: Map[String, QueryDef] = Map(
     "search_bm25_topk" -> QueryDef(bm25TopK, Some(bm25Oracle)),
-    "search_hybrid_rrf" -> QueryDef(hybridRrf, Some(hybridOracle))
+    "search_hybrid_rrf" -> QueryDef(hybridRrf, Some(hybridOracle)),
+    "search_mmr_rerank" -> QueryDef(mmrRerank, Some(mmrOracle))
   )
 }

@@ -718,7 +718,108 @@ SELECT b.query_id,
 FROM brute b GROUP BY b.query_id ORDER BY query_id
 """
 
+  // ------------------------------------------------------------ kNN join
+  private val KnnCells = 16
+  private val KnnProbes = 2
+  private val KnnK = 3
+
+  /** Full kNN SELF-join: top-[[KnnK]] neighbors for EVERY corpus vector —
+    * the all-vectors sibling of the probe-set queries above, and the
+    * workhorse behind kNN-graph construction (semantic dedup, label
+    * propagation, diversity sampling all start from this graph).
+    *
+    * Candidates come from dual IVF assignment (each vector joins its
+    * [[KnnProbes]] nearest of [[KnnCells]] first-vector-seeded centroid
+    * cells — the `dedup_semantic_clusters` bucketing), so the join is an
+    * EQUI-join on the cell key producing O(n·cell_size) directed pairs —
+    * never the n² term a naive kNN join implies. Per-vector ranking is a
+    * window over each vector's own candidate list (bounded by its cells'
+    * occupancy). Cosine is the exact quantized kernel; ranking ties break
+    * on neighbor id, so the graph is engine-independent.
+    *
+    * At 100 TB the cell count scales with corpus size (cells ≈ √n keeps
+    * per-cell candidates flat); the 16-cell constant here mirrors the
+    * other IVF queries at test scale.
+    */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val cents = corpus.filter(col("vec_id") < KnnCells)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val dists = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (col("nrm") + col("cnrm") -
+          lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
+          .as("dist2"))
+    val byNearest = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    val asg = dists.withColumn("rk", row_number().over(byNearest))
+      .filter(col("rk") <= KnnProbes)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+    val cand = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    val side = corpus.select(col("vec_id"), col("qv"), col("nrm"))
+    val scored = cand
+      .join(side.select(col("vec_id").as("i"), col("qv").as("qa"),
+        col("nrm").as("na")), "i")
+      .join(side.select(col("vec_id").as("j"), col("qv").as("qb"),
+        col("nrm").as("nb")), "j")
+      .select(col("i"), col("j"),
+        cosine(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+    val w = Window.partitionBy("i").orderBy(col("cosine").desc, col("j").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("i").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("j").as("neighbor_id"), col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private val knnJoinOracle = s"""
+WITH n AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+nn AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM n),
+c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
+      FROM nn WHERE vec_id < $KnnCells),
+d AS (
+  SELECT v.vec_id, c.centroid_id,
+    v.nrm + c.cnrm - 2 * CAST(list_sum(
+      list_transform(range(1, 65), k -> v.qv[k] * c.cv[k])) AS BIGINT) AS dist2
+  FROM nn v, c),
+rk AS (
+  SELECT vec_id, centroid_id,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, centroid_id ASC) AS rk
+  FROM d),
+asg AS (SELECT vec_id, centroid_id AS cell FROM rk WHERE rk <= $KnnProbes),
+cand AS (
+  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+scored AS (
+  SELECT i, j,
+    CAST(list_sum(list_transform(range(1, 65),
+        k -> na.qv[k] * nb.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+      AS cosine
+  FROM cand JOIN nn na ON na.vec_id = i JOIN nn nb ON nb.vec_id = j),
+ranked AS (
+  SELECT i, j, cosine,
+    row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j ASC) AS rank
+  FROM scored)
+SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS neighbor_id, cosine
+FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "ann_knn_join" -> QueryDef(knnJoin, Some(knnJoinOracle)),
     "ann_pq_adc" -> QueryDef(pqAdcRerank, Some(pqAdcOracle)),
     "ann_pq_recall" -> QueryDef(pqRecall, Some(pqRecallOracle)),
     "ann_brute_topk" -> QueryDef(bruteForceTopK, Some(bruteForceOracle)),

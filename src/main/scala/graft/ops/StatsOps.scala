@@ -507,6 +507,90 @@ SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
 FROM st
 """
 
+  /** Binned two-sample Kolmogorov–Smirnov test: do URGENT and LOW priority
+    * orders draw their totals from the same distribution? The statistic is
+    * the standard distribution-shift monitor between two corpus slices.
+    *
+    * The CDFs are compared on a FIXED $100 bin grid (cents div 10000) —
+    * the explicitly-binned variant of the test (the D statistic is exact
+    * for the binned distributions and a lower bound for the raw ones).
+    * Binning is what buys the 100 TB posture: the cumulative windows run
+    * over the bin grid, which is bounded by the VALUE RANGE (≤ 5000 bins
+    * for sub-$500k orders) regardless of row count — the histogram-
+    * selection discipline used by [[quantilesHistogram]]. Both group
+    * counts come from one conditional aggregation (one pass, map-side
+    * combined).
+    *
+    * Cross-engine exactness: D's numerator is max |cum1·n2 − cum2·n1| in
+    * int64 (≤ n1·n2 ≈ 10^9 at sf0.1 — headroom to ~3e9 rows per side),
+    * then ONE IEEE division; the 95% critical value is
+    * 1.358·√((n1+n2)/(n1·n2)) — one division, one exact-IEEE √, one
+    * multiply, in that literal order in both engines.
+    */
+  def ksBinned(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice")
+      .cast(DecimalType(30, 2)) * lit(100)).cast("long")
+    val binned = table(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(cents.as("c"), col("o_orderpriority"))
+      .groupBy(expr("c div 10000").as("bin")) // integer div, not `/` (double)
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L))
+          .as("c2"))
+    // cumulative over the bounded bin grid, totals derived from the same
+    // aggregate (no second corpus pass)
+    val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = binned.select(
+      sum("c1").over(wCum).as("cum1"), sum("c2").over(wCum).as("cum2"))
+    val tot = binned.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        .as("d_num"), max("n1").as("n1"), max("n2").as("n2"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double"))
+          .as("ks_d"),
+        (lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+          / (col("n1") * col("n2")).cast("double"))).as("crit_95"),
+        (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")
+          > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+            / (col("n1") * col("n2")).cast("double"))).as("reject_95"))
+  }
+
+  private val ksOracle = """
+WITH binned AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) // 10000
+      AS bin,
+    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+      AS BIGINT) AS c2
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY 1),
+cum AS (
+  SELECT
+    CAST(sum(c1) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+    CAST(sum(c2) OVER (ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+  FROM binned),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM binned),
+d AS (
+  SELECT max(abs(cum1 * n2 - cum2 * n1)) AS d_num,
+    max(n1) AS n1, max(n2) AS n2
+  FROM cum CROSS JOIN tot)
+SELECT n1, n2, d_num,
+  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_d,
+  1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS crit_95,
+  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+    AS reject_95
+FROM d
+"""
+
   /** Exact 10%-two-sided TRIMMED mean per group, by the same histogram-
     * selection machinery as [[quantilesHistogram]] — the robust-statistics
     * member of the family: the (group, value¢) histogram is a distributed
@@ -680,6 +764,7 @@ WHERE cum_ge >= CAST(ceil(n * 0.01) AS BIGINT)
     "stats_chi2_independence" ->
       QueryDef(chi2Independence, Some(chi2Oracle)),
     "stats_welch_ttest" -> QueryDef(welchTTest, Some(welchOracle)),
+    "stats_ks_binned" -> QueryDef(ksBinned, Some(ksOracle)),
     "stats_quantiles_histogram" ->
       QueryDef(quantilesHistogram, Some(quantilesHistogramOracle)),
     "stats_mode_custom_agg" -> QueryDef(modeOrderPriority, Some(modeOracle)),

@@ -638,6 +638,55 @@ SELECT source, n_tokens, n_oov,
 FROM audit ORDER BY source
 """
 
+  // ------------------------------------------- lexical diversity (Simpson)
+  /** Per-source lexical diversity via the Gini–Simpson index
+    * 1 − Σ p_t² — the repetition-collapse monitor a data recipe watches per
+    * source (a source whose diversity drops is emitting boilerplate). The
+    * Simpson form is chosen over Shannon entropy DELIBERATELY: it is pure
+    * rational arithmetic (Σ c², N² — exact in int64; corpus-scale sources
+    * need c ≲ 3e9 before Σ c² threatens the 2^63 bound, and the per-token
+    * counts here are orders below that), so the oracle matches bit-for-bit
+    * where a log-based index would hang on libm rounding. `eff_vocab` =
+    * N²/Σc² (inverse Simpson) is the "perplexity-like" effective
+    * vocabulary size. Aggregation is (source, token) then source — both
+    * map-side combined, shuffle O(source × vocabulary); ONE IEEE division
+    * per output column.
+    */
+  def simpsonDiversity(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(col("source"), explode(WS_TOKENS).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab_used"),
+        sum(col("c") * col("c")).as("ssq"))
+      .select(col("source"), col("n_tokens"), col("vocab_used"),
+        ((col("n_tokens") * col("n_tokens") - col("ssq")).cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"))
+          .as("simpson"),
+        ((col("n_tokens") * col("n_tokens")).cast("double")
+          / col("ssq").cast("double")).as("eff_vocab"))
+      .orderBy("source")
+  }
+
+  private val simpsonOracle = """
+WITH ex AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM ex GROUP BY source, tok),
+agg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS vocab_used,
+    CAST(sum(c * c) AS BIGINT) AS ssq
+  FROM counts GROUP BY source)
+SELECT source, n_tokens, vocab_used,
+  CAST(n_tokens * n_tokens - ssq AS DOUBLE)
+    / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson,
+  CAST(n_tokens * n_tokens AS DOUBLE) / CAST(ssq AS DOUBLE) AS eff_vocab
+FROM agg ORDER BY source
+"""
+
   // ------------------------------------------------------ n-gram novelty
   /** Corpus novelty curve — the measurement behind "how much NEW content
     * does each increment add", the planning statistic for incremental
@@ -698,6 +747,8 @@ GROUP BY ex.doc_id ORDER BY doc_id
       QueryDef(repetitionRatio, Some(repetitionRatioOracle)),
     "text_decontamination" ->
       QueryDef(decontamination, Some(decontaminationOracle)),
+    "text_simpson_diversity" ->
+      QueryDef(simpsonDiversity, Some(simpsonOracle)),
     "text_token_stats" -> QueryDef(tokenStats, Some(tokenStatsOracle)),
     "text_quality_score" -> QueryDef(qualityScore, Some(qualityScoreOracle)),
     "text_langid_confusion" -> QueryDef(langId, Some(langIdOracle)),

@@ -402,6 +402,30 @@ class PlanSpec extends SparkSpec {
       s"pareto share replays the orders scan past the checkpoint:\n${plan.take(2000)}")
   }
 
+  test("knn join candidates are cell-bucketed equi-joins, never vec×vec") {
+    val plan = executedPlan(ops.Similarity.knnJoin(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"knn join grew a cartesian product:\n${plan.take(2000)}")
+    // only admissible nested loop: the 16-row centroid fan-out
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"corpus-level nested loop in knn join:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      "knn candidate generation lost its equi-join")
+  }
+
+  test("triangle clustering iterates on the checkpointed edge list, not the fact table") {
+    // edge build reduces the fact scan ONCE behind a localCheckpoint; the
+    // path/probe/degree joins and the nation lookup must never re-touch
+    // lineitem — at 100 TB that's the difference between O(edges) triangle
+    // work and 4 fact scans
+    val plan = executedPlan(ops.GraphOps.triangleClustering(spark, sfDir))
+    assert(!plan.contains("lineitem"),
+      s"triangle stage re-scans the fact table:\n${plan.take(2000)}")
+    assert(plan.contains("ExistingRDD"),
+      "triangle stage lost its checkpointed edge input")
+  }
+
   test("bm25: broadcast 1-row stats, map-only scoring, TakeOrdered top-k") {
     val plan = executedPlan(ops.SearchOps.bm25TopK(spark, sfDir))
     // corpus stats join the per-doc stream as a broadcast (1 row) — never a

@@ -185,4 +185,53 @@ class Round6PropertySpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  // ------------------------------------------------ triangle-counting laws
+  test("triangle clustering: handshake, Σtriangles = 3·T, coefficient bounds") {
+    val rows = ops.GraphOps.triangleClustering(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val degSum = rows.map(_.getLong(1)).sum
+    assert(degSum % 2 == 0, "handshake lemma: Σdeg must be even")
+    val triSum = rows.map(_.getLong(2)).sum
+    assert(triSum % 3 == 0,
+      "every triangle must be counted at exactly its 3 corners")
+    rows.foreach { r =>
+      val (deg, tri) = (r.getLong(1), r.getLong(2))
+      // a node's triangles can't exceed its neighbor pairs
+      assert(tri <= deg * (deg - 1) / 2, s"triangles exceed C(deg,2): $r")
+      if (deg >= 2) {
+        val cc = r.getDouble(3)
+        assert(cc >= 0.0 && cc <= 1.0, s"clustering out of [0,1]: $r")
+        assert(cc == 2.0 * tri / (deg * (deg - 1)), s"cc decomposition: $r")
+      } else assert(r.isNullAt(3), "degree-1 node must report null cc")
+    }
+  }
+
+  // ----------------------------------------------------- k-center laws
+  test("k-center coreset: radius sequence non-increasing, picks distinct, " +
+      "distances match the chosen set") {
+    val picks = ops.SamplingOps.kcenterCoreset(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(picks.length == 5 && picks.head == ((0L, 0L, 0L)))
+    assert(picks.map(_._2).distinct.length == 5, "a vector was picked twice")
+    picks.sliding(2).foreach {
+      case Array(a, b) =>
+        if (a._1 > 0) assert(a._3 >= b._3,
+          s"greedy radius must not increase: $a -> $b")
+      case _ => ()
+    }
+    // recompute each pick's min-distance-to-previous-set directly
+    val qv = Registry.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    picks.drop(1).zipWithIndex.foreach { case ((_, v, sd), i) =>
+      val prev = picks.take(i + 1).map(_._2)
+      assert(prev.map(p => d2(qv(v), qv(p))).min == sd,
+        s"sel_dist2 of pick ${i + 1} doesn't match the chosen set")
+    }
+  }
 }
