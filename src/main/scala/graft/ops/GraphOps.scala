@@ -368,10 +368,98 @@ FROM scored
 ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20
 """
 
+  /** Synchronous label propagation (community detection) on the thresholded
+    * trade graph — the fourth graph-family member (centrality → density →
+    * link prediction → communities). Every node starts labeled with its own
+    * id; each of the 3 unrolled rounds relabels every node with the MOST
+    * FREQUENT label among its neighbors, ties broken by smallest label —
+    * the deterministic variant of classic LPA (raw LPA tie-breaks
+    * randomly, which would be oracle-hostile; min-tiebreak is the standard
+    * derandomization).
+    *
+    * Scale shape: shares [[thresholdedTradeEdges]]'s scan-once edge build;
+    * one round = join(adj, labels) + count + per-node arg-max window —
+    * Σ deg work, partitioned BY NODE (never a global window). Each round's
+    * output is a ≤25-row `localCheckpoint` barrier, exactly the pagerank
+    * iteration discipline; on a 100 TB graph the label frontier stays
+    * O(nodes) and only edge keys shuffle.
+    */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = thresholdedTradeEdges(s, dir)
+    val adj = edges.select(col("a").as("n"), col("b").as("nb"))
+      .union(edges.select(col("b").as("n"), col("a").as("nb")))
+      .localCheckpoint()
+    var labels = adj.select(col("n")).distinct().withColumn("lbl", col("n"))
+    for (_ <- 1 to 3) {
+      val votes = adj
+        .join(labels.toDF("nb", "lbl"), "nb")
+        .groupBy("n", "lbl").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("n")
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("n", "lbl")
+        .localCheckpoint() // ≤ |V| rows: the per-iteration barrier
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .join(broadcast(Registry.table(s, dir, "nation")
+        .select(col("n_nationkey").as("n"), col("n_name"))), "n")
+      .select(col("n_name"), col("lbl").cast("long").as("community"),
+        col("community_size"))
+      .orderBy("n_name")
+  }
+
+  private val lpaOracle = {
+    def round(prev: String, out: String) = s"""
+$out AS (
+  SELECT n, lbl FROM (
+    SELECT a.n, l.lbl, count(*) AS cnt,
+      row_number() OVER (PARTITION BY a.n
+        ORDER BY count(*) DESC, l.lbl ASC) AS rn
+    FROM adj a JOIN $prev l ON l.n = a.nb
+    GROUP BY a.n, l.lbl)
+  WHERE rn = 1)"""
+    s"""
+WITH e AS (
+  SELECT s.s_nationkey AS u, cu.c_nationkey AS v,
+    CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  WHERE s.s_nationkey <> cu.c_nationkey),
+und AS (
+  SELECT least(u, v) AS a, greatest(u, v) AS b, CAST(sum(c) AS BIGINT) AS w
+  FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw
+  FROM und),
+edges AS (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
+adj AS (
+  SELECT a AS n, b AS nb FROM edges
+  UNION ALL SELECT b, a FROM edges),
+lab0 AS (SELECT DISTINCT n, n AS lbl FROM adj),
+${round("lab0", "lab1")},
+${round("lab1", "lab2")},
+${round("lab2", "lab3")},
+sizes AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+  FROM lab3 GROUP BY lbl)
+SELECT na.n_name, CAST(l.lbl AS BIGINT) AS community, sz.community_size
+FROM lab3 l
+JOIN sizes sz ON sz.lbl = l.lbl
+JOIN nation na ON na.n_nationkey = l.n
+ORDER BY n_name
+"""
+  }
+
   val queries: Map[String, QueryDef] = Map(
     "graph_pagerank_nations" -> QueryDef(pagerankNations, Some(pagerankOracle)),
     "graph_triangle_clustering" ->
       QueryDef(triangleClustering, Some(triangleOracle)),
-    "graph_jaccard_links" -> QueryDef(jaccardLinks, Some(jaccardOracle))
+    "graph_jaccard_links" -> QueryDef(jaccardLinks, Some(jaccardOracle)),
+    "graph_label_propagation" ->
+      QueryDef(labelPropagation, Some(lpaOracle))
   )
 }

@@ -161,9 +161,72 @@ SELECT source, grp, CAST(count(*) AS BIGINT) AS n_files,
 FROM planned GROUP BY source, grp ORDER BY source, grp
 """
 
+  // ------------------------------------------------------ zone-map pruning
+  /** Zone-map (min/max file-stats) pruning effectiveness report — the
+    * skipping audit a lakehouse maintenance layer runs before deciding to
+    * re-cluster: for a grid of `n_chars >= t` predicates, how many files
+    * can be skipped outright (`max < t`), read without evaluating the
+    * predicate (`min >= t`), or must be scanned row-by-row. Files are the
+    * same (source, doc_id div 50) slices as [[compactionPlan]]; the whole
+    * query runs on FILE METADATA — one min/max row per file, ~10⁶ rows at
+    * 100 TB — crossed with the 8-threshold grid (data-driven: k/8 of the
+    * global min/max span, exact integer arithmetic so the grid is
+    * identical in both engines). The corpus itself is scanned once to
+    * build the stats, exactly like a real layout job.
+    */
+  def zoneMapPruning(s: SparkSession, dir: String): DataFrame = {
+    val files = Registry.table(s, dir, "documents")
+      .groupBy(col("source"), expr("doc_id div 50").as("file_id"))
+      .agg(count(lit(1)).as("rows"),
+        min("n_chars").as("mn"), max("n_chars").as("mx"))
+      .localCheckpoint() // file metadata: feeds the span agg + the grid join
+    val span = files.agg(min("mn").as("lo"), max("mx").as("hi"))
+    val grid = span
+      .select(explode(sequence(lit(1L), lit(8L))).as("k"),
+        col("lo"), col("hi"))
+      .select(col("k"),
+        (col("lo") + expr("(hi - lo) * k div 8")).as("t"))
+    files.crossJoin(broadcast(grid))
+      .groupBy("k", "t")
+      .agg(
+        sum(when(col("mx") < col("t"), 1L).otherwise(0L)).as("files_pruned"),
+        sum(when(col("mn") >= col("t"), 1L).otherwise(0L)).as("files_full"),
+        sum(when(col("mx") >= col("t") && col("mn") < col("t"), 1L)
+          .otherwise(0L)).as("files_partial"),
+        sum(when(col("mx") < col("t"), col("rows")).otherwise(0L))
+          .as("rows_skipped"),
+        sum(when(col("mx") >= col("t"), col("rows")).otherwise(0L))
+          .as("rows_must_scan"))
+      .orderBy("k")
+  }
+
+  private val zoneMapOracle = """
+WITH files AS (
+  SELECT source, doc_id // 50 AS file_id, CAST(count(*) AS BIGINT) AS rows_,
+    CAST(min(n_chars) AS BIGINT) AS mn, CAST(max(n_chars) AS BIGINT) AS mx
+  FROM documents GROUP BY 1, 2),
+span AS (SELECT min(mn) AS lo, max(mx) AS hi FROM files),
+grid AS (
+  SELECT k, lo + (hi - lo) * k // 8 AS t
+  FROM span, generate_series(1, 8) AS g(k)),
+joined AS (SELECT * FROM files CROSS JOIN grid)
+SELECT CAST(k AS BIGINT) AS k, t,
+  CAST(sum(CASE WHEN mx < t THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+  CAST(sum(CASE WHEN mn >= t THEN 1 ELSE 0 END) AS BIGINT) AS files_full,
+  CAST(sum(CASE WHEN mx >= t AND mn < t THEN 1 ELSE 0 END) AS BIGINT)
+    AS files_partial,
+  CAST(sum(CASE WHEN mx < t THEN rows_ ELSE 0 END) AS BIGINT)
+    AS rows_skipped,
+  CAST(sum(CASE WHEN mx >= t THEN rows_ ELSE 0 END) AS BIGINT)
+    AS rows_must_scan
+FROM joined GROUP BY k, t ORDER BY k
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "zorder_layout_stats" -> QueryDef(zorderStats, Some(zorderStatsOracle)),
     "pipeline_compaction_plan" ->
-      QueryDef(compactionPlan, Some(compactionOracle))
+      QueryDef(compactionPlan, Some(compactionOracle)),
+    "pipeline_zone_map_pruning" ->
+      QueryDef(zoneMapPruning, Some(zoneMapOracle))
   )
 }

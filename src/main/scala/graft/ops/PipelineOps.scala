@@ -474,7 +474,61 @@ SELECT shard, count(*) AS n_docs,
 FROM p GROUP BY shard ORDER BY shard
 """
 
+  // ------------------------------------------------ MV top-k maintenance
+  /** Incremental maintenance of a TOP-K materialized view under
+    * insert-only deltas — the leaderboard-refresh rule: the new top-k is
+    * contained in `old-top-k ∪ Δ` (any row of the new top-k is either
+    * newly inserted or already ranked ≤ k before — only valid WITHOUT
+    * deletes, which is why retractable top-k needs the bigger machinery).
+    * The view is the top 25 orders by (totalprice, orderkey); Δ is
+    * content-hash bucket 0 of 10 ([[mvJoinDelta]]'s delta stand-in).
+    *
+    * THE ORACLE PROVES THE CONTAINMENT: the engine re-ranks only the
+    * 25 + |Δ| candidate rows; the oracle ranks the FULL new snapshot. A
+    * hash match certifies the maintenance rule end-to-end. At scale the
+    * old top-k is stored view state (k rows) and only Δ is scanned; both
+    * arms here end in TakeOrdered — no global sort of the base table.
+    */
+  def mvTopkMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
+      .cast("long")
+    val o = Registry.table(s, dir, "orders")
+      .select(col("o_orderkey"), cents.as("price_cents"),
+        (pmod(SamplingOps.hash60(col("o_orderkey")), lit(10)) === 0)
+          .as("is_new"))
+    val oldTop = o.filter(!col("is_new"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+      .limit(25) // stored view state at scale; TakeOrdered here
+    val wr = Window.orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    oldTop.union(o.filter(col("is_new")))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+      .limit(25) // re-rank candidates only: 25 + |delta| rows
+      .withColumn("rank", row_number().over(wr))
+      .select(col("rank"), col("o_orderkey"), col("price_cents"),
+        col("is_new"))
+  }
+
+  private val mvTopkOracle = """
+SELECT CAST(row_number() OVER (ORDER BY price_cents DESC, o_orderkey ASC)
+    AS BIGINT) AS rank,
+  o_orderkey, price_cents, is_new
+FROM (
+  SELECT o_orderkey,
+    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+      AS price_cents,
+    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+      % 10 = 0 AS is_new
+  FROM orders)
+ORDER BY price_cents DESC, o_orderkey ASC
+LIMIT 25
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "mv_join_delta" -> QueryDef(mvJoinDelta, Some(mvJoinDeltaOracle)),
+    "mv_topk_maintenance" ->
+      QueryDef(mvTopkMaintenance, Some(mvTopkOracle)),
     "incremental_snapshot_agg" ->
       QueryDef(incrementalSnapshotAgg, Some(incrementalSnapshotAggOracle)),
     "global_shuffle_shards" -> QueryDef(shuffleShards, Some(shuffleShardsOracle)),

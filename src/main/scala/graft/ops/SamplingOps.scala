@@ -297,7 +297,99 @@ ORDER BY pick
 """
   }
 
+  // ------------------------------------------------- Neyman allocation
+  /** Optimal (Neyman) allocation of a fixed sampling budget across strata —
+    * the survey-sampling rule `n_h ∝ N_h·S_h` that a corpus builder uses to
+    * size per-source annotation / eval draws: big AND high-variance strata
+    * get more budget. Strata are order priorities; S_h is the exact-power-
+    * sum sample stddev of the cent totals ([[StatsOps.moments]] discipline,
+    * so the only doubles are one sqrt + fixed-order arithmetic). The
+    * integer allocations use the LARGEST-REMAINDER method: floor the ideal
+    * shares, then hand the leftover units to the largest fractional parts
+    * (ties by stratum name) — allocations are exact integers that sum to
+    * the budget BY CONSTRUCTION, certified by the oracle.
+    *
+    * Scale shape: one map-side-combined pass over the fact produces 5
+    * power-sum rows; the Σ N·S normalizer is the fixed-order fold (the
+    * [[CurriculumOps.temperatureMix]] trick) and every window below runs
+    * on the 5-row stratum table.
+    */
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
+      .cast("long")
+    val strata = Registry.table(s, dir, "orders")
+      .select(col("o_orderpriority").as("stratum"), cents.as("c"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("nh"),
+        dsum(col("c"), 0).as("sx"),
+        dsum(col("c") * col("c"), 0).as("sxx"))
+      .withColumn("sh", sqrt(
+        (col("sxx") - col("sx") * col("sx") / col("nh").cast("double"))
+          / (col("nh").cast("double") - lit(1.0))))
+      .withColumn("w", col("nh").cast("double") * col("sh"))
+    val norm = strata.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("stratum"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("z"))
+    val ideal = strata.crossJoin(broadcast(norm))
+      .withColumn("ideal", col("w") / col("z") * lit(budget.toDouble))
+      .withColumn("base", floor(col("ideal")).cast("long"))
+      .withColumn("rem", col("ideal") - col("base").cast("double"))
+    val wR = Window.orderBy(col("rem").desc, col("stratum").asc) // 5 rows
+    ideal
+      .withColumn("leftover",
+        lit(budget) - sum("base").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .withColumn("rk", row_number().over(wR))
+      .select(col("stratum"), col("nh"), col("sh").as("stddev_cents"),
+        col("ideal"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("stratum")
+  }
+
+  private val neymanOracle = """
+WITH strata AS (
+  SELECT o_orderpriority AS stratum, CAST(count(*) AS BIGINT) AS nh,
+    CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+      AS DECIMAL(30,0))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+      * CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+      AS DECIMAL(30,0))) AS DOUBLE) AS sxx
+  FROM orders GROUP BY 1),
+wtd AS (
+  SELECT stratum, nh,
+    sqrt((sxx - sx * sx / CAST(nh AS DOUBLE))
+         / (CAST(nh AS DOUBLE) - 1.0)) AS sh,
+    CAST(nh AS DOUBLE)
+      * sqrt((sxx - sx * sx / CAST(nh AS DOUBLE))
+             / (CAST(nh AS DOUBLE) - 1.0)) AS w
+  FROM strata),
+norm AS (
+  SELECT list_reduce(list_prepend(0.0, list(w ORDER BY stratum)),
+                     (acc, x) -> acc + x) AS z
+  FROM wtd),
+ideal AS (
+  SELECT stratum, nh, sh, w / z * 1000.0 AS ideal,
+    CAST(floor(w / z * 1000.0) AS BIGINT) AS base,
+    w / z * 1000.0 - floor(w / z * 1000.0) AS rem
+  FROM wtd, norm),
+ranked AS (
+  SELECT *,
+    1000 - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+    row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+  FROM ideal)
+SELECT stratum, nh, sh AS stddev_cents, ideal,
+  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+FROM ranked ORDER BY stratum
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "sample_neyman_allocation" ->
+      QueryDef(neymanAllocation, Some(neymanOracle)),
     "sample_kcenter_coreset" ->
       QueryDef(kcenterCoreset, Some(kcenterOracle)),
     "sample_systematic_pps" ->

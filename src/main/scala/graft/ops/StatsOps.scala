@@ -591,6 +591,268 @@ SELECT n1, n2, d_num,
 FROM d
 """
 
+  // Benford expectations log10(1+1/d), computed ONCE in the JVM and
+  // interpolated as the same literal into BOTH plans — the engines share
+  // the constant by construction, so no transcendental runs at query time
+  private val BenfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-digit screen over order totals — the classic
+    * fabricated-data / upstream-corruption detector a DQ layer runs on
+    * money columns. The first digit comes from the exact cent STRING
+    * (no log10 at query time — the only transcendentals are the nine
+    * Benford constants baked in as literals at build time, identical
+    * bits in both engines). Observed share is one IEEE division;
+    * `excess` (share − expected) is one subtraction. Single map-side-
+    * combined aggregation; the digit grid is 9 rows at any scale.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice")
+      .cast(DecimalType(30, 2)) * lit(100)).cast("long")
+    val expected = BenfordP.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (p, i)) => when(col("digit") === (i + 1), p).otherwise(acc)
+    }
+    val byDigit = table(s, dir, "orders")
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    byDigit.crossJoin(broadcast(byDigit.agg(sum("n").as("total"))))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"),
+        expected.as("benford_expected"))
+      .withColumn("excess", col("share") - col("benford_expected"))
+      .orderBy("digit")
+  }
+
+  private val benfordOracle = s"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders),
+byd AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM byd),
+exp_ AS (
+  SELECT * FROM (VALUES ${BenfordP.zipWithIndex
+      // exponent form: DuckDB types a bare decimal literal as DECIMAL and
+      // its decimal->double rounding can differ in the last ulp; with an
+      // exponent the literal is parsed as DOUBLE, bit-identical to the JVM
+      .map { case (p, i) => f"(${i + 1}, $p%.17e)" }
+      .mkString(", ")}) AS t(digit, benford_expected))
+SELECT b.digit AS digit, b.n,
+  CAST(b.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+  e.benford_expected,
+  CAST(b.n AS DOUBLE) / CAST(t.total AS DOUBLE) - e.benford_expected
+    AS excess
+FROM byd b CROSS JOIN tot t JOIN exp_ e ON e.digit = b.digit
+ORDER BY digit
+"""
+
+  /** Theil–Sen robust trend of daily event volume — the slope estimator a
+    * monitoring layer prefers over least squares because one bad day
+    * cannot drag it (breakdown point 29%). The estimator is the MEDIAN of
+    * all pairwise slopes between daily totals.
+    *
+    * Scale shape: the corpus reduces to the DAILY grid first (one
+    * map-side-combined aggregate; the grid is bounded by the time range,
+    * not row count), gets checkpointed, and the O(days²) pair join +
+    * median run on that bounded table — 435 pairs for a 30-day window.
+    * For multi-year ranges, bucket to weeks first; the corpus itself is
+    * never pairwise-joined. Each slope is ONE IEEE division of exact
+    * int64 deltas; the median picks the middle slope(s) by a total
+    * (slope, d1, d2) order, `sum/count` over ≤2 rows — deterministic in
+    * both engines.
+    */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Registry.events(s, dir)
+      .groupBy(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded grid: everything below reads 30 rows
+    val pairs = daily.toDF("d1", "n1")
+      .join(daily.toDF("d2", "n2"), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        ((col("n2") - col("n1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope"))
+    val w = Window.orderBy("slope", "d1", "d2") // total order; 435-row input
+    val ranked = pairs.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("m"))))
+    ranked
+      .filter(col("rn") === expr("(m + 1) div 2") ||
+        col("rn") === expr("(m + 2) div 2"))
+      .agg((sum("slope") / count(lit(1))).as("sen_slope_per_day"),
+        max("m").as("n_pairs"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("n_pairs"), col("sen_slope_per_day"))
+  }
+
+  private val theilSenOracle = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT a.day AS d1, b.day AS d2,
+    CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.day < b.day),
+ranked AS (
+  SELECT slope,
+    row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+    (SELECT count(*) FROM pairs) AS m
+  FROM pairs),
+med AS (
+  SELECT sum(slope) / count(*) AS sen_slope_per_day, max(m) AS n_pairs
+  FROM ranked
+  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+  CAST(n_pairs AS BIGINT) AS n_pairs, sen_slope_per_day
+FROM med
+"""
+
+  /** Exact Gini coefficient of line-item quantity per return flag — the
+    * inequality index a data-balance monitor runs on per-source token
+    * counts. Computed from the VALUE HISTOGRAM via the mean-absolute-
+    * difference identity `G = ΣΣ n_v·n_w·|v−w| / (2·n·Σx)`: quantity lives
+    * on the bounded 1..50 integer grid, so the pairwise term is a 50×50
+    * grid self-join per group — bounded BY CONSTRUCTION at any corpus
+    * size, no sorted cumulative walk and no per-row window at all. The
+    * numerator accumulates in decimal(38,0) (n_v·n_w overflows int64 at
+    * ~10⁹ rows per value); numerator and denominator each reach double by
+    * ONE correctly-rounded conversion, then ONE IEEE division.
+    */
+  def giniQuantity(s: SparkSession, dir: String): DataFrame = {
+    val hist = table(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("flag", "q").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // ≤ 50 rows per flag: the bounded grid
+    val num = hist.toDF("flag", "v", "nv")
+      .join(hist.toDF("flag", "w", "nw"), "flag")
+      .groupBy("flag")
+      .agg(sum(col("nv").cast(DecimalType(38, 0)) * col("nw")
+        * abs(col("v") - col("w"))).as("num"))
+    hist.groupBy("flag")
+      .agg(sum("cnt").as("n"), sum(col("cnt") * col("q")).as("sx"))
+      .join(num, "flag")
+      .select(col("flag"), col("n"),
+        (col("num").cast("double") /
+          (lit(2.0) * col("n").cast("double") * col("sx").cast("double")))
+          .as("gini"))
+      .orderBy("flag")
+  }
+
+  private val giniOracle = """
+WITH hist AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+num AS (
+  SELECT a.flag, sum(CAST(a.cnt AS HUGEINT) * b.cnt * abs(a.q - b.q)) AS num
+  FROM hist a JOIN hist b ON a.flag = b.flag
+  GROUP BY a.flag),
+tot AS (
+  SELECT flag, CAST(sum(cnt) AS BIGINT) AS n,
+    CAST(sum(cnt * q) AS BIGINT) AS sx
+  FROM hist GROUP BY flag)
+SELECT t.flag AS flag, t.n,
+  CAST(m.num AS DOUBLE)
+    / (2.0 * CAST(t.n AS DOUBLE) * CAST(t.sx AS DOUBLE)) AS gini
+FROM tot t JOIN num m ON m.flag = t.flag
+ORDER BY flag
+"""
+
+  /** Mann–Whitney U rank-sum test (URGENT vs LOW order totals) — the
+    * nonparametric location test that pairs with [[ksBinned]]'s
+    * distributional one. `2·U₁ = Σ_v n₁(v)·(2·(#group-2 strictly below v)
+    * + n₂(v))` is an exact integer, so rank arithmetic never touches a
+    * float until the final z-score.
+    *
+    * Scale shape: the "strictly below" cumulative is the same TWO-LEVEL
+    * decomposition as `paretoShare` — level 1 cumulates per-$100-bucket
+    * totals over the value-range-bounded bucket grid (single task, grid
+    * rows only); level 2 cumulates distinct cents WITHIN each bucket
+    * (partitioned window, ≤10⁴ distinct values per partition by
+    * construction). No window ever sees O(distinct values of the corpus)
+    * rows in one task. The tie-correction term Σ(t³−t) is a plain
+    * aggregate in decimal(38,0). z uses the large-sample normal
+    * approximation with tie correction, every double op in one literal
+    * order in both engines.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val hist = table(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(cents.as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("g1"))
+      .groupBy("v")
+      .agg(sum("g1").as("n1"), sum(lit(1L) - col("g1")).as("n2"))
+      .withColumn("b", expr("v div 10000"))
+      .localCheckpoint() // distinct-cents histogram feeds both levels once
+    val wB = Window.orderBy("b") // level 1: bucket grid, range-bounded
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketCum = hist.groupBy("b").agg(sum("n2").as("bn2"))
+      .withColumn("cum2b", coalesce(sum("bn2").over(wB), lit(0L)))
+      .select("b", "cum2b")
+    val wV = Window.partitionBy("b").orderBy("v") // level 2: within bucket
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = (col("n1") + col("n2")).cast(DecimalType(38, 0))
+    val agg = hist
+      .withColumn("cum2v", coalesce(sum("n2").over(wV), lit(0L)))
+      .join(bucketCum, "b")
+      .agg(sum("n1").as("n1t"), sum("n2").as("n2t"),
+        sum(col("n1").cast(DecimalType(38, 0)) *
+          ((col("cum2b") + col("cum2v")) * lit(2L) + col("n2"))).as("u2x"),
+        sum(t * t * t - t).as("tie"))
+    val n1 = col("n1t").cast("double")
+    val n2 = col("n2t").cast("double")
+    val nn = n1 + n2
+    val sigma2 = (n1 * n2 / lit(12.0)) *
+      ((nn + lit(1.0)) - col("tie").cast("double") / (nn * (nn - lit(1.0))))
+    val u1 = col("u2x").cast("double") / lit(2.0)
+    agg.select(col("n1t"), col("n2t"), u1.as("u1"),
+        ((u1 - n1 * n2 / lit(2.0)) / sqrt(sigma2)).as("z"))
+      .withColumn("reject_95", abs(col("z")) > lit(1.959963984540054))
+  }
+
+  private val mannWhitneyOracle = """
+WITH base AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+hist AS (
+  SELECT v, CAST(sum(g1) AS BIGINT) AS n1,
+    CAST(sum(1 - g1) AS BIGINT) AS n2
+  FROM base GROUP BY v),
+cum AS (
+  SELECT v, n1, n2,
+    CAST(coalesce(sum(n2) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c2
+  FROM hist),
+aggd AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS n1t, CAST(sum(n2) AS BIGINT) AS n2t,
+    sum(CAST(n1 AS HUGEINT) * (2 * c2 + n2)) AS u2x,
+    sum(CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
+      - (n1 + n2)) AS tie
+  FROM cum)
+SELECT n1t, n2t,
+  CAST(u2x AS DOUBLE) / 2.0 AS u1,
+  (CAST(u2x AS DOUBLE) / 2.0
+    - CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0)
+  / sqrt((CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0)
+    * ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0)
+      - CAST(tie AS DOUBLE)
+        / ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE))
+          * (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0)))) AS z,
+  abs((CAST(u2x AS DOUBLE) / 2.0
+    - CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0)
+  / sqrt((CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0)
+    * ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0)
+      - CAST(tie AS DOUBLE)
+        / ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE))
+          * (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0)))))
+    > 1.959963984540054 AS reject_95
+FROM aggd
+"""
+
   /** Exact 10%-two-sided TRIMMED mean per group, by the same histogram-
     * selection machinery as [[quantilesHistogram]] — the robust-statistics
     * member of the family: the (group, value¢) histogram is a distributed
@@ -765,6 +1027,10 @@ WHERE cum_ge >= CAST(ceil(n * 0.01) AS BIGINT)
       QueryDef(chi2Independence, Some(chi2Oracle)),
     "stats_welch_ttest" -> QueryDef(welchTTest, Some(welchOracle)),
     "stats_ks_binned" -> QueryDef(ksBinned, Some(ksOracle)),
+    "stats_benford_digits" -> QueryDef(benfordDigits, Some(benfordOracle)),
+    "stats_theil_sen_trend" -> QueryDef(theilSenTrend, Some(theilSenOracle)),
+    "stats_gini_quantity" -> QueryDef(giniQuantity, Some(giniOracle)),
+    "stats_mann_whitney" -> QueryDef(mannWhitney, Some(mannWhitneyOracle)),
     "stats_quantiles_histogram" ->
       QueryDef(quantilesHistogram, Some(quantilesHistogramOracle)),
     "stats_mode_custom_agg" -> QueryDef(modeOrderPriority, Some(modeOracle)),

@@ -207,6 +207,42 @@ class Round6PropertySpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- benford screen laws
+  test("benford digits: counts partition the orders table, shares decompose") {
+    val rows = ops.StatsOps.benfordDigits(spark, sfDir).collect()
+    val total = Registry.table(spark, sfDir, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "digit counts must partition the table")
+    assert(rows.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 9))
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1).toDouble / total,
+        s"share decomposition broke for $r")
+      assert(r.getDouble(4) == r.getDouble(2) - r.getDouble(3),
+        s"excess decomposition broke for $r")
+    }
+  }
+
+  // ---------------------------------------------------- theil-sen laws
+  test("theil-sen trend equals the direct median of pairwise daily slopes") {
+    val row = ops.StatsOps.theilSenTrend(spark, sfDir).collect().head
+    val daily = Registry.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d")).count()
+      .collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- daily.indices if i < j
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+        (daily(j)._1 - daily(i)._1).toDouble).sorted
+    val m = slopes.length
+    val expect =
+      if (m % 2 == 1) slopes(m / 2)
+      else (slopes(m / 2 - 1) + slopes(m / 2)) / 2
+    assert(row.getLong(0) == daily.length && row.getLong(1) == m)
+    assert(row.getDouble(2) == expect,
+      s"sen slope ${row.getDouble(2)} != direct median $expect")
+  }
+
   // ----------------------------------------------------- k-center laws
   test("k-center coreset: radius sequence non-increasing, picks distinct, " +
       "distances match the chosen set") {
@@ -232,6 +268,84 @@ class Round6PropertySpec extends SparkSpec {
       val prev = picks.take(i + 1).map(_._2)
       assert(prev.map(p => d2(qv(v), qv(p))).min == sd,
         s"sel_dist2 of pick ${i + 1} doesn't match the chosen set")
+    }
+  }
+
+  // --------------------------------------------------------- gini laws
+  test("gini quantity equals the direct mean-absolute-difference index") {
+    val rows = ops.StatsOps.giniQuantity(spark, sfDir).collect()
+    val qs = Registry.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+    rows.foreach { r =>
+      val xs = qs(r.getString(0))
+      assert(r.getLong(1) == xs.length)
+      val num = (for { a <- xs; b <- xs } yield math.abs(a - b)).map(BigInt(_)).sum
+      val direct = num.toDouble / (2.0 * xs.length.toDouble * xs.sum.toDouble)
+      val g = r.getDouble(2)
+      assert(g >= 0 && g < 1 && math.abs(g - direct) < 1e-12,
+        s"gini $g != direct $direct for ${r.getString(0)}")
+    }
+  }
+
+  // -------------------------------------------------- mann-whitney laws
+  test("mann-whitney U equals the direct pairwise count with half-ties") {
+    val row = ops.StatsOps.mannWhitney(spark, sfDir).collect().head
+    val vals = Registry.table(spark, sfDir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(30,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val g1 = vals.filter(_._1 == "1-URGENT").map(_._2)
+    val g2 = vals.filter(_._1 == "5-LOW").map(_._2)
+    assert(row.getLong(0) == g1.length && row.getLong(1) == g2.length)
+    // U1 = #{(x,y): x>y} + ties/2, directly over all cross pairs
+    val u2x = (for { x <- g1; y <- g2 } yield
+      if (x > y) 2L else if (x == y) 1L else 0L).map(BigInt(_)).sum
+    assert(row.getDouble(2) == u2x.toDouble / 2.0,
+      s"U1 ${row.getDouble(2)} != direct ${u2x.toDouble / 2.0}")
+    assert(!row.getDouble(3).isNaN)
+  }
+
+  // --------------------------------------------- label propagation laws
+  test("label propagation: labels are graph nodes, sizes consistent") {
+    val rows = ops.GraphOps.labelPropagation(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCommunity = rows.groupBy(_.getLong(1))
+    rows.foreach { r =>
+      assert(byCommunity(r.getLong(1)).length == r.getLong(2),
+        s"community_size mismatch for $r")
+    }
+    // one size per distinct community sums back to the node count
+    assert(byCommunity.map { case (_, g) => g.head.getLong(2) }.sum ==
+      rows.length, "community sizes must partition the node set")
+    assert(byCommunity.keySet.forall(l => l >= 0 && l <= 24),
+      "community labels must be nation keys")
+  }
+
+  // ------------------------------------------------- zone-map pruning laws
+  test("zone-map pruning: file classes partition files, rows decompose") {
+    val rows = ops.LayoutOps.zoneMapPruning(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val files = Registry.table(spark, sfDir, "documents")
+      .groupBy(col("source"), expr("doc_id div 50")).count().collect()
+    val nFiles = files.length
+    val nRows = files.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == nFiles,
+        s"pruned+full+partial must partition the files: $r")
+      assert(r.getLong(5) + r.getLong(6) == nRows,
+        s"skipped+must_scan must partition the rows: $r")
+    }
+    // thresholds ascend and pruning is monotone in t
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) <= b.getLong(1))
+        assert(a.getLong(2) <= b.getLong(2), "pruned files monotone in t")
+      case _ => ()
     }
   }
 }
