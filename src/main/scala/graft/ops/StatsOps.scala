@@ -813,6 +813,151 @@ ORDER BY flag
       .withColumn("reject_95", abs(col("z")) > lit(1.959963984540054))
   }
 
+  /** CUSUM mean-shift changepoint on daily event volume — the detection
+    * rule a pipeline monitor runs to find WHEN a feed broke, not just
+    * that it did. The statistic is the classic centered cumulative sum
+    * `S_k = Σ_{i≤k}(n_i − n̄)`; its arg-max |S_k| estimates the shift
+    * point. Kept exact by scaling out the mean's division:
+    * `S_k·d = d·Σ_{i≤k} n_i − k·N` is pure int64 on the day-bounded grid
+    * (d days, N total events — products ≤ d·N, far inside headroom), so
+    * the arg-max is an integer comparison and only the REPORTED statistic
+    * divides back by d. Same one-scan + bounded-grid-window shape as
+    * [[theilSenTrend]]; pre/post means are exact-int ratios, one IEEE
+    * division each.
+    */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Registry.events(s, dir)
+      .groupBy(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded daily grid
+    val wC = Window.orderBy("day") // bounded input by construction
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = daily.agg(count(lit(1)).as("d"), sum("n").as("nt"))
+    val scored = daily
+      .withColumn("k", row_number().over(Window.orderBy("day")))
+      .withColumn("cum", sum("n").over(wC))
+      .crossJoin(broadcast(tot))
+      .withColumn("sscaled",
+        col("cum") * col("d") - col("k") * col("nt")) // S_k·d, exact int64
+    scored
+      .orderBy(abs(col("sscaled")).desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("changepoint_day"),
+        (abs(col("sscaled")).cast("double") / col("d").cast("double"))
+          .as("cusum_stat"),
+        (col("cum").cast("double") / col("k").cast("double"))
+          .as("mean_before"),
+        ((col("nt") - col("cum")).cast("double")
+          / (col("d") - col("k")).cast("double")).as("mean_after"),
+        col("d").as("n_days"))
+  }
+
+  private val cusumOracle = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(n) AS BIGINT) AS nt
+  FROM daily),
+scored AS (
+  SELECT day,
+    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+    CAST(sum(n) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    d, nt
+  FROM daily, tot)
+SELECT day AS changepoint_day,
+  CAST(abs(cum * d - k * nt) AS DOUBLE) / CAST(d AS DOUBLE) AS cusum_stat,
+  CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
+  CAST(nt - cum AS DOUBLE) / CAST(d - k AS DOUBLE) AS mean_after,
+  d AS n_days
+FROM scored
+ORDER BY abs(cum * d - k * nt) DESC, day ASC
+LIMIT 1
+"""
+
+  /** Wald–Wolfowitz runs test on daily event volume — "is the feed's
+    * above/below-median pattern random, or does it trend/oscillate?" The
+    * sign sequence compares each day's count to the LOWER MEDIAN of the
+    * daily counts (the (d+1) div 2-th smallest — an integer, so sign
+    * assignment is an exact comparison; median-ties are dropped, the
+    * standard treatment). Runs count via one lag over the bounded daily
+    * grid; E[R] and Var[R] are the textbook exact-integer ratios, z in
+    * one literal IEEE order. Everything after the one-scan daily
+    * reduction operates on the d-row grid.
+    */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Registry.events(s, dir)
+      .groupBy(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded daily grid
+    val med = daily
+      .withColumn("rk", row_number().over(Window.orderBy("n", "day")))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("d"))))
+      .filter(col("rk") === expr("(d + 1) div 2"))
+      .select(col("n").as("median_n"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("n") =!= col("median_n")) // drop median ties
+      .withColumn("above", (col("n") > col("median_n")).cast("long"))
+    val wL = Window.orderBy("day")
+    val counted = signed
+      .withColumn("chg",
+        when(lag("above", 1).over(wL).isNull, 1L)
+          .when(lag("above", 1).over(wL) =!= col("above"), 1L)
+          .otherwise(0L))
+      .agg(sum("chg").as("runs"), sum("above").as("n1"),
+        sum(lit(1L) - col("above")).as("n2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val nn = n1 + n2
+    val er = lit(2.0) * n1 * n2 / nn + lit(1.0)
+    val vr = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      (nn * nn * (nn - lit(1.0)))
+    counted.select(col("runs"), col("n1"), col("n2"), er.as("expected_runs"),
+      ((col("runs").cast("double") - er) / sqrt(vr)).as("z"))
+  }
+
+  private val runsOracle = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+med AS (
+  SELECT n AS median_n FROM (
+    SELECT n, row_number() OVER (ORDER BY n, day) AS rk,
+      (SELECT count(*) FROM daily) AS d
+    FROM daily)
+  WHERE rk = (d + 1) // 2),
+signed AS (
+  SELECT day, CASE WHEN n > median_n THEN 1 ELSE 0 END AS above
+  FROM daily, med WHERE n <> median_n),
+counted AS (
+  SELECT CAST(sum(chg) AS BIGINT) AS runs, CAST(sum(above) AS BIGINT) AS n1,
+    CAST(sum(1 - above) AS BIGINT) AS n2
+  FROM (
+    SELECT above,
+      CASE WHEN lag(above) OVER (ORDER BY day) IS NULL THEN 1
+           WHEN lag(above) OVER (ORDER BY day) <> above THEN 1
+           ELSE 0 END AS chg
+    FROM signed))
+SELECT runs, n1, n2,
+  2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0 AS expected_runs,
+  (CAST(runs AS DOUBLE)
+    - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+  / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) AS z
+FROM counted
+"""
+
   private val mannWhitneyOracle = """
 WITH base AS (
   SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
@@ -1031,6 +1176,9 @@ WHERE cum_ge >= CAST(ceil(n * 0.01) AS BIGINT)
     "stats_theil_sen_trend" -> QueryDef(theilSenTrend, Some(theilSenOracle)),
     "stats_gini_quantity" -> QueryDef(giniQuantity, Some(giniOracle)),
     "stats_mann_whitney" -> QueryDef(mannWhitney, Some(mannWhitneyOracle)),
+    "stats_cusum_changepoint" ->
+      QueryDef(cusumChangepoint, Some(cusumOracle)),
+    "stats_runs_test" -> QueryDef(runsTest, Some(runsOracle)),
     "stats_quantiles_histogram" ->
       QueryDef(quantilesHistogram, Some(quantilesHistogramOracle)),
     "stats_mode_custom_agg" -> QueryDef(modeOrderPriority, Some(modeOracle)),

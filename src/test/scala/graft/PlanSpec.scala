@@ -440,4 +440,31 @@ class PlanSpec extends SparkSpec {
     assert(!"(?m)^\\s*\\*?\\(?\\d*\\)? ?Sort ".r.findFirstIn(plan).isDefined,
       "global sort appeared in bm25 plan")
   }
+
+  test("mann-whitney: rank windows read the checkpointed histogram, not orders") {
+    // both cumulative levels (bucket grid + within-bucket) must run on the
+    // materialized distinct-cents histogram; re-deriving it per window
+    // would be two extra fact scans at 100 TB
+    val plan = executedPlan(ops.StatsOps.mannWhitney(spark, sfDir))
+    assert(!plan.contains("Scan parquet") && plan.contains("ExistingRDD"),
+      s"mann-whitney replays the orders scan past the checkpoint:\n${plan.take(2000)}")
+  }
+
+  test("label propagation iterates on the checkpointed adjacency, not the fact") {
+    val plan = executedPlan(ops.GraphOps.labelPropagation(spark, sfDir))
+    assert(!plan.contains("lineitem"),
+      s"LPA round re-scans the fact table:\n${plan.take(2000)}")
+    assert(plan.contains("ExistingRDD"),
+      "LPA lost its checkpointed adjacency input")
+  }
+
+  test("mv top-k maintenance: both arms end in TakeOrdered, no global sort") {
+    // the only Sort allowed is the 25-row rank window; a range-partitioned
+    // exchange would mean a distributed sort of base-table data
+    val plan = executedPlan(ops.PipelineOps.mvTopkMaintenance(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k maintenance lost TakeOrdered")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"base data range-sorted in the top-k maintenance plan:\n${plan.take(2000)}")
+  }
 }

@@ -326,6 +326,46 @@ class Round6PropertySpec extends SparkSpec {
       "community labels must be nation keys")
   }
 
+  // --------------------------------------------------------- cusum laws
+  test("cusum changepoint equals the direct argmax of |S_k|") {
+    val row = ops.StatsOps.cusumChangepoint(spark, sfDir).collect().head
+    val daily = Registry.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d")).count().collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .sortBy(_._1)
+    val d = daily.length
+    val nt = daily.map(_._2).sum
+    var cum = 0L
+    val scored = daily.zipWithIndex.map { case ((day, n), i) =>
+      cum += n
+      (day, cum * d - (i + 1).toLong * nt, cum, i + 1)
+    }
+    val best = scored.maxBy(t => (math.abs(t._2), -t._1))
+    assert(row.getLong(0) == best._1,
+      s"changepoint ${row.getLong(0)} != direct ${best._1}")
+    assert(row.getDouble(1) == math.abs(best._2).toDouble / d.toDouble)
+    assert(row.getDouble(2) == best._3.toDouble / best._4.toDouble)
+    assert(row.getLong(4) == d)
+  }
+
+  // ----------------------------------------------------- runs test laws
+  test("runs test counts sign runs around the lower median exactly") {
+    val row = ops.StatsOps.runsTest(spark, sfDir).collect().head
+    val daily = Registry.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d")).count().collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .sortBy(_._1)
+    val med = daily.map(_._2).zip(daily.map(_._1)).sorted
+      .apply((daily.length + 1) / 2 - 1)._1
+    val signs = daily.filter(_._2 != med).map(_._2 > med)
+    val runs = 1 + signs.sliding(2).count(w => w.length == 2 && w(0) != w(1))
+    assert(row.getLong(0) == runs, s"runs ${row.getLong(0)} != $runs")
+    assert(row.getLong(1) == signs.count(identity))
+    assert(row.getLong(2) == signs.count(!_))
+    assert(row.getLong(0) <= row.getLong(1) + row.getLong(2))
+    assert(!row.getDouble(4).isNaN)
+  }
+
   // ------------------------------------------------- zone-map pruning laws
   test("zone-map pruning: file classes partition files, rows decompose") {
     val rows = ops.LayoutOps.zoneMapPruning(spark, sfDir).collect()
