@@ -481,7 +481,53 @@ WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY channel
 """
 
+  // ---------------------------------------------------------- top paths
+  /** Most frequent session-opening event paths — the product-analytics
+    * "how do users start their day" query: per (user, day), the first 4
+    * events in (ts, event_id) total order joined into a `a>b>c>d` path
+    * string, then the top 20 paths by frequency. The per-user-day window
+    * is partitioned (never global); the path histogram is heavy-hitter
+    * shaped (shuffle O(distinct paths), bounded by |event_types|⁴); the
+    * final top-k is TakeOrdered with (n, path) total order. Path assembly
+    * is `sort_array(struct(rn, type))` — rn is unique within the group,
+    * so the array order (and the concatenated string) is deterministic,
+    * matching the oracle's `string_agg(... ORDER BY rn)`.
+    */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Registry.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("user_id"), col("day"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+    steps.groupBy("user_id", "day")
+      .agg(concat_ws(">",
+        transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(20)
+  }
+
+  private val topPathsOracle = """
+WITH steps AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS rn
+  FROM events),
+paths AS (
+  SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM steps WHERE rn <= 4 GROUP BY user_id, day)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path ASC LIMIT 20
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "events_top_paths" -> QueryDef(topPaths, Some(topPathsOracle)),
     "events_last_touch_attribution" ->
       QueryDef(lastTouchAttribution, Some(lastTouchOracle)),
     "window_rolling_active_users" ->

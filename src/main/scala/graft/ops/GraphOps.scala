@@ -454,7 +454,85 @@ ORDER BY n_name
 """
   }
 
+  /** 3-core decomposition of the thresholded trade graph — the density
+    * filter a graph pipeline runs before community work: iteratively
+    * drop nodes of degree < 3 (each removal can push neighbors below the
+    * bar, hence the rounds) and report who survives. Three unrolled
+    * prune rounds, each = degree count + semi-join restriction of the
+    * adjacency to surviving endpoints, behind a per-round checkpoint
+    * barrier — the pagerank iteration shape, O(edges) per round at any
+    * scale. Output is anchored on all 25 nations (`in_core` flag +
+    * post-prune degree) so convergence is visible in the row set.
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val edges = thresholdedTradeEdges(s, dir)
+    var adj = edges.select(col("a").as("n"), col("b").as("nb"))
+      .union(edges.select(col("b").as("n"), col("a").as("nb")))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val keep = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select("n")
+        .localCheckpoint() // ≤ |V| rows
+      adj = adj
+        .join(keep, Seq("n"), "left_semi")
+        .join(keep.toDF("nb"), Seq("nb"), "left_semi")
+        .select("n", "nb")
+        .localCheckpoint()
+    }
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("core_degree"))
+    Registry.table(s, dir, "nation")
+      .select(col("n_nationkey").as("n"), col("n_name"))
+      .join(broadcast(deg), Seq("n"), "left_outer")
+      .select(col("n_name"),
+        col("core_degree").isNotNull.as("in_core"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+      .orderBy("n_name")
+  }
+
+  private val kcoreOracle = {
+    def round(prev: String, out: String) = s"""
+keep$out AS (
+  SELECT n FROM (SELECT n, count(*) AS deg FROM $prev GROUP BY n)
+  WHERE deg >= 3),
+$out AS (
+  SELECT a.n, a.nb FROM $prev a
+  WHERE a.n IN (SELECT n FROM keep$out)
+    AND a.nb IN (SELECT n FROM keep$out))"""
+    s"""
+WITH e AS (
+  SELECT s.s_nationkey AS u, cu.c_nationkey AS v,
+    CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  WHERE s.s_nationkey <> cu.c_nationkey),
+und AS (
+  SELECT least(u, v) AS a, greatest(u, v) AS b, CAST(sum(c) AS BIGINT) AS w
+  FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw
+  FROM und),
+edges AS (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
+adj0 AS (
+  SELECT a AS n, b AS nb FROM edges
+  UNION ALL SELECT b, a FROM edges),
+${round("adj0", "adj1")},
+${round("adj1", "adj2")},
+${round("adj2", "adj3")},
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS core_degree
+  FROM adj3 GROUP BY n)
+SELECT na.n_name, d.n IS NOT NULL AS in_core,
+  coalesce(d.core_degree, 0) AS core_degree
+FROM nation na
+LEFT JOIN deg d ON d.n = na.n_nationkey
+ORDER BY n_name
+"""
+  }
+
   val queries: Map[String, QueryDef] = Map(
+    "graph_kcore" -> QueryDef(kcore, Some(kcoreOracle)),
     "graph_pagerank_nations" -> QueryDef(pagerankNations, Some(pagerankOracle)),
     "graph_triangle_clustering" ->
       QueryDef(triangleClustering, Some(triangleOracle)),

@@ -222,7 +222,69 @@ SELECT CAST(k AS BIGINT) AS k, t,
 FROM joined GROUP BY k, t ORDER BY k
 """
 
+  // ------------------------------------------------------- manifest diff
+  /** File-manifest diff between table snapshots — the commit-planning
+    * step of a lakehouse writer: which files does the incoming batch
+    * CREATE (every doc in the file is new), which does it REWRITE (a mix
+    * of old and new docs lands in the same file slice), which are
+    * untouched. "New" docs are content-hash bucket 0 of 10 (the
+    * [[PipelineOps.mvJoinDelta]] delta stand-in); files are the
+    * compaction planner's (source, doc_id div 50) slices. ONE corpus scan
+    * produces per-file (total, new) counts + new-byte sums; the
+    * classification and per-source rollup are file-METADATA aggregations
+    * (~10⁶ rows at 100 TB). Exact integers end-to-end.
+    */
+  def manifestDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Registry.table(s, dir, "documents")
+      .select(col("source"), expr("doc_id div 50").as("file_id"),
+        col("n_chars"),
+        (pmod(SamplingOps.hash60(col("doc_id")), lit(10)) === 0)
+          .as("is_new"))
+    val files = d.groupBy("source", "file_id")
+      .agg(count(lit(1)).as("nd"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("nnew"),
+        sum(when(col("is_new"), col("n_chars")).otherwise(0L))
+          .as("new_bytes"))
+    files.groupBy("source")
+      .agg(
+        sum(when(col("nnew") === col("nd"), 1L).otherwise(0L))
+          .as("files_added"),
+        sum(when(col("nnew") > 0 && col("nnew") < col("nd"), 1L)
+          .otherwise(0L)).as("files_rewritten"),
+        sum(when(col("nnew") === 0, 1L).otherwise(0L))
+          .as("files_unchanged"),
+        sum("nnew").as("delta_docs"),
+        sum("new_bytes").as("delta_bytes"))
+      .orderBy("source")
+  }
+
+  private val manifestDiffOracle = """
+WITH d AS (
+  SELECT source, doc_id // 50 AS file_id, n_chars,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 10 = 0 AS is_new
+  FROM documents),
+files AS (
+  SELECT source, file_id, CAST(count(*) AS BIGINT) AS nd,
+    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS nnew,
+    CAST(sum(CASE WHEN is_new THEN n_chars ELSE 0 END) AS BIGINT)
+      AS new_bytes
+  FROM d GROUP BY 1, 2)
+SELECT source,
+  CAST(sum(CASE WHEN nnew = nd THEN 1 ELSE 0 END) AS BIGINT)
+    AS files_added,
+  CAST(sum(CASE WHEN nnew > 0 AND nnew < nd THEN 1 ELSE 0 END) AS BIGINT)
+    AS files_rewritten,
+  CAST(sum(CASE WHEN nnew = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS files_unchanged,
+  CAST(sum(nnew) AS BIGINT) AS delta_docs,
+  CAST(sum(new_bytes) AS BIGINT) AS delta_bytes
+FROM files GROUP BY source ORDER BY source
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "pipeline_manifest_diff" ->
+      QueryDef(manifestDiff, Some(manifestDiffOracle)),
     "zorder_layout_stats" -> QueryDef(zorderStats, Some(zorderStatsOracle)),
     "pipeline_compaction_plan" ->
       QueryDef(compactionPlan, Some(compactionOracle)),

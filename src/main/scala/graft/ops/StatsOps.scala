@@ -878,6 +878,72 @@ ORDER BY abs(cum * d - k * nt) DESC, day ASC
 LIMIT 1
 """
 
+  /** Lag-k autocorrelation (k = 1..7) of daily event volume — the
+    * weekly-seasonality screen next to [[cusumChangepoint]]'s level-shift
+    * one. Exactness: the mean's division is scaled out (centered value
+    * `c_t = x_t·d − N` is integer), products accumulate in decimal(38,0)
+    * (c² reaches ~10²⁹ on a 10¹²-event year), and each r_k is ONE IEEE
+    * division of two correctly-rounded conversions — the [[moments]]
+    * power-sum discipline applied to the autocovariance.
+    *
+    * Scale shape: one corpus scan reduces to the day-bounded grid
+    * (checkpointed); the 7 lag pairings are a grid×7 self equi-join on
+    * the row index — O(d·7) rows however large the corpus. Lags index
+    * GRID ROWS (observed days, in day order), the standard treatment
+    * when gaps are rare.
+    */
+  def autocorrLag(s: SparkSession, dir: String): DataFrame = {
+    val daily = Registry.events(s, dir)
+      .groupBy(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded daily grid
+    val tot = daily.agg(count(lit(1)).as("d"), sum("n").as("nt"))
+    val g = daily
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .crossJoin(broadcast(tot))
+      .withColumn("c", col("n") * col("d") - col("nt")) // centered·d, int64
+      .select("rn", "c")
+      .localCheckpoint() // consumed by the denominator and all 7 lag joins
+    val den = g.agg(
+      sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("den"))
+    g.crossJoin(broadcast(
+        g.sparkSession.range(1, 8).select(col("id").as("k"))))
+      .join(g.toDF("rn2", "c2"), col("rn2") === col("rn") + col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        (col("num").cast("double") / col("den").cast("double")).as("r"))
+      .orderBy("k")
+  }
+
+  private val autocorrOracle = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(n) AS BIGINT) AS nt
+  FROM daily),
+g AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+    n * d - nt AS c
+  FROM daily, tot),
+den AS (SELECT sum(CAST(c AS HUGEINT) * c) AS den FROM g),
+lags AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+    sum(CAST(a.c AS HUGEINT) * b.c) AS num
+  FROM g a
+  CROSS JOIN generate_series(1, 7) AS s(k)
+  JOIN g b ON b.rn = a.rn + k
+  GROUP BY k)
+SELECT CAST(k AS BIGINT) AS k, n_pairs,
+  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r
+FROM lags, den ORDER BY k
+"""
+
   /** Wald–Wolfowitz runs test on daily event volume — "is the feed's
     * above/below-median pattern random, or does it trend/oscillate?" The
     * sign sequence compares each day's count to the LOWER MEDIAN of the
@@ -1179,6 +1245,7 @@ WHERE cum_ge >= CAST(ceil(n * 0.01) AS BIGINT)
     "stats_cusum_changepoint" ->
       QueryDef(cusumChangepoint, Some(cusumOracle)),
     "stats_runs_test" -> QueryDef(runsTest, Some(runsOracle)),
+    "stats_autocorr_lag" -> QueryDef(autocorrLag, Some(autocorrOracle)),
     "stats_quantiles_histogram" ->
       QueryDef(quantilesHistogram, Some(quantilesHistogramOracle)),
     "stats_mode_custom_agg" -> QueryDef(modeOrderPriority, Some(modeOracle)),

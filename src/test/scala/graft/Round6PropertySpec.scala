@@ -366,6 +366,66 @@ class Round6PropertySpec extends SparkSpec {
     assert(!row.getDouble(4).isNaN)
   }
 
+  // ------------------------------------------------------ autocorr laws
+  test("autocorr: r_k bounded by 1, pair counts shrink by k, r_1 matches direct") {
+    val rows = ops.StatsOps.autocorrLag(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
+    val daily = Registry.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d")).count().collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1))
+      .sortBy(_._1).map(_._2)
+    val d = daily.length
+    val nt = daily.sum
+    val c = daily.map(x => BigInt(x * d - nt))
+    val den = c.map(v => v * v).sum
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      assert(r.getLong(1) == d - k, s"n_pairs for lag $k")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12, s"|r_$k| > 1")
+      val num = (0 until d - k).map(i => c(i) * c(i + k)).sum
+      assert(r.getDouble(2) == num.toDouble / den.toDouble,
+        s"r_$k ${r.getDouble(2)} != direct ${num.toDouble / den.toDouble}")
+    }
+  }
+
+  // --------------------------------------------------------- kcore laws
+  test("kcore: non-members have zero degree, degree sum even, core size sane") {
+    val rows = ops.GraphOps.kcore(spark, sfDir).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      if (!r.getBoolean(1)) assert(r.getLong(2) == 0L, s"pruned node with degree: $r")
+    }
+    val inCore = rows.filter(_.getBoolean(1))
+    // a 3-core is empty or has >= 4 nodes, and the handshake law holds
+    assert(inCore.isEmpty || inCore.length >= 4)
+    assert(inCore.map(_.getLong(2)).sum % 2 == 0, "degree sum must be even")
+  }
+
+  // ----------------------------------------------------- top paths laws
+  test("top paths: at most 4 steps per path, frequencies ranked") {
+    val rows = ops.EventOps.topPaths(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getString(0).split(">").length <= 4, s"path too long: $r")
+    }
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).toSeq
+      .sorted(Ordering[Long].reverse), "paths must rank by frequency")
+  }
+
+  // -------------------------------------------------- manifest diff laws
+  test("manifest diff: file classes partition each source's file set") {
+    val rows = ops.LayoutOps.manifestDiff(spark, sfDir).collect()
+    val files = Registry.table(spark, sfDir, "documents")
+      .groupBy(col("source"), expr("doc_id div 50")).count().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(rows.map(_.getString(0)).toSet == files.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) ==
+        files(r.getString(0)),
+        s"added+rewritten+unchanged must cover the files of $r")
+    }
+  }
+
   // ------------------------------------------------- zone-map pruning laws
   test("zone-map pruning: file classes partition files, rows decompose") {
     val rows = ops.LayoutOps.zoneMapPruning(spark, sfDir).collect()
