@@ -220,6 +220,54 @@ object EventStream {
     * strictly follow the first view, purchase the first qualifying click —
     * the same strict sequencing as the batch `funnel_conversion`).
     */
+  /** One row of the streaming latest-snapshot view: the user's most
+    * recent event (by the (event-time-micros, event_id) total order) plus
+    * a delivery counter.
+    */
+  final case class KeyedLatest(user_id: Long, ts_micros: Long,
+      event_id: Long, value_cents: Long, n_seen: Long)
+
+  /** Event time on the microsecond grid — full parquet precision, so the
+    * streaming order matches the batch `max(struct(ts, event_id))`
+    * exactly (ms-truncated `getTime` would order ties differently).
+    */
+  private def tsMicros(e: StreamEvent): Long =
+    e.ts.toInstant.getEpochSecond * 1000000L + e.ts.getNanos / 1000L
+
+  /** Streaming CDC-upsert materialization — the stateful twin of the MV
+    * family's maintenance queries: keep, per user, the LATEST event under
+    * the (event-time, event_id) total order, merging each micro-batch
+    * like a `MERGE INTO latest_snapshot` would. The monotone merge rule
+    * makes the view robust to OUT-OF-ORDER and REPLAYED deliveries: an
+    * incoming batch wins only if its best (ts, event_id) beats the stored
+    * one, while `n_seen` still counts every delivery (so the spec can
+    * assert a replay changed nothing but the counter). State is one small
+    * row per key, hash-partitioned by the stream's grouping — the
+    * scale-honest upsert shape (no global state, no sort). Values are
+    * exact cents; ties are impossible because event_id is unique.
+    */
+  def latestSnapshot(events: Dataset[StreamEvent]): Dataset[KeyedLatest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[KeyedLatest, KeyedLatest](
+        GroupStateTimeout.NoTimeout()) { (userId, it, state) =>
+        val batch = it.toVector
+        val best = batch.maxBy(e => (tsMicros(e), e.event_id))
+        val prev = state.getOption
+        val nSeen = prev.map(_.n_seen).getOrElse(0L) + batch.size
+        val keepPrev = prev.exists(p =>
+          p.ts_micros > tsMicros(best) ||
+            (p.ts_micros == tsMicros(best) && p.event_id >= best.event_id))
+        val next =
+          if (keepPrev) prev.get.copy(n_seen = nSeen)
+          else KeyedLatest(userId, tsMicros(best), best.event_id,
+            math.round(best.value * 100), nSeen)
+        state.update(next)
+        next
+      }
+  }
+
   final case class FunnelProgress(viewMs: Option[Long], clickMs: Option[Long],
       purchaseMs: Option[Long]) {
     def stage: Int =

@@ -359,6 +359,84 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("streaming latest-snapshot upsert equals the batch last-per-key") {
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .parquet(eventsPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
+    val got = EventStream.runToMemory(spark,
+        EventStream.latestSnapshot(stream).toDF(), "latest_snap",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_seen"), col("ts_micros"), col("event_id"),
+        col("value_cents"))).as("s"))
+      .select(col("user_id"), col("s.ts_micros"), col("s.event_id"),
+        col("s.value_cents"), col("s.n_seen"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val expected = Registry.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(max(struct(unix_micros(col("ts")).as("tm"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("s.tm"), col("s.event_id"),
+        col("s.cents"), col("n"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("latest-snapshot upsert survives a full replay unchanged (monotone merge)") {
+    // stage the same file twice as two micro-batches: the at-least-once
+    // redelivery must change NOTHING in the snapshot except n_seen, which
+    // doubles — the MERGE rule is monotone in (ts, event_id)
+    val staged = java.nio.file.Files.createTempDirectory("events_upsert_replay")
+    Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
+      val dst = new java.io.File(s"$staged/$n.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
+    val sink = EventStream.runToMemory(spark,
+      EventStream.latestSnapshot(stream).toDF(), "latest_snap_replay",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // final state per key = the emission with the highest n_seen
+    val finalRows = sink.groupBy("user_id")
+      .agg(max(struct(col("n_seen"), col("ts_micros"), col("event_id"),
+        col("value_cents"))).as("s"))
+      .select(col("user_id"), col("s.ts_micros"), col("s.event_id"),
+        col("s.value_cents"), col("s.n_seen"))
+      .orderBy("user_id").collect()
+    val batchTruth = Registry.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(max(struct(unix_micros(col("ts")).as("tm"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("s.tm"), col("s.event_id"), col("s.cents"),
+        col("n"))
+      .orderBy("user_id").collect()
+    assert(finalRows.length == batchTruth.length)
+    finalRows.zip(batchTruth).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0))
+      assert(g.getLong(1) == e.getLong(1), s"replay moved ts for ${g.getLong(0)}")
+      assert(g.getLong(2) == e.getLong(2), s"replay moved event for ${g.getLong(0)}")
+      assert(g.getLong(3) == e.getLong(3), s"replay moved value for ${g.getLong(0)}")
+      assert(g.getLong(4) == 2 * e.getLong(4),
+        s"n_seen must count both deliveries for ${g.getLong(0)}")
+    }
+  }
+
   test("sessionization state carries open tails across micro-batches (no fragments)") {
     import spark.implicits._
     // stage the events into TWO time-split files and force one file per
