@@ -325,10 +325,13 @@ ORDER BY pick
       .agg(count(lit(1)).as("nh"),
         dsum(col("c"), 0).as("sx"),
         dsum(col("c") * col("c"), 0).as("sxx"))
-      .withColumn("sh", sqrt(
+      .withColumn("sh", when(col("nh") > 1, sqrt(
         (col("sxx") - col("sx") * col("sx") / col("nh").cast("double"))
-          / (col("nh").cast("double") - lit(1.0))))
-      .withColumn("w", col("nh").cast("double") * col("sh"))
+          / (col("nh").cast("double") - lit(1.0)))))
+      // a single-row stratum has undefined stddev: weight 0 (no budget),
+      // not a NaN that would poison the Σ N·S normalizer fold
+      .withColumn("w",
+        coalesce(col("nh").cast("double") * col("sh"), lit(0.0)))
     val norm = strata.agg(
       aggregate(
         sort_array(collect_list(struct(col("stratum"), col("w")))),
@@ -362,11 +365,13 @@ WITH strata AS (
   FROM orders GROUP BY 1),
 wtd AS (
   SELECT stratum, nh,
-    sqrt((sxx - sx * sx / CAST(nh AS DOUBLE))
-         / (CAST(nh AS DOUBLE) - 1.0)) AS sh,
-    CAST(nh AS DOUBLE)
-      * sqrt((sxx - sx * sx / CAST(nh AS DOUBLE))
-             / (CAST(nh AS DOUBLE) - 1.0)) AS w
+    CASE WHEN nh > 1 THEN
+      sqrt((sxx - sx * sx / CAST(nh AS DOUBLE))
+           / (CAST(nh AS DOUBLE) - 1.0)) END AS sh,
+    coalesce(CAST(nh AS DOUBLE)
+      * CASE WHEN nh > 1 THEN
+          sqrt((sxx - sx * sx / CAST(nh AS DOUBLE))
+               / (CAST(nh AS DOUBLE) - 1.0)) END, 0.0) AS w
   FROM strata),
 norm AS (
   SELECT list_reduce(list_prepend(0.0, list(w ORDER BY stratum)),

@@ -808,8 +808,11 @@ ORDER BY flag
     val sigma2 = (n1 * n2 / lit(12.0)) *
       ((nn + lit(1.0)) - col("tie").cast("double") / (nn * (nn - lit(1.0))))
     val u1 = col("u2x").cast("double") / lit(2.0)
+    // degenerate inputs (an empty group, or every value tied so the
+    // tie-corrected variance is 0) leave z undefined: null, not NaN/Inf
     agg.select(col("n1t"), col("n2t"), u1.as("u1"),
-        ((u1 - n1 * n2 / lit(2.0)) / sqrt(sigma2)).as("z"))
+        when(col("n1t") > 0 && col("n2t") > 0 && sigma2 > lit(0.0),
+          (u1 - n1 * n2 / lit(2.0)) / sqrt(sigma2)).as("z"))
       .withColumn("reject_95", abs(col("z")) > lit(1.959963984540054))
   }
 
@@ -848,8 +851,10 @@ ORDER BY flag
           .as("cusum_stat"),
         (col("cum").cast("double") / col("k").cast("double"))
           .as("mean_before"),
-        ((col("nt") - col("cum")).cast("double")
-          / (col("d") - col("k")).cast("double")).as("mean_after"),
+        // a last-row argmax has no "after" segment: null, not 0/0 NaN
+        when(col("k") < col("d"),
+          (col("nt") - col("cum")).cast("double")
+            / (col("d") - col("k")).cast("double")).as("mean_after"),
         col("d").as("n_days"))
   }
 
@@ -871,7 +876,8 @@ scored AS (
 SELECT day AS changepoint_day,
   CAST(abs(cum * d - k * nt) AS DOUBLE) / CAST(d AS DOUBLE) AS cusum_stat,
   CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
-  CAST(nt - cum AS DOUBLE) / CAST(d - k AS DOUBLE) AS mean_after,
+  CASE WHEN k < d
+    THEN CAST(nt - cum AS DOUBLE) / CAST(d - k AS DOUBLE) END AS mean_after,
   d AS n_days
 FROM scored
 ORDER BY abs(cum * d - k * nt) DESC, day ASC
@@ -915,7 +921,10 @@ LIMIT 1
         sum(col("c").cast(DecimalType(38, 0)) * col("c2")).as("num"))
       .crossJoin(broadcast(den))
       .select(col("k"), col("n_pairs"),
-        (col("num").cast("double") / col("den").cast("double")).as("r"))
+        // zero-variance degenerate series (all days equal): r undefined,
+        // emit null rather than 0/0 NaN (the anomalyZscore guard rule)
+        when(col("den") =!= 0,
+          col("num").cast("double") / col("den").cast("double")).as("r"))
       .orderBy("k")
   }
 
@@ -940,7 +949,7 @@ lags AS (
   JOIN g b ON b.rn = a.rn + k
   GROUP BY k)
 SELECT CAST(k AS BIGINT) AS k, n_pairs,
-  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS r
+  CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS r
 FROM lags, den ORDER BY k
 """
 
@@ -982,8 +991,12 @@ FROM lags, den ORDER BY k
     val er = lit(2.0) * n1 * n2 / nn + lit(1.0)
     val vr = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
       (nn * nn * (nn - lit(1.0)))
-    counted.select(col("runs"), col("n1"), col("n2"), er.as("expected_runs"),
-      ((col("runs").cast("double") - er) / sqrt(vr)).as("z"))
+    // one-sided sign sequences (n1=0 or n2=0) have Var[R]=0: the test is
+    // undefined, emit null z (and null E[R] for the empty-sequence case)
+    counted.select(col("runs"), col("n1"), col("n2"),
+      when(col("n1") + col("n2") > 0, er).as("expected_runs"),
+      when(col("n1") > 0 && col("n2") > 0,
+        (col("runs").cast("double") - er) / sqrt(vr)).as("z"))
   }
 
   private val runsOracle = """
@@ -1010,17 +1023,20 @@ counted AS (
            ELSE 0 END AS chg
     FROM signed))
 SELECT runs, n1, n2,
-  2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0 AS expected_runs,
-  (CAST(runs AS DOUBLE)
-    - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
-  / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-         - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
-    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
-       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
-       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) AS z
+  CASE WHEN n1 + n2 > 0 THEN
+    2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0 END
+    AS expected_runs,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    (CAST(runs AS DOUBLE)
+      - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+    / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) END AS z
 FROM counted
 """
 
@@ -1044,24 +1060,21 @@ aggd AS (
     sum(CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2)
       - (n1 + n2)) AS tie
   FROM cum)
-SELECT n1t, n2t,
-  CAST(u2x AS DOUBLE) / 2.0 AS u1,
-  (CAST(u2x AS DOUBLE) / 2.0
-    - CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0)
-  / sqrt((CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0)
-    * ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0)
-      - CAST(tie AS DOUBLE)
-        / ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE))
-          * (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0)))) AS z,
-  abs((CAST(u2x AS DOUBLE) / 2.0
-    - CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0)
-  / sqrt((CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0)
-    * ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0)
-      - CAST(tie AS DOUBLE)
-        / ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE))
-          * (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0)))))
-    > 1.959963984540054 AS reject_95
-FROM aggd
+SELECT n1t, n2t, u1,
+  CASE WHEN n1t > 0 AND n2t > 0 AND s2 > 0
+    THEN (u1 - mu) / sqrt(s2) END AS z,
+  CASE WHEN n1t > 0 AND n2t > 0 AND s2 > 0
+    THEN abs((u1 - mu) / sqrt(s2)) > 1.959963984540054 END AS reject_95
+FROM (
+  SELECT n1t, n2t,
+    CAST(u2x AS DOUBLE) / 2.0 AS u1,
+    CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0 AS mu,
+    (CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0)
+      * ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0)
+        - CAST(tie AS DOUBLE)
+          / ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE))
+            * (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0))) AS s2
+  FROM aggd)
 """
 
   /** Exact 10%-two-sided TRIMMED mean per group, by the same histogram-
