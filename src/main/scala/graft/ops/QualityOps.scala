@@ -388,7 +388,45 @@ SELECT metric,
 FROM melted GROUP BY metric ORDER BY metric
 """
 
+  // ---------------------------------------------------- freshness lag
+  /** Per-feed freshness monitor — the first page of any pipeline
+    * dashboard: each event type's latest event time, its lag behind the
+    * freshest feed, and a staleness flag at the 24 h SLA. One map-side-
+    * combined max per type + a 1-row broadcast of the global max; time
+    * lives on the integer microsecond grid so the lag arithmetic is
+    * exact (`div` for whole seconds).
+    */
+  def freshnessLag(s: SparkSession, dir: String): DataFrame = {
+    val perType = Registry.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_micros"))
+    val global = perType.agg(max("last_micros").as("global_micros"))
+    perType.crossJoin(broadcast(global))
+      .select(col("event_type"), col("n_events"),
+        col("last_micros"),
+        expr("(global_micros - last_micros) div 1000000")
+          .as("lag_seconds"),
+        (col("global_micros") - col("last_micros") >
+          lit(86400L) * lit(1000000L)).as("stale_24h"))
+      .orderBy("event_type")
+  }
+
+  private val freshnessOracle = """
+WITH per_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(max(epoch_us(ts)) AS BIGINT) AS last_micros
+  FROM events GROUP BY event_type),
+g AS (SELECT max(last_micros) AS global_micros FROM per_type)
+SELECT event_type, n_events, last_micros,
+  (global_micros - last_micros) // 1000000 AS lag_seconds,
+  global_micros - last_micros > 86400 * CAST(1000000 AS BIGINT)
+    AS stale_24h
+FROM per_type, g ORDER BY event_type
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "dq_freshness_lag" -> QueryDef(freshnessLag, Some(freshnessOracle)),
     "dq_drift_profile" -> QueryDef(driftProfile, Some(driftOracle)),
     "dq_profile_orders" -> QueryDef(profileOrders, Some(profileOracle)),
     "dq_expectations" -> QueryDef(expectations, Some(expectationsOracle)),

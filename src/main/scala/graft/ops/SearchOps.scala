@@ -315,9 +315,57 @@ ORDER BY pick
 """
   }
 
+  // ------------------------------------------------------- phrase rank
+  /** Exact-phrase retrieval ("sort merge" as a two-term phrase) — the
+    * retrieval mode BM25's bag-of-words misses: a document scores by how
+    * often the terms appear ADJACENT in order. Occurrences are counted by
+    * scanning the token-array index pairs with a higher-order filter (a
+    * codegen'd per-row loop, no join, no UDF); term frequencies ride
+    * along as diagnostic columns. Map-only over the corpus + TakeOrdered
+    * top-20 by (hits, doc_id) — the BM25 scale posture; an inverted
+    * bigram index replaces the scan when phrases are dynamic.
+    */
+  def phraseRank(s: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val hits = when(size(t) >= 2,
+      size(filter(sequence(lit(1), size(t) - 1),
+        i => element_at(t, i) === "sort" &&
+          element_at(t, i + lit(1)) === "merge")).cast("long"))
+      .otherwise(0L)
+    Registry.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .select(col("doc_id"), col("source"), hits.as("phrase_hits"),
+        size(filter(t, x => x === "sort")).cast("long").as("tf_sort"),
+        size(filter(t, x => x === "merge")).cast("long").as("tf_merge"))
+      .filter(col("phrase_hits") > 0)
+      .orderBy(col("phrase_hits").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val phraseOracle = """
+WITH t AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                x -> x <> '') AS t
+  FROM documents),
+scored AS (
+  SELECT doc_id, source,
+    CASE WHEN len(t) >= 2 THEN
+      CAST(len([i FOR i IN range(1, len(t))
+                IF t[i] = 'sort' AND t[i+1] = 'merge']) AS BIGINT)
+    ELSE 0 END AS phrase_hits,
+    CAST(len(list_filter(t, x -> x = 'sort')) AS BIGINT) AS tf_sort,
+    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf_merge
+  FROM t)
+SELECT doc_id, source, phrase_hits, tf_sort, tf_merge
+FROM scored WHERE phrase_hits > 0
+ORDER BY phrase_hits DESC, doc_id ASC LIMIT 20
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "search_bm25_topk" -> QueryDef(bm25TopK, Some(bm25Oracle)),
     "search_hybrid_rrf" -> QueryDef(hybridRrf, Some(hybridOracle)),
-    "search_mmr_rerank" -> QueryDef(mmrRerank, Some(mmrOracle))
+    "search_mmr_rerank" -> QueryDef(mmrRerank, Some(mmrOracle)),
+    "search_phrase_rank" -> QueryDef(phraseRank, Some(phraseOracle))
   )
 }

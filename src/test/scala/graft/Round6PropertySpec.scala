@@ -426,6 +426,40 @@ class Round6PropertySpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- phrase rank laws
+  test("phrase rank: hits bounded by both term frequencies, matches direct count") {
+    val rows = ops.SearchOps.phraseRank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = Registry.table(spark, sfDir, "documents")
+      .select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val hits = r.getLong(2)
+      assert(hits <= math.min(r.getLong(3), r.getLong(4)),
+        s"phrase hits exceed a term frequency: $r")
+      val t = texts(r.getLong(0)).split("[^a-z]+").filter(_.nonEmpty)
+      val direct = t.indices.dropRight(1)
+        .count(i => t(i) == "sort" && t(i + 1) == "merge")
+      assert(hits == direct, s"hits $hits != direct $direct for ${r.getLong(0)}")
+      assert(r.getLong(3) == t.count(_ == "sort"))
+      assert(r.getLong(4) == t.count(_ == "merge"))
+    }
+  }
+
+  // ------------------------------------------------------ freshness laws
+  test("freshness lag: exactly one fresh feed at lag 0, lags nonnegative") {
+    val rows = ops.QualityOps.freshnessLag(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getLong(3) == 0L) >= 1, "freshest feed must lag 0")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0, s"negative lag: $r")
+      // stale is decided on the micros grid; seconds truncate, so the
+      // boundary second is ambiguous either way
+      if (r.getBoolean(4)) assert(r.getLong(3) >= 86400L, s"stale too early: $r")
+      else assert(r.getLong(3) <= 86400L, s"fresh but lagging: $r")
+    }
+  }
+
   // ------------------------------------------------- zone-map pruning laws
   test("zone-map pruning: file classes partition files, rows decompose") {
     val rows = ops.LayoutOps.zoneMapPruning(spark, sfDir).collect()
