@@ -818,7 +818,131 @@ SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS neighbor_id, cosine
 FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank
 """
 
+  /** Recall audit for BOTH IVF variants against the exact baseline — the
+    * nprobe-tuning table an ANN deployment reads before picking its
+    * recall/cost point: per probe, how much of the exact top-k the
+    * label-cell IVF ([[ivfTopK]], nprobe=1 against given cells) and the
+    * true multiprobe IVF ([[ivfMultiprobe]], nprobe=2 against learned
+    * cells) each retain. Completes the recall family (LSH and PQ audits
+    * exist); pure integer set-intersection counts, one division per
+    * recall column, and the exact side runs on the audit probe sample
+    * only — the same scale posture as [[lshRecall]].
+    */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
+    def recallOf(approx: DataFrame): DataFrame = {
+      val a = approx.select(col("query_id").as("a_q"),
+        col("neighbor_id").as("a_n"))
+      brute.join(a, col("query_id") === col("a_q") &&
+          col("neighbor_id") === col("a_n"), "left_outer")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("common"))
+    }
+    recallOf(ivfTopK(s, dir)).toDF("query_id", "n_exact", "common_label")
+      .join(recallOf(ivfMultiprobe(s, dir))
+        .toDF("query_id", "ne2", "common_multi"), "query_id")
+      .select(col("query_id"), col("n_exact"), col("common_label"),
+        (col("common_label").cast("double") / col("n_exact").cast("double"))
+          .as("recall_label"),
+        col("common_multi"),
+        (col("common_multi").cast("double") / col("n_exact").cast("double"))
+          .as("recall_multi"))
+      .orderBy("query_id")
+  }
+
+  private val ivfRecallOracle = s"""
+WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+bscored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM q p JOIN q c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM bscored)
+  WHERE rank <= $TopK),
+lscored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM q p JOIN q c
+    ON p.vec_id < $NumProbes AND c.label = p.label AND c.vec_id <> p.vec_id),
+ivf_l AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM lscored)
+  WHERE rank <= $TopK),
+n AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM q),
+cc AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
+       FROM n WHERE vec_id < $NumCells),
+dd AS (
+  SELECT v.vec_id, cc.centroid_id,
+    v.nrm + cc.cnrm - 2 * CAST(list_sum(
+      list_transform(range(1, 65), k -> v.qv[k] * cc.cv[k])) AS BIGINT)
+      AS dist2
+  FROM n v, cc),
+rk AS (
+  SELECT vec_id, centroid_id,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, centroid_id ASC) AS rk
+  FROM dd),
+cells AS (SELECT vec_id, centroid_id AS cell FROM rk WHERE rk = 1),
+pcells AS (
+  SELECT vec_id AS query_id, centroid_id AS pcell
+  FROM rk WHERE vec_id < $NumProbes AND rk <= $NumProbeCells),
+mscored AS (
+  SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * m.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(m.nrm AS DOUBLE))) AS cosine
+  FROM n p
+  JOIN pcells pc ON pc.query_id = p.vec_id
+  JOIN cells cl ON cl.cell = pc.pcell
+  JOIN n m ON m.vec_id = cl.vec_id AND m.vec_id <> p.vec_id),
+ivf_m AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM mscored)
+  WHERE rank <= $TopK)
+SELECT b.query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivf_l l
+      WHERE l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id)
+    THEN 1 ELSE 0 END) AS BIGINT) AS common_label,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivf_l l
+      WHERE l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id)
+    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS recall_label,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivf_m m
+      WHERE m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id)
+    THEN 1 ELSE 0 END) AS BIGINT) AS common_multi,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivf_m m
+      WHERE m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id)
+    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS recall_multi
+FROM brute b GROUP BY b.query_id ORDER BY query_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "ann_ivf_recall" -> QueryDef(ivfRecall, Some(ivfRecallOracle)),
     "ann_knn_join" -> QueryDef(knnJoin, Some(knnJoinOracle)),
     "ann_pq_adc" -> QueryDef(pqAdcRerank, Some(pqAdcOracle)),
     "ann_pq_recall" -> QueryDef(pqRecall, Some(pqRecallOracle)),

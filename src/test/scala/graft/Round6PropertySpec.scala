@@ -460,6 +460,18 @@ class Round6PropertySpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- ivf recall laws
+  test("ivf recall: intersections bounded by the exact set, ratios decompose") {
+    val rows = ops.Similarity.ivfRecall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ne, cl, cm) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(ne > 0 && cl <= ne && cm <= ne, s"intersection exceeds exact: $r")
+      assert(r.getDouble(3) == cl.toDouble / ne.toDouble)
+      assert(r.getDouble(5) == cm.toDouble / ne.toDouble)
+    }
+  }
+
   // ------------------------------------------------- zone-map pruning laws
   test("zone-map pruning: file classes partition files, rows decompose") {
     val rows = ops.LayoutOps.zoneMapPruning(spark, sfDir).collect()
