@@ -438,7 +438,63 @@ WHERE CAST(list_sum(list_transform(range(1, 65),
 ORDER BY new_id, corpus_id
 """
 
+  /** Dedup IMPACT report — the per-source survivorship table a corpus
+    * owner reads after a dedup pass: how many documents (and how much
+    * text) each source keeps once only cluster canonicals survive.
+    * Shares [[canonicalPick]]'s exact selection rule (within-cluster rank
+    * by (n_chars, doc_id); unclustered docs are their own singletons via
+    * LEFT JOIN + coalesce) but rolls up instead of listing — and the
+    * session-memoized cluster map means the pair pipeline still runs only
+    * once per session across all three cluster queries. The rollup is a
+    * map-side-combined aggregation; `dup_rate` is one IEEE division.
+    */
+  def survivorship(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusterMap(s, dir)
+    val ranked = Registry.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(cl), Seq("doc_id"), "left_outer")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("rep")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("docs_total"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("docs_kept"),
+        sum("n_chars").as("chars_total"),
+        sum(when(col("rn") === 1, col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+      .select(col("source"), col("docs_total"), col("docs_kept"),
+        (col("docs_total") - col("docs_kept")).as("docs_dropped"),
+        col("chars_total"), col("chars_kept"),
+        ((col("docs_total") - col("docs_kept")).cast("double")
+          / col("docs_total").cast("double")).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  private val survivorshipOracle = s"""
+WITH $ClusterCte,
+ranked AS (
+  SELECT d.source, d.n_chars,
+    row_number() OVER (
+      PARTITION BY coalesce(cl.cluster_rep, d.doc_id)
+      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS docs_total,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_dropped,
+  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+  CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+    AS chars_kept,
+  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM ranked GROUP BY source ORDER BY source
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "dedup_survivorship" -> QueryDef(survivorship, Some(survivorshipOracle)),
     "dedup_clusters" -> QueryDef(clusters, Some(clustersOracle)),
     "dedup_canonical_pick" -> QueryDef(canonicalPick, Some(canonicalOracle)),
     "dedup_semantic_clusters" ->

@@ -472,6 +472,23 @@ class Round6PropertySpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------- survivorship laws
+  test("survivorship totals agree with canonical pick, rates decompose") {
+    val rows = ops.DedupClusters.survivorship(spark, sfDir).collect()
+    val pick = ops.DedupClusters.canonicalPick(spark, sfDir).collect()
+    val nDocs = Registry.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs,
+      "docs_total must partition the corpus")
+    assert(rows.map(_.getLong(2)).sum == pick.count(_.getLong(2) == 1L),
+      "kept docs must equal the canonical rows")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getLong(5) <= r.getLong(4))
+      assert(r.getDouble(6) ==
+        (r.getLong(1) - r.getLong(2)).toDouble / r.getLong(1).toDouble)
+    }
+  }
+
   // ------------------------------------------------- zone-map pruning laws
   test("zone-map pruning: file classes partition files, rows decompose") {
     val rows = ops.LayoutOps.zoneMapPruning(spark, sfDir).collect()
