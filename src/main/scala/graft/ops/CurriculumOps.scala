@@ -47,7 +47,25 @@ object CurriculumOps {
     * the 9-threshold row as a broadcast. Output: per-bucket doc and token
     * totals — the table a curriculum scheduler consumes.
     */
-  def decileBuckets(s: SparkSession, dir: String): DataFrame = {
+  def decileBuckets(s: SparkSession, dir: String): DataFrame =
+    bucketTable(s, dir).orderBy("bucket")
+
+  /** Session memo of the 10-row bucket table so the pacing schedule and
+    * the decile listing share ONE scoring/bucketing job per session (the
+    * [[TextOps]] bpeCache pattern; weak keying releases with the session).
+    */
+  private val bucketCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  private def bucketTable(s: SparkSession, dir: String): DataFrame =
+    bucketCache.synchronized {
+      val bySf = bucketCache.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty)
+      bySf.getOrElseUpdate(dir, bucketTableUncached(s, dir).localCheckpoint())
+    }
+
+  private def bucketTableUncached(s: SparkSession, dir: String): DataFrame = {
     // the scored projection is consumed three times (histogram, corpus
     // count, final bucket assignment); localCheckpoint materializes the
     // expensive scoreM tokenization ONCE — without it each consumer
@@ -76,11 +94,40 @@ object CurriculumOps {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("sum_tokens"),
         min("sm").as("min_score_m"), max("sm").as("max_score_m"))
-      .orderBy("bucket")
   }
 
-  private val decileOracle = s"""
-WITH t AS (
+  /** Curriculum PACING schedule — the admission plan a staged training
+    * run consumes: epoch e (1..5) admits quality buckets ≤ 2e (linear
+    * pacing, easiest-first), and the table reports how many documents /
+    * tokens are available to each epoch and the cumulative token share.
+    * Runs entirely on the memoized 10-row bucket table × a 5-row epoch
+    * grid — zero additional corpus passes beyond the shared bucketing
+    * job. One IEEE division per share.
+    */
+  def pacingSchedule(s: SparkSession, dir: String): DataFrame = {
+    val b = bucketTable(s, dir)
+    val epochs = s.range(1, 6).select(col("id").as("epoch"))
+    val total = b.agg(sum("sum_tokens").as("total_tokens"))
+    b.crossJoin(broadcast(epochs))
+      .filter(col("bucket") <= col("epoch") * 2)
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("n_docs").as("docs_admitted"),
+        sum("sum_tokens").as("tokens_admitted"))
+      .crossJoin(broadcast(total))
+      .select(col("epoch"), col("n_buckets"), col("docs_admitted"),
+        col("tokens_admitted"),
+        (col("tokens_admitted").cast("double")
+          / col("total_tokens").cast("double")).as("token_share"))
+      .orderBy("epoch")
+  }
+
+  /** The shared scoring→threshold→bucket CTE chain (ends at per-doc `b`
+    * and the rolled-up 10-row `bt`), reused by both bucket-consuming
+    * oracles so the SQL cannot drift from the engine's shared
+    * [[bucketTable]].
+    */
+  private val decileCtes = s"""t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 d AS (
   SELECT doc_id, $ScoreMSql AS sm, CAST(len(toks) AS BIGINT) AS n_tokens
@@ -100,12 +147,34 @@ b AS (
   SELECT d.doc_id, d.n_tokens, d.sm,
     1 + ${(1 to 9).map(k => s"(CASE WHEN d.sm >= th.d$k THEN 1 ELSE 0 END)")
       .mkString(" + ")} AS bucket
-  FROM d, th)
-SELECT CAST(bucket AS BIGINT) AS bucket,
-  CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-  min(sm) AS min_score_m, max(sm) AS max_score_m
-FROM b GROUP BY bucket ORDER BY bucket
+  FROM d, th),
+bt AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+    min(sm) AS min_score_m, max(sm) AS max_score_m
+  FROM b GROUP BY bucket)"""
+
+  private val decileOracle = s"""
+WITH $decileCtes
+SELECT bucket, n_docs, sum_tokens, min_score_m, max_score_m
+FROM bt ORDER BY bucket
+"""
+
+  private val pacingOracle = s"""
+WITH $decileCtes,
+tot AS (SELECT CAST(sum(sum_tokens) AS BIGINT) AS total_tokens FROM bt)
+SELECT CAST(e.epoch AS BIGINT) AS epoch,
+  CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(bt.n_docs) AS BIGINT) AS docs_admitted,
+  CAST(sum(bt.sum_tokens) AS BIGINT) AS tokens_admitted,
+  CAST(CAST(sum(bt.sum_tokens) AS BIGINT) AS DOUBLE)
+    / CAST(t.total_tokens AS DOUBLE) AS token_share
+FROM bt
+JOIN generate_series(1, 5) AS e(epoch) ON bt.bucket <= e.epoch * 2
+CROSS JOIN tot t
+GROUP BY e.epoch, t.total_tokens
+ORDER BY epoch
 """
 
   /** Per-source sampling rates for a target mixture: source `srcK` gets
@@ -216,6 +285,8 @@ FROM per, norm ORDER BY source
     "curriculum_decile_buckets" -> QueryDef(decileBuckets, Some(decileOracle)),
     "mix_sampling_rates" -> QueryDef(mixSamplingRates, Some(mixOracle)),
     "sample_temperature_mix" ->
-      QueryDef(temperatureMix, Some(temperatureOracle))
+      QueryDef(temperatureMix, Some(temperatureOracle)),
+    "curriculum_pacing_schedule" ->
+      QueryDef(pacingSchedule, Some(pacingOracle))
   )
 }

@@ -458,10 +458,10 @@ LIMIT 20
     */
   private val bpeCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (Seq[DataFrame], DataFrame)]]()
+      scala.collection.mutable.Map[String, (Seq[DataFrame], Seq[DataFrame])]]()
 
   private def bpeChain(s: SparkSession, dir: String)
-      : (Seq[DataFrame], DataFrame) =
+      : (Seq[DataFrame], Seq[DataFrame]) =
     bpeCache.synchronized {
       val bySf = bpeCache.computeIfAbsent(s,
         _ => scala.collection.mutable.Map.empty)
@@ -469,11 +469,12 @@ LIMIT 20
     }
 
   /** The shared 3-iteration training chain: returns the three 1-row merge
-    * rules and the fully rewritten corpus (with `source` and the pre-merge
-    * token count carried through for the downstream coverage audit).
+    * rules and the corpus after EVERY stage (c0..c3, with `source` and the
+    * pre-merge token count carried through) — the apply audit reads the
+    * last, the compression curve reads all four.
     */
   private def bpeChainUncached(s: SparkSession, dir: String)
-      : (Seq[DataFrame], DataFrame) = {
+      : (Seq[DataFrame], Seq[DataFrame]) = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
     // every token wrapped in '|' (boundaries between tokens are therefore
     // '||'); merged tokens join with a single space. '|' cannot occur
@@ -509,7 +510,7 @@ LIMIT 20
     val m2 = topPair(c1)
     val c2 = applyMerge(c1, m2)
     val m3 = topPair(c2)
-    (Seq(m1, m2, m3), applyMerge(c2, m3))
+    (Seq(m1, m2, m3), Seq(c0, c1, c2, applyMerge(c2, m3)))
   }
 
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
@@ -525,11 +526,15 @@ LIMIT 20
     * The rewrite is the same broadcast-rule `replace` chain; the audit is
     * one map-side-combined aggregation.
     */
-  def bpeApply(s: SparkSession, dir: String): DataFrame = {
-    val (_, c3) = bpeChain(s, dir)
-    val after = when(expr("trim(BOTH '|' FROM s)") === "", 0L)
+  /** Token count of a chain-encoded corpus string (empty docs → 0). */
+  private def chainTokens: Column =
+    when(expr("trim(BOTH '|' FROM s)") === "", 0L)
       .otherwise(size(split(expr("trim(BOTH '|' FROM s)"), "\\|\\|"))
         .cast("long"))
+
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val c3 = bpeChain(s, dir)._2.last
+    val after = chainTokens
     c3.select(col("source"), col("n0"), after.as("n3"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -539,6 +544,33 @@ LIMIT 20
         col("tokens_after").cast("double") /
           col("tokens_before").cast("double"))
       .orderBy("source")
+  }
+
+  /** Tokenizer-training diagnostic — the compression CURVE: total corpus
+    * tokens after 0..3 merges, each step's rule alongside, and the ratio
+    * to the unmerged baseline. This is the marginal-gain plot a
+    * vocabulary budget is chosen from (when the curve flattens, stop
+    * merging). All four corpus states come from the session-memoized
+    * chain ([[bpeChain]]) — the training jobs still run once per session;
+    * the per-step counts are one map-side-combined sum each.
+    */
+  def bpeCompressionCurve(s: SparkSession, dir: String): DataFrame = {
+    val (rules, corpora) = bpeChain(s, dir)
+    val counts = corpora.zipWithIndex.map { case (c, k) =>
+      c.agg(sum(chainTokens).as("corpus_tokens"))
+        .select(lit(k.toLong).as("step"), col("corpus_tokens"))
+    }.reduce(_.unionByName(_))
+    val ruleRows = rules.zipWithIndex.map { case (m, i) =>
+      m.select(lit(i + 1L).as("step"), col("x"), col("y"))
+    }.reduce(_.unionByName(_))
+    val t0 = counts.filter(col("step") === 0)
+      .select(col("corpus_tokens").as("t0"))
+    counts.join(ruleRows, Seq("step"), "left_outer")
+      .crossJoin(broadcast(t0))
+      .select(col("step"), col("x"), col("y"), col("corpus_tokens"),
+        (col("corpus_tokens").cast("double") / col("t0").cast("double"))
+          .as("compression"))
+      .orderBy("step")
   }
 
   /** One oracle iteration: tokens of `$prev` → pair counts → top-1 rule
@@ -592,6 +624,26 @@ FROM (
          ELSE CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) END AS n3
   FROM c3)
 GROUP BY source ORDER BY source
+"""
+
+  private val bpeCurveOracle = s"""
+WITH $bpeChainCtes,
+counts AS (
+  ${(0 to 3).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step,
+    CAST(sum(CASE WHEN trim(s, '|') = '' THEN 0
+             ELSE len(string_split(trim(s, '|'), '||')) END) AS BIGINT)
+      AS corpus_tokens
+  FROM c$k""").mkString("\n  UNION ALL\n  ")}),
+rules AS (
+  SELECT CAST(1 AS BIGINT) AS step, x, y FROM m1
+  UNION ALL SELECT 2, x, y FROM m2
+  UNION ALL SELECT 3, x, y FROM m3),
+t0 AS (SELECT corpus_tokens AS t0 FROM counts WHERE step = 0)
+SELECT c.step, r.x, r.y, c.corpus_tokens,
+  CAST(c.corpus_tokens AS DOUBLE) / CAST(t.t0 AS DOUBLE) AS compression
+FROM counts c LEFT JOIN rules r ON r.step = c.step CROSS JOIN t0 t
+ORDER BY c.step
 """
 
   // ------------------------------------------------ vocabulary coverage
@@ -741,6 +793,8 @@ GROUP BY ex.doc_id ORDER BY doc_id
       QueryDef(bpeFirstMerge, Some(bpeFirstMergeOracle)),
     "vocab_bpe_merges" -> QueryDef(bpeMerges, Some(bpeMergesOracle)),
     "vocab_bpe_apply" -> QueryDef(bpeApply, Some(bpeApplyOracle)),
+    "vocab_bpe_compression_curve" ->
+      QueryDef(bpeCompressionCurve, Some(bpeCurveOracle)),
     "text_boilerplate_removal" ->
       QueryDef(boilerplateRemoval, Some(boilerplateOracle)),
     "text_repetition_ratio" ->
