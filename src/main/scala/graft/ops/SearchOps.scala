@@ -318,46 +318,55 @@ ORDER BY pick
   // ------------------------------------------------------- phrase rank
   /** Exact-phrase retrieval ("sort merge" as a two-term phrase) — the
     * retrieval mode BM25's bag-of-words misses: a document scores by how
-    * often the terms appear ADJACENT in order. Occurrences are counted by
-    * scanning the token-array index pairs with a higher-order filter (a
-    * codegen'd per-row loop, no join, no UDF); term frequencies ride
-    * along as diagnostic columns. Map-only over the corpus + TakeOrdered
-    * top-20 by (hits, doc_id) — the BM25 scale posture; an inverted
-    * bigram index replaces the scan when phrases are dynamic.
+    * often the terms appear ADJACENT in order.
+    *
+    * Counting runs in the STRING domain with the tokenizer family's
+    * delimited encoding (`|t1||t2||...|`, '|' impossible inside the
+    * `[a-z]` token alphabet): occurrences of `|sort||merge|` are
+    * `(len(s) − len(replace(s, p, ''))) / len(p)` — `replace`/`length`
+    * are whole-stage-codegen'd, where Spark evaluates array
+    * higher-order-function lambdas INTERPRETED (a first cut with
+    * `filter(sequence(...))` over token indices measured 8.3s at sf0.1
+    * vs sub-second for this form). The left-to-right non-overlapping
+    * `replace` counts every adjacency here because the phrase is not
+    * self-overlapping ("sort" ≠ "merge" — a `w w` phrase would need the
+    * index walk); each consumed boundary '|' leaves the shared second
+    * '|' to open the next token, so back-to-back occurrences all count
+    * (the Round6PropertySpec law re-counts directly from the token
+    * array). Map-only + TakeOrdered — the BM25 scale posture; an
+    * inverted bigram index replaces the scan when phrases are dynamic.
     */
   def phraseRank(s: SparkSession, dir: String): DataFrame = {
-    val t = col("t")
-    val hits = when(size(t) >= 2,
-      size(filter(sequence(lit(1), size(t) - 1),
-        i => element_at(t, i) === "sort" &&
-          element_at(t, i + lit(1)) === "merge")).cast("long"))
-      .otherwise(0L)
+    def occurrences(hay: Column, needle: String): Column =
+      ((length(hay) - length(call_function("replace", hay, lit(needle))))
+        / lit(needle.length)).cast("long")
+    val enc = concat(lit("|"), array_join(toks, "||"), lit("|"))
     Registry.table(s, dir, "documents")
-      .select(col("doc_id"), col("source"), toks.as("t"))
-      .select(col("doc_id"), col("source"), hits.as("phrase_hits"),
-        size(filter(t, x => x === "sort")).cast("long").as("tf_sort"),
-        size(filter(t, x => x === "merge")).cast("long").as("tf_merge"))
+      .select(col("doc_id"), col("source"), enc.as("s"))
+      .select(col("doc_id"), col("source"),
+        occurrences(col("s"), "|sort||merge|").as("phrase_hits"),
+        occurrences(col("s"), "|sort|").as("tf_sort"),
+        occurrences(col("s"), "|merge|").as("tf_merge"))
       .filter(col("phrase_hits") > 0)
       .orderBy(col("phrase_hits").desc, col("doc_id").asc)
       .limit(20)
   }
 
   private val phraseOracle = """
-WITH t AS (
+WITH enc AS (
   SELECT doc_id, source,
-    list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                x -> x <> '') AS t
+    '|' || array_to_string(
+      list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                  x -> x <> ''), '||') || '|' AS s
   FROM documents),
 scored AS (
   SELECT doc_id, source,
-    CASE WHEN len(t) >= 2 THEN
-      CAST(len([i FOR i IN range(1, len(t))
-                IF t[i] = 'sort' AND t[i+1] = 'merge']) AS BIGINT)
-    ELSE 0 END AS phrase_hits,
-    CAST(len(list_filter(t, x -> x = 'sort')) AS BIGINT) AS tf_sort,
-    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf_merge
-  FROM t)
-SELECT doc_id, source, phrase_hits, tf_sort, tf_merge
+    (len(s) - len(replace(s, '|sort||merge|', ''))) // 13 AS phrase_hits,
+    (len(s) - len(replace(s, '|sort|', ''))) // 6 AS tf_sort,
+    (len(s) - len(replace(s, '|merge|', ''))) // 7 AS tf_merge
+  FROM enc)
+SELECT doc_id, source, CAST(phrase_hits AS BIGINT) AS phrase_hits,
+  CAST(tf_sort AS BIGINT) AS tf_sort, CAST(tf_merge AS BIGINT) AS tf_merge
 FROM scored WHERE phrase_hits > 0
 ORDER BY phrase_hits DESC, doc_id ASC LIMIT 20
 """
