@@ -246,26 +246,67 @@ object EventStream {
     * scale-honest upsert shape (no global state, no sort). Values are
     * exact cents; ties are impossible because event_id is unique.
     */
+  /** The upsert MERGE rule shared by both stateful APIs: the batch's best
+    * (ts, event_id) wins only if it beats the stored row; the delivery
+    * counter always advances.
+    */
+  private def mergeLatest(userId: Long, batch: Seq[StreamEvent],
+      prev: Option[KeyedLatest]): KeyedLatest = {
+    val best = batch.maxBy(e => (tsMicros(e), e.event_id))
+    val nSeen = prev.map(_.n_seen).getOrElse(0L) + batch.size
+    val keepPrev = prev.exists(p =>
+      p.ts_micros > tsMicros(best) ||
+        (p.ts_micros == tsMicros(best) && p.event_id >= best.event_id))
+    if (keepPrev) prev.get.copy(n_seen = nSeen)
+    else KeyedLatest(userId, tsMicros(best), best.event_id,
+      math.round(best.value * 100), nSeen)
+  }
+
   def latestSnapshot(events: Dataset[StreamEvent]): Dataset[KeyedLatest] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[KeyedLatest, KeyedLatest](
         GroupStateTimeout.NoTimeout()) { (userId, it, state) =>
-        val batch = it.toVector
-        val best = batch.maxBy(e => (tsMicros(e), e.event_id))
-        val prev = state.getOption
-        val nSeen = prev.map(_.n_seen).getOrElse(0L) + batch.size
-        val keepPrev = prev.exists(p =>
-          p.ts_micros > tsMicros(best) ||
-            (p.ts_micros == tsMicros(best) && p.event_id >= best.event_id))
-        val next =
-          if (keepPrev) prev.get.copy(n_seen = nSeen)
-          else KeyedLatest(userId, tsMicros(best), best.event_id,
-            math.round(best.value * 100), nSeen)
+        val next = mergeLatest(userId, it.toVector, state.getOption)
         state.update(next)
         next
       }
+  }
+
+  /** The same upsert on Spark 4's `transformWithState` (typed ValueState
+    * handle, RocksDB-backed store) — shares [[mergeLatest]] verbatim, so
+    * the spec's parity assertion pins the two APIs to one state machine.
+    */
+  def latestSnapshotTws(events: Dataset[StreamEvent]): Dataset[KeyedLatest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new LatestSnapshotProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  final class LatestSnapshotProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StreamEvent, KeyedLatest] {
+    @transient private var latest:
+        org.apache.spark.sql.streaming.ValueState[KeyedLatest] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      latest = getHandle.getValueState[KeyedLatest]("latest",
+        org.apache.spark.sql.Encoders.product[KeyedLatest],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KeyedLatest] = {
+      val prev = if (latest.exists()) Some(latest.get()) else None
+      val next = mergeLatest(userId, rows.toVector, prev)
+      latest.update(next)
+      Iterator.single(next)
+    }
   }
 
   final case class FunnelProgress(viewMs: Option[Long], clickMs: Option[Long],

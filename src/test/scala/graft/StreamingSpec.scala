@@ -390,6 +390,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("transformWithState latest-snapshot matches the classic-API upsert") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(EventStream.eventsSchema)
+        .parquet(eventsPath)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
+      val got = EventStream.runToMemory(spark,
+          EventStream.latestSnapshotTws(stream).toDF(), "latest_snap_tws",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max(struct(col("n_seen"), col("ts_micros"), col("event_id"),
+          col("value_cents"))).as("s"))
+        .select(col("user_id"), col("s.ts_micros"), col("s.event_id"),
+          col("s.value_cents"), col("s.n_seen"))
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val expected = Registry.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(max(struct(unix_micros(col("ts")).as("tm"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("s.tm"), col("s.event_id"),
+          col("s.cents"), col("n"))
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got == expected,
+        "TWS upsert must emit the same snapshot as the classic API")
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("latest-snapshot upsert survives a full replay unchanged (monotone merge)") {
     // stage the same file twice as two micro-batches: the at-least-once
     // redelivery must change NOTHING in the snapshot except n_seen, which
