@@ -276,7 +276,7 @@ WITH e AS (
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer cu ON o.o_custkey = cu.c_custkey
   WHERE s.s_nationkey <> cu.c_nationkey),
-und AS (
+und AS MATERIALIZED (
   SELECT least(u, v) AS a, greatest(u, v) AS b,
     CAST(sum(c) AS BIGINT) AS w
   FROM e GROUP BY 1, 2),
@@ -358,14 +358,14 @@ WITH e AS (
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer cu ON o.o_custkey = cu.c_custkey
   WHERE s.s_nationkey <> cu.c_nationkey),
-und AS (
+und AS MATERIALIZED (
   SELECT least(u, v) AS a, greatest(u, v) AS b, CAST(sum(c) AS BIGINT) AS w
   FROM e GROUP BY 1, 2),
 tot AS (
   SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw
   FROM und),
-edges AS (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
-adj AS (
+edges AS MATERIALIZED (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
+adj AS MATERIALIZED (
   SELECT a AS n, b AS nb FROM edges
   UNION ALL SELECT b, a FROM edges),
 deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
@@ -431,7 +431,7 @@ ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20
 
   private val lpaOracle = {
     def round(prev: String, out: String) = s"""
-$out AS (
+$out AS MATERIALIZED (
   SELECT n, lbl FROM (
     SELECT a.n, l.lbl, count(*) AS cnt,
       row_number() OVER (PARTITION BY a.n
@@ -448,14 +448,14 @@ WITH e AS (
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer cu ON o.o_custkey = cu.c_custkey
   WHERE s.s_nationkey <> cu.c_nationkey),
-und AS (
+und AS MATERIALIZED (
   SELECT least(u, v) AS a, greatest(u, v) AS b, CAST(sum(c) AS BIGINT) AS w
   FROM e GROUP BY 1, 2),
 tot AS (
   SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw
   FROM und),
-edges AS (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
-adj AS (
+edges AS MATERIALIZED (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
+adj AS MATERIALIZED (
   SELECT a AS n, b AS nb FROM edges
   UNION ALL SELECT b, a FROM edges),
 lab0 AS (SELECT DISTINCT n, n AS lbl FROM adj),
@@ -510,10 +510,10 @@ ORDER BY n_name
 
   private val kcoreOracle = {
     def round(prev: String, out: String) = s"""
-keep$out AS (
+keep$out AS MATERIALIZED (
   SELECT n FROM (SELECT n, count(*) AS deg FROM $prev GROUP BY n)
   WHERE deg >= 3),
-$out AS (
+$out AS MATERIALIZED (
   SELECT a.n, a.nb FROM $prev a
   WHERE a.n IN (SELECT n FROM keep$out)
     AND a.nb IN (SELECT n FROM keep$out))"""
@@ -526,14 +526,14 @@ WITH e AS (
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer cu ON o.o_custkey = cu.c_custkey
   WHERE s.s_nationkey <> cu.c_nationkey),
-und AS (
+und AS MATERIALIZED (
   SELECT least(u, v) AS a, greatest(u, v) AS b, CAST(sum(c) AS BIGINT) AS w
   FROM e GROUP BY 1, 2),
 tot AS (
   SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw
   FROM und),
-edges AS (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
-adj0 AS (
+edges AS MATERIALIZED (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
+adj0 AS MATERIALIZED (
   SELECT a AS n, b AS nb FROM edges
   UNION ALL SELECT b, a FROM edges),
 ${round("adj0", "adj1")},
