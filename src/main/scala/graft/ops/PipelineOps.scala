@@ -53,24 +53,38 @@ ORDER BY cnt DESC, tok
     * curve is where extra vocab entries stop paying for themselves).
     *
     * Same map-side-combine reduction as [[heavyHitters]] (shuffle is
-    * O(vocabulary)); the ranking window is global but runs over the
-    * VOCABULARY, never the corpus — bounded by construction, the
-    * heavy-hitter precedent. Ties break on the token itself so the rank
-    * order (and hence the curve) is total and engine-independent. Each
-    * grid rank resolves to `min(r, |V|)` so the curve saturates at 1.0
-    * instead of dropping rows when the vocabulary is smaller than the
-    * grid. Coverage is exact-int cumulative ÷ exact-int total — one IEEE
-    * division per row.
+    * O(vocabulary)). The curve only needs the grid ranks — all ≤
+    * `CoverageRanks.max` — so ranking NEVER touches the full vocabulary:
+    * a distributed `TakeOrderedAndProject` keeps the global top
+    * `CoverageRanks.max` tokens (each task retains at most that many
+    * rows; the merge sees tasks × max rows), and rank + cumulative sum
+    * resolve on that ≤-max-row set via a broadcast ≤-self-join — no
+    * window operator at all, so nothing single-tasks regardless of
+    * vocabulary size (Heaps' law growth included). Ties break on the
+    * token itself so the rank order (and hence the curve) is total and
+    * engine-independent. Each grid rank resolves to `min(r, |V|)` so the
+    * curve saturates at 1.0 instead of dropping rows when the vocabulary
+    * is smaller than the grid. Coverage is exact-int cumulative ÷
+    * exact-int total — one IEEE division per row.
     */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val counts = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("tok"))
-    val ranked = counts
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cum",
-        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    // global top-k, k = CoverageRanks.max: plans as TakeOrderedAndProject
+    // (per-partition heap of k, then a k·partitions merge) — the only
+    // vocabulary-global step, and it is bounded by k, not |V|
+    val top = counts.orderBy(col("cnt").desc, col("tok"))
+      .limit(CoverageRanks.max)
+    // rank + inclusive cumulative sum over the ≤ k survivors via a
+    // broadcast ≤-join (k² pairs, k = 30): row b precedes-or-equals row a
+    // in (cnt desc, tok asc) order ⇒ rk = count(b), cum = Σ cnt(b)
+    val ranked = top.as("a")
+      .join(broadcast(top.as("b")),
+        col("b.cnt") > col("a.cnt") ||
+          (col("b.cnt") === col("a.cnt") && col("b.tok") <= col("a.tok")))
+      .groupBy(col("a.tok"), col("a.cnt"))
+      .agg(count(lit(1)).as("rk"), sum(col("b.cnt")).as("cum"))
     val tot = counts.agg(sum("cnt").as("total_tokens"),
       count(lit(1)).as("vocab_size"))
     val grid = s.range(1).select(

@@ -458,6 +458,19 @@ class PlanSpec extends SparkSpec {
       "LPA lost its checkpointed adjacency input")
   }
 
+  test("vocab coverage: no window at all — TakeOrdered top-k bounds the rank step") {
+    // the r6 verdict's one scale-killer: rank + cumsum over the FULL
+    // vocabulary in a single-task unpartitioned window. The rewrite keeps
+    // the global top CoverageRanks.max via TakeOrderedAndProject and
+    // resolves rank/cumsum on that ≤30-row set with a broadcast self-join,
+    // so no WindowExec may appear and nothing vocabulary-sized single-tasks
+    val plan = executedPlan(ops.PipelineOps.vocabCoverage(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"vocabulary-global window is back in the coverage plan:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "coverage rank step lost its bounded TakeOrdered top-k")
+  }
+
   test("mv top-k maintenance: both arms end in TakeOrdered, no global sort") {
     // the only Sort allowed is the 25-row rank window; a range-partitioned
     // exchange would mean a distributed sort of base-table data
