@@ -62,7 +62,10 @@ object Bench {
     spark.stop()
   }
 
-  private def sec3(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator formats with the JVM default locale; a
+  // comma-decimal locale (de_DE) would print "0,123" and break the JSON
+  private def sec3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   /** One JSON line under [[LineBudget]]: totals + slowest queries first. */
   private[graft] def renderLine(

@@ -52,18 +52,15 @@ object CurriculumOps {
 
   /** Session memo of the 10-row bucket table so the pacing schedule and
     * the decile listing share ONE scoring/bucketing job per session (the
-    * [[TextOps]] bpeCache pattern; weak keying releases with the session).
+    * [[TextOps]] bpeCache pattern; [[SessionMemo]] holds the per-session
+    * map softly, so the memo and its session are reclaimable rather than
+    * JVM-pinned).
     */
-  private val bucketCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
+  private val bucketCache = new graft.SessionMemo[DataFrame]
 
   private def bucketTable(s: SparkSession, dir: String): DataFrame =
-    bucketCache.synchronized {
-      val bySf = bucketCache.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty)
-      bySf.getOrElseUpdate(dir, bucketTableUncached(s, dir).localCheckpoint())
-    }
+    bucketCache.getOrElseUpdate(s, dir)(
+      bucketTableUncached(s, dir).localCheckpoint())
 
   private def bucketTableUncached(s: SparkSession, dir: String): DataFrame = {
     // the scored projection is consumed three times (histogram, corpus

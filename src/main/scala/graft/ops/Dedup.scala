@@ -81,21 +81,16 @@ ORDER BY kept_doc_id
     * corpus build) — a production run materializes it ONCE and every stage
     * reads it. Mirrored here with a session-scoped memo: first use
     * persists the (tiny, LSH-bounded) result, later pipelines reuse the
-    * cached blocks instead of re-running the inverted-index join. Weak
-    * keying releases the blocks with the session.
+    * cached blocks instead of re-running the inverted-index join.
+    * [[SessionMemo]] holds the per-session map softly, so the blocks (and
+    * the session they reference) are reclaimable rather than JVM-pinned.
     */
-  private val pairsCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
+  private val pairsCache = new graft.SessionMemo[DataFrame]
 
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.synchronized {
-      val bySf = pairsCache.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty)
-      bySf.getOrElseUpdate(dir, {
-        val d = docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))
-        jaccardFromCandidates(d, candidatesFromIndex(d)).persist()
-      })
+    pairsCache.getOrElseUpdate(s, dir) {
+      val d = docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))
+      jaccardFromCandidates(d, candidatesFromIndex(d)).persist()
     }
 
   /** Inverted-index candidate pairs with intersection sizes. */

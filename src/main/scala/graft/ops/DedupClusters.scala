@@ -34,22 +34,17 @@ object DedupClusters {
     * re-persisted/re-counted the pair set and re-ran union-find (measured
     * 9.8s vs 3.6s for `dedup_clusters` itself at sf0.1). The map is
     * pair-set-bounded (tiny), so caching it is free; `localCheckpoint(true)`
-    * cuts lineage so reuse never replays the pair pipeline. Weak keying
-    * releases it with the session.
+    * cuts lineage so reuse never replays the pair pipeline. [[SessionMemo]]
+    * holds the per-session map softly, so the memo (and the session it
+    * references) is reclaimable rather than JVM-pinned.
     */
-  private val clusterCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
+  private val clusterCache = new graft.SessionMemo[DataFrame]
 
   /** Memoized `(doc_id, cluster_rep)` component map for the corpus at `dir`. */
   def clusterMap(s: SparkSession, dir: String): DataFrame =
-    clusterCache.synchronized {
-      val bySf = clusterCache.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty)
-      bySf.getOrElseUpdate(dir, {
-        val pairs = Dedup.jaccardPairs(s, dir).select("i", "j")
-        connectedComponents(s, pairs).localCheckpoint(true)
-      })
+    clusterCache.getOrElseUpdate(s, dir) {
+      val pairs = Dedup.jaccardPairs(s, dir).select("i", "j")
+      connectedComponents(s, pairs).localCheckpoint(true)
     }
 
   def clusters(s: SparkSession, dir: String): DataFrame =

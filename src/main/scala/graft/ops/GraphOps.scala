@@ -201,19 +201,14 @@ ORDER BY rank_scaled DESC, n_name
     * (triangles, link prediction, label propagation, k-core) consume the
     * identical ≤300-row edge build, so the fact scan + symmetrize +
     * threshold job runs ONCE per session instead of once per query (the
-    * `DedupClusters.clusterCache` pattern; weak keying releases it with
-    * the session).
+    * `DedupClusters.clusterCache` pattern; [[SessionMemo]] holds the
+    * per-session map softly, so the memo and its session are reclaimable
+    * rather than JVM-pinned).
     */
-  private val edgeCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
+  private val edgeCache = new graft.SessionMemo[DataFrame]
 
   private def thresholdedTradeEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.synchronized {
-      val bySf = edgeCache.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty)
-      bySf.getOrElseUpdate(dir, thresholdedTradeEdgesUncached(s, dir))
-    }
+    edgeCache.getOrElseUpdate(s, dir)(thresholdedTradeEdgesUncached(s, dir))
 
   private def thresholdedTradeEdgesUncached(
       s: SparkSession, dir: String): DataFrame = {

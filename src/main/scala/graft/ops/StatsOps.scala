@@ -634,7 +634,11 @@ exp_ AS (
       // exponent form: DuckDB types a bare decimal literal as DECIMAL and
       // its decimal->double rounding can differ in the last ulp; with an
       // exponent the literal is parsed as DOUBLE, bit-identical to the JVM
-      .map { case (p, i) => f"(${i + 1}, $p%.17e)" }
+      // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+      // comma-decimal locale (de_DE) would emit malformed SQL literals
+      .map { case (p, i) =>
+        s"(${i + 1}, ${String.format(java.util.Locale.ROOT, "%.17e", Double.box(p))})"
+      }
       .mkString(", ")}) AS t(digit, benford_expected))
 SELECT b.digit AS digit, b.n,
   CAST(b.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,

@@ -454,19 +454,14 @@ LIMIT 20
     * consume the same chain, and the rules are eager 1-row
     * `localCheckpoint` barriers — without the memo each query re-runs the
     * three corpus-counting jobs per invocation. Same pattern as
-    * `Dedup.pairsCache`; weak keying releases it with the session.
+    * `Dedup.pairsCache`; [[SessionMemo]] holds the per-session map softly,
+    * so the memo and its session are reclaimable rather than JVM-pinned.
     */
-  private val bpeCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (Seq[DataFrame], Seq[DataFrame])]]()
+  private val bpeCache = new graft.SessionMemo[(Seq[DataFrame], Seq[DataFrame])]
 
   private def bpeChain(s: SparkSession, dir: String)
       : (Seq[DataFrame], Seq[DataFrame]) =
-    bpeCache.synchronized {
-      val bySf = bpeCache.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty)
-      bySf.getOrElseUpdate(dir, bpeChainUncached(s, dir))
-    }
+    bpeCache.getOrElseUpdate(s, dir)(bpeChainUncached(s, dir))
 
   /** The shared 3-iteration training chain: returns the three 1-row merge
     * rules and the corpus after EVERY stage (c0..c3, with `source` and the

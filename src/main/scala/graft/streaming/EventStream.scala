@@ -259,7 +259,12 @@ object EventStream {
         (p.ts_micros == tsMicros(best) && p.event_id >= best.event_id))
     if (keepPrev) prev.get.copy(n_seen = nSeen)
     else KeyedLatest(userId, tsMicros(best), best.event_id,
-      math.round(best.value * 100), nSeen)
+      // decimal-cast cents, NOT math.round(x*100): math.round is
+      // floor(x+0.5), which disagrees with HALF_UP for negative values
+      // (math.round(-28.5)=-28 vs HALF_UP -29) — this matches the repo's
+      // cents discipline and the batch truth's round()
+      BigDecimal(best.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.unscaledValue.longValueExact, nSeen)
   }
 
   def latestSnapshot(events: Dataset[StreamEvent]): Dataset[KeyedLatest] = {
