@@ -454,7 +454,95 @@ WHERE inter * 10 >= least(sa.n, sb.n) * 8
 ORDER BY i, j
 """
 
+  // ------------------------------------------------- paragraph-level dedup
+  /** Tokens per paragraph block. The corpus is single-line text, so
+    * "paragraphs" are the fixed 16-token grid — the operator is byte-for-
+    * byte the newline-split version with `split(text, "\n\n")` swapped in
+    * as the segmenter.
+    */
+  private val ParaTokens = 16
+
+  /** Paragraph/line-level near-dedup — the cross-document SPAN dedup pass a
+    * web corpus runs after doc-level dedup: boilerplate paragraphs repeated
+    * across sources (nav bars, license blocks, disclaimers) survive
+    * document-level MinHash because the *documents* differ; removing them
+    * needs first-occurrence attribution at paragraph grain.
+    *
+    * Shape (the [[TextOps.ngramNovelty]] machinery one level up): explode
+    * docs into paragraph blocks → 60-bit content hash per block → one
+    * aggregation to the global first occurrence (min packed
+    * `(doc_id, para_idx)` key per hash — map-side combined, shuffle
+    * O(distinct paragraphs)) → hash-equi-join back to the instances → per-
+    * doc retained-span report. The corpus is NEVER self-joined: the only
+    * join is instances ⋈ first-seen on the paragraph hash, both sides
+    * O(paragraphs). A paragraph instance is retained iff it IS the global
+    * first occurrence in (doc_id, para_idx) order; every later repeat —
+    * cross-doc or within-doc — is dropped, exactly the greedy rule a
+    * streaming span-dedup applies. The packed key `doc_id·2²⁰ + para_idx`
+    * is exact while docs stay under 2²⁰ paragraphs (16.7M tokens) and
+    * doc_id < 2⁴³ — both far above any real corpus row.
+    */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val P = ParaTokens
+    val blocks = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          expr(s"(size(t) + ${P - 1}) div $P") - 1)).as("pidx"))
+      .select(col("doc_id"), col("pidx"),
+        slice(col("t"), col("pidx") * P + 1, lit(P)).as("p"))
+      .select(col("doc_id"), col("pidx"),
+        size(col("p")).cast("long").as("ptoks"),
+        SamplingOps.hash60(array_join(col("p"), " ")).as("ph"))
+    val packed = col("doc_id") * lit(1048576L) + col("pidx")
+    val firstSeen = blocks.groupBy("ph").agg(min(packed).as("first_key"))
+    blocks.join(firstSeen, "ph")
+      .withColumn("kept", packed === col("first_key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_retained"),
+        sum("ptoks").as("n_tokens"),
+        sum(when(col("kept"), col("ptoks")).otherwise(0L))
+          .as("retained_tokens"))
+      .select(col("doc_id"), col("n_paras"), col("n_retained"),
+        col("n_tokens"), col("retained_tokens"),
+        ((col("n_paras") - col("n_retained")).cast("double")
+          / col("n_paras").cast("double")).as("dup_para_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val paragraphDedupOracle = s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+blocks AS (
+  SELECT doc_id, pidx,
+    CAST(len(t[pidx * $ParaTokens + 1 : pidx * $ParaTokens + $ParaTokens])
+      AS BIGINT) AS ptoks,
+    CAST('0x' || substr(md5(array_to_string(
+      t[pidx * $ParaTokens + 1 : pidx * $ParaTokens + $ParaTokens], ' ')),
+      1, 15) AS BIGINT) AS ph
+  FROM d, UNNEST(range(0, (len(t) + ${ParaTokens - 1}) // $ParaTokens))
+    AS u(pidx)),
+fs AS (
+  SELECT ph, min(doc_id * 1048576 + pidx) AS first_key
+  FROM blocks GROUP BY ph)
+SELECT b.doc_id,
+  count(*) AS n_paras,
+  CAST(sum(CASE WHEN b.doc_id * 1048576 + b.pidx = f.first_key
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+  CAST(sum(b.ptoks) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN b.doc_id * 1048576 + b.pidx = f.first_key
+                THEN b.ptoks ELSE 0 END) AS BIGINT) AS retained_tokens,
+  CAST(count(*) - sum(CASE WHEN b.doc_id * 1048576 + b.pidx = f.first_key
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS dup_para_ratio
+FROM blocks b JOIN fs f USING (ph)
+GROUP BY b.doc_id
+ORDER BY doc_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "dedup_paragraphs" ->
+      QueryDef(paragraphDedup, Some(paragraphDedupOracle)),
     "dedup_shingle_cosine" ->
       QueryDef(shingleCosinePairs, Some(shingleCosineOracle)),
     "dedup_containment" -> QueryDef(containmentPairs, Some(containmentOracle)),

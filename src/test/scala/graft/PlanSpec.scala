@@ -458,6 +458,19 @@ class PlanSpec extends SparkSpec {
       "LPA lost its checkpointed adjacency input")
   }
 
+  test("paragraph dedup: first-seen attribution is a hash equi-join, never corpus×corpus") {
+    // span-level dedup must stay O(paragraphs): instances join the
+    // first-seen aggregate on the paragraph hash only — any nested-loop or
+    // cartesian term here would be an all-pairs corpus comparison at 100 TB
+    val plan = executedPlan(ops.Dedup.paragraphDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus-level non-equi join in paragraph dedup:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      "paragraph attribution lost its equi-join")
+  }
+
   test("vocab coverage: no window at all — TakeOrdered top-k bounds the rank step") {
     // the r6 verdict's one scale-killer: rank + cumsum over the FULL
     // vocabulary in a single-task unpartitioned window. The rewrite keeps
