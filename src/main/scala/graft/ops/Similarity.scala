@@ -541,6 +541,24 @@ WHERE rank <= $TopK ORDER BY query_id, rank
     */
   def pqAdcRerank(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
+    val (codes, dtab) = pqCodesAndTables(corpus)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    val cands = codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pd2").as("adc_d2"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= CandPool)
+    exactRerankTopK(corpus, cands)
+  }
+
+  /** PQ encoding of the corpus (one code row per (vector, subspace)) and
+    * the per-probe ADC distance tables — the two artifacts every PQ scan
+    * needs, shared by [[pqAdcRerank]] (full-corpus ADC) and [[ivfPq]]
+    * (cell-restricted ADC).
+    */
+  private def pqCodesAndTables(corpus: DataFrame): (DataFrame, DataFrame) = {
     val subs = corpus.select(col("vec_id"), explode(array((0 until PqM).map {
         m => struct(lit(m).as("sub"),
           slice(col("qv"), m * PqDim + 1, PqDim).as("sv"))
@@ -568,14 +586,14 @@ WHERE rank <= $TopK ORDER BY query_id, rank
         (col("psvn") + col("cvn") -
           lit(2L) * call_function("vec_dot_long", col("psv"), col("cv")))
           .as("pd2"))
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
-    val cands = codes.join(broadcast(dtab), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum("pd2").as("adc_d2"))
-      .withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= CandPool)
+    (codes, dtab)
+  }
+
+  /** Exact-cosine rerank of a `(query_id, neighbor_id)` candidate set to
+    * the final top-[[TopK]] listing — the shared tail of every
+    * compressed-domain pipeline (SQ8, PQ, IVF+PQ).
+    */
+  private def exactRerankTopK(corpus: DataFrame, cands: DataFrame): DataFrame = {
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("query_id"), col("qv").as("pq"),
         col("nrm").as("pnrm"))
@@ -711,6 +729,209 @@ SELECT b.query_id,
                                AND l.neighbor_id = b.neighbor_id)
             THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
   CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM pqtop l
+                             WHERE l.query_id = b.query_id
+                               AND l.neighbor_id = b.neighbor_id)
+            THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+    AS recall
+FROM brute b GROUP BY b.query_id ORDER BY query_id
+"""
+
+  // -------------------------------------------------------------- IVF + PQ
+  /** The production compound index shape: coarse IVF cell restriction FIRST,
+    * then PQ/ADC scoring of only the probed cells' members, then exact
+    * rerank of the ADC survivors — [[ivfMultiprobe]]'s candidate pruning
+    * composed with [[pqAdcRerank]]'s compressed-domain scoring in one
+    * pipeline (what FAISS calls IVFPQ). The stages stay honest to their
+    * production roles: the ADC scan touches O(candidate pairs from nprobe
+    * cells) rows — a ~cells/nprobe-fold reduction over the full-corpus PQ
+    * scan — and exact math touches only `CandPool·probes` vectors.
+    *
+    * All arithmetic is the same exact-int64 discipline as the parent
+    * queries (assignment argmins, code argmins, table entries, ADC sums),
+    * so the candidate cut and final ranking are bit-deterministic and the
+    * oracle replays the full compound pipeline as one CTE chain.
+    */
+  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    // coarse quantizer: same NumCells first-vector seeding + exact-int64
+    // assignment as ivfMultiprobe
+    val cents = corpus.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val byNearest = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    val ranked = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (col("nrm") + col("cnrm") -
+          lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
+          .as("dist2"))
+      .withColumn("rk", row_number().over(byNearest))
+    val cells = ranked.filter(col("rk") === 1)
+      .select(col("vec_id").as("c_vec_id"), col("centroid_id").as("cell"))
+    val probeCells = ranked
+      .filter(col("vec_id") < NumProbes && col("rk") <= NumProbeCells)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("pcell"))
+    // the IVF restriction: candidate pairs ONLY from probed cells — an
+    // equi-join on the cell key, O(n·nprobe/cells) pairs, never corpus²
+    val candPairs = cells.join(broadcast(probeCells),
+        col("cell") === col("pcell") && col("c_vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("c_vec_id").as("vec_id"))
+    val (codes, dtab) = pqCodesAndTables(corpus)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    val cands = candPairs.join(codes, "vec_id")
+      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pd2").as("adc_d2"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= CandPool)
+    exactRerankTopK(corpus, cands)
+  }
+
+  /** The IVF+PQ compound pipeline's shared CTE chain (through exact
+    * rerank) — the top-k oracle and the recall oracle both build on it.
+    */
+  private val ivfPqCtes = s"""q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, qv,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM q),
+cc AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
+       FROM n WHERE vec_id < $NumCells),
+cd AS (
+  SELECT v.vec_id, cc.centroid_id,
+    v.nrm + cc.cnrm - 2 * CAST(list_sum(
+      list_transform(range(1, 65), k -> v.qv[k] * cc.cv[k])) AS BIGINT)
+      AS dist2
+  FROM n v, cc),
+crk AS (
+  SELECT vec_id, centroid_id,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, centroid_id ASC) AS rk
+  FROM cd),
+cells AS (SELECT vec_id, centroid_id AS cell FROM crk WHERE rk = 1),
+pcells AS (
+  SELECT vec_id AS query_id, centroid_id AS pcell
+  FROM crk WHERE vec_id < $NumProbes AND rk <= $NumProbeCells),
+cand_pairs AS (
+  SELECT p.query_id, c.vec_id
+  FROM cells c JOIN pcells p ON c.cell = p.pcell
+  WHERE c.vec_id <> p.query_id),
+subs AS (
+  SELECT vec_id, u.sub,
+    qv[u.sub*$PqDim+1 : u.sub*$PqDim+$PqDim] AS sv
+  FROM q, (SELECT unnest(range(0, $PqM)) AS sub) u),
+subn AS (
+  SELECT vec_id, sub, sv,
+    CAST(list_sum(list_transform(sv, x -> x * x)) AS BIGINT) AS svn
+  FROM subs),
+cb AS (
+  SELECT vec_id AS code, sub, sv AS cv, svn AS cvn
+  FROM subn WHERE vec_id < $PqK),
+enc AS (
+  SELECT vec_id, sub, code,
+    row_number() OVER (PARTITION BY vec_id, sub ORDER BY
+      svn + cvn - 2 * CAST(list_sum(
+        list_transform(range(1, ${PqDim + 1}), k -> sv[k] * cv[k]))
+        AS BIGINT) ASC,
+      code ASC) AS rk
+  FROM subn JOIN cb USING (sub)),
+codes AS (SELECT vec_id, sub, code FROM enc WHERE rk = 1),
+dtab AS (
+  SELECT p.vec_id AS query_id, p.sub, cb.code,
+    p.svn + cb.cvn - 2 * CAST(list_sum(
+      list_transform(range(1, ${PqDim + 1}), k -> p.sv[k] * cb.cv[k]))
+      AS BIGINT) AS pd2
+  FROM subn p JOIN cb USING (sub)
+  WHERE p.vec_id < $NumProbes),
+adc AS (
+  SELECT cp.query_id, cp.vec_id AS neighbor_id,
+    CAST(sum(d.pd2) AS BIGINT) AS adc_d2
+  FROM cand_pairs cp
+  JOIN codes c ON c.vec_id = cp.vec_id
+  JOIN dtab d ON d.query_id = cp.query_id
+    AND d.sub = c.sub AND d.code = c.code
+  GROUP BY 1, 2),
+cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_d2 ASC, neighbor_id ASC) AS arank
+    FROM adc)
+  WHERE arank <= $CandPool),
+reranked AS (
+  SELECT ca.query_id, ca.neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k]))
+         AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM cands ca
+  JOIN q p ON p.vec_id = ca.query_id
+  JOIN q c ON c.vec_id = ca.neighbor_id)"""
+
+  private val ivfPqOracle = s"""
+WITH $ivfPqCtes
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM reranked)
+WHERE rank <= $TopK ORDER BY query_id, rank
+"""
+
+  /** Recall@[[TopK]] of the IVF+PQ compound path vs the exact brute-force
+    * baseline — completes the recall-audit family (LSH, PQ, IVF, IVF+PQ):
+    * the compound index loses neighbors BOTH at cell boundaries (IVF miss)
+    * and in compressed-domain ranking (PQ miss); this row prices the
+    * combination. Integer counts, one final division, oracle-exact.
+    */
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
+    val approx = ivfPq(s, dir)
+      .select(col("query_id").as("p_q"), col("neighbor_id").as("p_n"))
+    brute
+      .join(approx, col("query_id") === col("p_q") &&
+        col("neighbor_id") === col("p_n"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("p_n").isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .select(col("query_id"), col("n_exact"), col("n_common"),
+        (col("n_common").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  private val ivfPqRecallOracle = s"""
+WITH $ivfPqCtes,
+ivfpqtop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM reranked)
+  WHERE rank <= $TopK),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+          DESC, c.vec_id ASC) AS rank
+    FROM q p JOIN q c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id)
+  WHERE rank <= $TopK)
+SELECT b.query_id,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivfpqtop l
+                             WHERE l.query_id = b.query_id
+                               AND l.neighbor_id = b.neighbor_id)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ivfpqtop l
                              WHERE l.query_id = b.query_id
                                AND l.neighbor_id = b.neighbor_id)
             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
@@ -943,6 +1164,8 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
 
   val queries: Map[String, QueryDef] = Map(
     "ann_ivf_recall" -> QueryDef(ivfRecall, Some(ivfRecallOracle)),
+    "ann_ivf_pq" -> QueryDef(ivfPq, Some(ivfPqOracle)),
+    "ann_ivf_pq_recall" -> QueryDef(ivfPqRecall, Some(ivfPqRecallOracle)),
     "ann_knn_join" -> QueryDef(knnJoin, Some(knnJoinOracle)),
     "ann_pq_adc" -> QueryDef(pqAdcRerank, Some(pqAdcOracle)),
     "ann_pq_recall" -> QueryDef(pqRecall, Some(pqRecallOracle)),

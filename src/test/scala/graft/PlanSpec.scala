@@ -458,6 +458,19 @@ class PlanSpec extends SparkSpec {
       "LPA lost its checkpointed adjacency input")
   }
 
+  test("ivf+pq: candidate generation is a cell equi-join, never corpus×corpus") {
+    // the compound index must keep ivfMultiprobe's pruning: candidate
+    // pairs come from the cell-key equi-join (and the ADC join from
+    // (sub, code) equi-keys); the only nested-loop term allowed is the
+    // broadcast of the 16 centroids / probe tables
+    val plan = executedPlan(ops.Similarity.ivfPq(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-level cartesian in ivf+pq:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      "ivf+pq candidate generation lost its equi-join")
+  }
+
   test("paragraph dedup: first-seen attribution is a hash equi-join, never corpus×corpus") {
     // span-level dedup must stay O(paragraphs): instances join the
     // first-seen aggregate on the paragraph hash only — any nested-loop or
