@@ -31,4 +31,52 @@ class RegistrySpec extends SparkSpec {
   test("oracleSql only references declared queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("every ops module's queries map is merged into Registry.all, no collisions") {
+    // the round-5 mv_join_delta lost-registration bug, automated: find every
+    // `object X` in ops/*.scala source, reflectively load its `queries` map,
+    // and require (a) each key reachable from SparkEntry.queries and (b) the
+    // per-module sizes sum to the registry size — Map ++ silently overwrites
+    // colliding keys, so a bare subset check cannot catch a collision
+    val srcDir = Seq("src/main/scala/graft/ops",
+        "/root/repo/src/main/scala/graft/ops")
+      .map(new java.io.File(_)).find(_.isDirectory)
+      .getOrElse(fail("ops source dir not found from test working dir"))
+    val objNames = srcDir.listFiles.filter(_.getName.endsWith(".scala"))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val text = try src.mkString finally src.close()
+        "(?m)^object (\\w+)".r.findAllMatchIn(text).map(_.group(1))
+      }.toSeq
+    assert(objNames.nonEmpty)
+    val withQueries = objNames.flatMap { n =>
+      val clazz = Class.forName(s"graft.ops.$n$$")
+      val module = clazz.getField("MODULE$").get(null)
+      try {
+        val m = clazz.getMethod("queries")
+        Some(n -> m.invoke(module).asInstanceOf[Map[String, QueryDef]])
+      } catch { case _: NoSuchMethodException => None }
+    }
+    assert(withQueries.size >= 20, s"suspiciously few query modules: $withQueries")
+    for ((mod, qs) <- withQueries; k <- qs.keys)
+      assert(SparkEntry.queries.contains(k),
+        s"$mod declares query '$k' but it is not reachable from SparkEntry.queries")
+    val moduleSum = withQueries.map(_._2.size).sum
+    assert(moduleSum == Registry.all.size,
+      s"module maps total $moduleSum but Registry.all has ${Registry.all.size} " +
+        "- a key collision dropped entries in the ++ merge")
+  }
+
+  test("registry size matches the README claim") {
+    val readme = Seq("README.md", "/root/repo/README.md")
+      .map(new java.io.File(_)).find(_.isFile)
+      .getOrElse(fail("README.md not found"))
+    val src = scala.io.Source.fromFile(readme, "UTF-8")
+    val text = try src.mkString finally src.close()
+    val claimed = "Registered queries: (\\d+)".r.findFirstMatchIn(text)
+      .getOrElse(fail("README lost its 'Registered queries: N' line"))
+      .group(1).toInt
+    assert(claimed == Registry.all.size,
+      s"README claims $claimed queries, Registry.all has ${Registry.all.size}")
+  }
 }
