@@ -27,7 +27,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query filter for self-profiling (isolated vs
+    // in-suite timings); the driver never sets it, so the contract is intact
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val headline = Registry.all.toSeq.sortBy(_._1).filter(_._2.headline)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed warmup pass at the TARGET SF: pays JIT + whole-stage-codegen
     // compilation for the exact plans the timed pass will run. Warming at a
     // smaller SF is not enough — AQE re-plans per-SF (broadcast vs shuffle

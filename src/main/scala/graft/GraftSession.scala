@@ -23,4 +23,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // Static conf, so it must be set at session build. The default (100)
+      // thrashes on a ~200-query suite: the warmup pass alone cycles more
+      // codegen classes than the cache holds, so every timed query
+      // recompiles its whole-stage code — a fixed ~0.3s/query inflation
+      // that grows with suite size (the r5→r6 mid-pack slowdown). Sized so
+      // one full suite's classes stay resident.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
 }
