@@ -157,6 +157,26 @@ final class WebHdfsStub(root: Path) {
           }
           sendJson(ex, 200, s"""{"boolean":$ok}""")
 
+        case "GETFILEBLOCKLOCATIONS" | "GET_BLOCK_LOCATIONS" =>
+          // scan planning asks for locality; one synthetic local block
+          if (!Files.exists(lp)) notFound(ex, rp)
+          else {
+            val len = if (Files.isDirectory(lp)) 0L else Files.size(lp)
+            val block =
+              s"""{"cachedHosts":[],"corrupt":false,"hosts":["localhost"],""" +
+                s""""length":$len,"names":["127.0.0.1:$port"],"offset":0,""" +
+                s""""storageTypes":["DISK"],"topologyPaths":["/default-rack/127.0.0.1:$port"]}"""
+            // older clients use op=GET_BLOCK_LOCATIONS (LocatedBlocks form),
+            // newer use GETFILEBLOCKLOCATIONS (BlockLocations form) and fall
+            // back on a 400 for the other — serve the one matching the op
+            if (op == "GETFILEBLOCKLOCATIONS")
+              sendJson(ex, 200, s"""{"BlockLocations":{"BlockLocation":[$block]}}""")
+            else
+              sendJson(ex, 200,
+                s"""{"LocatedBlocks":{"fileLength":$len,"isLastBlockComplete":true,""" +
+                  s""""isUnderConstruction":false,"lastLocatedBlock":null,"locatedBlocks":[]}}""")
+          }
+
         case other =>
           sendJson(ex, 400,
             s"""{"RemoteException":{"exception":"UnsupportedOperationException",
