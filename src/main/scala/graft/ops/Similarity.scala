@@ -940,9 +940,17 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
 """
 
   // ------------------------------------------------------------ kNN join
-  private val KnnCells = 16
+  private val KnnCells = 16 // floor; actual cell count scales with n below
   private val KnnProbes = 2
   private val KnnK = 3
+  /** Target per-cell occupancy: cells = max(KnnCells, n/KnnCellTarget), so
+    * candidate pairs stay O(n·KnnCellTarget·KnnProbes) — LINEAR in corpus
+    * size. A fixed cell count is quadratic (pairs = n²/cells): the round-7
+    * sf1 smoke measured the 16-cell constant at 123× wall-clock for 10×
+    * data before this scaling was added. At the driver SFs (n ≤ 2000,
+    * n/128 < 16) the floor keeps cells at 16, so results are unchanged.
+    */
+  private val KnnCellTarget = 128L
 
   /** Full kNN SELF-join: top-[[KnnK]] neighbors for EVERY corpus vector —
     * the all-vectors sibling of the probe-set queries above, and the
@@ -958,13 +966,17 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
     * occupancy). Cosine is the exact quantized kernel; ranking ties break
     * on neighbor id, so the graph is engine-independent.
     *
-    * At 100 TB the cell count scales with corpus size (cells ≈ √n keeps
-    * per-cell candidates flat); the 16-cell constant here mirrors the
-    * other IVF queries at test scale.
+    * The cell count scales with corpus size — `max(16, n/128)`, constant
+    * per-cell occupancy — so the candidate pair set grows LINEARLY in n
+    * (see [[KnnCellTarget]]); the corpus cardinality is one cheap
+    * column-pruned count job, and the SAME closed form is evaluated in
+    * the DuckDB oracle, so the graph stays bit-deterministic.
     */
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
-    val cents = corpus.filter(col("vec_id") < KnnCells)
+    val nVec = Registry.table(s, dir, "embeddings").count()
+    val kCells = math.max(KnnCells.toLong, nVec / KnnCellTarget)
+    val cents = corpus.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
     val dists = corpus.join(broadcast(cents))
@@ -1009,7 +1021,9 @@ nn AS (
     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
   FROM n),
 c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
-      FROM nn WHERE vec_id < $KnnCells),
+      FROM nn
+      WHERE vec_id < greatest($KnnCells,
+        (SELECT count(*) FROM embeddings) // $KnnCellTarget)),
 d AS (
   SELECT v.vec_id, c.centroid_id,
     v.nrm + c.cnrm - 2 * CAST(list_sum(
