@@ -49,19 +49,29 @@ object Registry {
 
   /** `events` with `ts` normalized to TimestampType (microseconds).
     *
-    * The driver's parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL); with `nanosAsLong` it surfaces as a
-    * LongType of epoch-nanos, converted here via `timestamp_micros`. The data
-    * carries no sub-microsecond component (ns % 1000 == 0 across all SFs), so
-    * the conversion is lossless and matches DuckDB's reading of the column.
+    * The driver's parquet has stored `ts` two ways across rounds, so the
+    * conversion is schema-adaptive:
+    *  - TIMESTAMP(NANOS), which Spark 4 rejects by default
+    *    (PARQUET_TYPE_ILLEGAL); with `nanosAsLong` it surfaces as a LongType
+    *    of epoch-nanos, converted via `timestamp_micros`. Integer `div`, NOT
+    *    `/`: double division at epoch-nano magnitude (~1.7e18 > 2^53) is off
+    *    by 1ns-truncation for ~1.6% of values. The data carries no
+    *    sub-microsecond component (ns % 1000 == 0), so this is lossless.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    *    TIMESTAMP_NTZ; cast to TimestampType (session tz pinned to UTC in
+    *    GraftSession, so the wall-clock instant is unchanged) to keep every
+    *    downstream plan and oracle identical to the nanos-era behavior.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    // integer `div`, NOT `/`: double division at epoch-nano magnitude
-    // (~1.7e18 > 2^53) is off by 1ns-truncation for ~1.6% of values
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }
