@@ -47,31 +47,58 @@ object Registry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` normalized to TimestampType (microseconds).
-    *
-    * The driver's parquet has stored `ts` two ways across rounds, so the
-    * conversion is schema-adaptive:
-    *  - TIMESTAMP(NANOS), which Spark 4 rejects by default
-    *    (PARQUET_TYPE_ILLEGAL); with `nanosAsLong` it surfaces as a LongType
-    *    of epoch-nanos, converted via `timestamp_micros`. Integer `div`, NOT
-    *    `/`: double division at epoch-nano magnitude (~1.7e18 > 2^53) is off
-    *    by 1ns-truncation for ~1.6% of values. The data carries no
-    *    sub-microsecond component (ns % 1000 == 0), so this is lossless.
+  /** Session confs every `events` read path needs BEFORE resolving the
+    * parquet schema: `nanosAsLong` so a TIMESTAMP(NANOS) file surfaces as
+    * LongType instead of failing (PARQUET_TYPE_ILLEGAL), and a UTC session
+    * timezone so the NTZ→timestamp cast in [[normalizeEventTs]] is
+    * timezone-independent even on a caller-provided vanilla session
+    * (GraftSession already pins UTC; the driver's smoke session may not).
+    */
+  def prepareEventConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  /** Normalize a raw `events` scan's `ts` to TimestampType (microseconds),
+    * adaptively per the file's physical encoding. The driver's parquet has
+    * stored `ts` two ways across rounds:
+    *  - TIMESTAMP(NANOS), which Spark 4 rejects by default; with
+    *    `nanosAsLong` it surfaces as a LongType of epoch-nanos, converted
+    *    via `timestamp_micros`. Integer `div`, NOT `/`: double division at
+    *    epoch-nano magnitude (~1.7e18 > 2^53) is off by 1ns-truncation for
+    *    ~1.6% of values. The data carries no sub-microsecond component
+    *    (ns % 1000 == 0), so this is lossless.
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
-    *    TIMESTAMP_NTZ; cast to TimestampType (session tz pinned to UTC in
-    *    GraftSession, so the wall-clock instant is unchanged) to keep every
-    *    downstream plan and oracle identical to the nanos-era behavior.
+    *    TIMESTAMP_NTZ; cast to TimestampType under the UTC session tz
+    *    pinned by [[prepareEventConfs]], so the wall-clock instant is
+    *    unchanged and every downstream plan and oracle stays identical to
+    *    the nanos-era behavior.
+    * Any third encoding fails loudly instead of silently miscasting.
+    *
+    * Shared by the batch path ([[events]]) and the streaming path
+    * (`EventStream.readEvents`) so a driver-side re-encoding of the
+    * testdata can never split the two again.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected epoch-nanos " +
+          "LongType, TimestampType, or TimestampNTZType")
+    }
+  }
+
+  /** `events` with `ts` normalized to TimestampType — see
+    * [[normalizeEventTs]] for the schema-adaptive contract.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
-    }
+    prepareEventConfs(spark)
+    normalizeEventTs(table(spark, dir, "events"))
   }
 }

@@ -24,22 +24,38 @@ final case class UserSession(user_id: Long, session_start_epoch: Long,
   */
 object EventStream {
 
-  /** Explicit source schema (ts = epoch nanos as long — the driver parquet's
-    * TIMESTAMP(NANOS) under `nanosAsLong`, converted to a real timestamp in
-    * the first select; declared, never inferred).
+  /** Nanos-era source schema (ts = epoch nanos as long — the shape a
+    * TIMESTAMP(NANOS) parquet surfaces under `nanosAsLong`). Kept for specs
+    * that hand-craft nanos fixtures; real files are probed
+    * ([[probeEventsSchema]]) because the driver's encoding has changed
+    * across rounds (nanos → NTZ micros).
     */
-  val eventsSchema: StructType = StructType(Seq(
+  val eventsNanosSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming scan of an events parquet path. */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** The physical schema of the events files at `path`, resolved via a
+    * batch footer read (a streaming source requires a declared schema; an
+    * assumed one silently breaks when the upstream producer re-encodes
+    * `ts`, which has happened — nanos → NTZ micros). Cheap: one footer.
+    */
+  def probeEventsSchema(spark: SparkSession, path: String): StructType = {
+    graft.Registry.prepareEventConfs(spark)
+    spark.read.parquet(path).schema
+  }
+
+  /** Streaming scan of an events parquet path, `ts` normalized to
+    * TimestampType by the SAME schema-adaptive rule as the batch path
+    * (`Registry.normalizeEventTs`) — stream/batch parity holds whichever
+    * way the producer encoded the timestamps.
+    */
+  def readEvents(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(probeEventsSchema(spark, path))
+    val withOpts = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    graft.Registry.normalizeEventTs(withOpts.parquet(path))
   }
 
   /** Tumbling 1-day windows per event type with a 30-minute watermark —

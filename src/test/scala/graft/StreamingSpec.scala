@@ -204,15 +204,15 @@ class StreamingSpec extends SparkSpec {
     // files, one per micro-batch — funnel stages reached only by
     // combining both batches must still be reached via carried state
     val dir = java.nio.file.Files.createTempDirectory("funnel_two_batches")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // split on the NORMALIZED read (encoding-agnostic: works whether the
+    // driver parquet stores nanos-long or NTZ-micros timestamps)
+    val raw = Registry.events(spark, sfDir)
     // split EARLY (Jan 3): the funnel saturates fast, so a mid-corpus
     // split would leave every stage point in batch 0 (vacuous)
-    val splitNanos = java.time.Instant.parse("2024-01-03T00:00:00Z")
-      .getEpochSecond * 1000000000L
-    raw.filter(col("ts") < splitNanos).coalesce(1)
+    val split = lit("2024-01-03").cast("timestamp")
+    raw.filter(col("ts") < split).coalesce(1)
       .write.parquet(s"$dir/batch0")
-    raw.filter(col("ts") >= splitNanos).coalesce(1)
+    raw.filter(col("ts") >= split).coalesce(1)
       .write.parquet(s"$dir/batch1")
     val staged = java.nio.file.Files.createTempDirectory("funnel_staged")
     Seq("batch0", "batch1").zipWithIndex.foreach { case (b, i) =>
@@ -222,11 +222,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.copy(src.toPath, dst.toPath)
       dst.setLastModified(1000000L * (i + 1))
     }
-    val stream = spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStream.readEvents(spark, staged.toString,
+        maxFilesPerTrigger = Some(1))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamEvent]
     val got = EventStream.runToMemory(spark,
@@ -344,11 +341,8 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst.toPath)
       dst.setLastModified(1000000L * (i + 1))
     }
-    val stream = spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStream.readEvents(spark, staged.toString,
+      maxFilesPerTrigger = Some(1))
     val got = EventStream.runToMemory(spark,
         EventStream.dedupById(stream).select("event_id"), "stream_dedup",
         org.apache.spark.sql.streaming.OutputMode.Append())
@@ -360,10 +354,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming latest-snapshot upsert equals the batch last-per-key") {
-    val stream = spark.readStream
-      .schema(EventStream.eventsSchema)
-      .parquet(eventsPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStream.readEvents(spark, eventsPath)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
     val got = EventStream.runToMemory(spark,
@@ -396,10 +387,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val stream = spark.readStream
-        .schema(EventStream.eventsSchema)
-        .parquet(eventsPath)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = EventStream.readEvents(spark, eventsPath)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
       val got = EventStream.runToMemory(spark,
@@ -440,11 +428,8 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst.toPath)
       dst.setLastModified(1000000L * (i + 1))
     }
-    val stream = spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStream.readEvents(spark, staged.toString,
+        maxFilesPerTrigger = Some(1))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
     val sink = EventStream.runToMemory(spark,
@@ -482,13 +467,11 @@ class StreamingSpec extends SparkSpec {
     // micro-batch: any session spanning the split must be emitted exactly
     // once (merged via state), not as duplicate fragments per batch
     val dir = java.nio.file.Files.createTempDirectory("events_two_batches")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = epoch nanos
-    val splitNanos = java.time.Instant.parse("2024-01-16T00:00:00Z")
-      .getEpochSecond * 1000000000L
-    raw.filter(col("ts") < splitNanos).coalesce(1)
+    val raw = Registry.events(spark, sfDir) // ts normalized, encoding-agnostic
+    val split = lit("2024-01-16").cast("timestamp")
+    raw.filter(col("ts") < split).coalesce(1)
       .write.parquet(s"$dir/batch0")
-    raw.filter(col("ts") >= splitNanos).coalesce(1)
+    raw.filter(col("ts") >= split).coalesce(1)
       .write.parquet(s"$dir/batch1")
     val staged = java.nio.file.Files.createTempDirectory("events_staged")
     Seq("batch0", "batch1").zipWithIndex.foreach { case (b, i) =>
@@ -499,11 +482,8 @@ class StreamingSpec extends SparkSpec {
       dst.setLastModified(1000000L * (i + 1)) // deterministic batch order
     }
 
-    val stream = spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStream.readEvents(spark, staged.toString,
+        maxFilesPerTrigger = Some(1))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamEvent]
     val got = EventStream.runToMemory(spark,
@@ -553,11 +533,10 @@ class StreamingSpec extends SparkSpec {
       dst.setLastModified(1000000L * (i + 1))
       // leftover b$i dirs don't match the *.parquet glob below
     }
-    val stream = spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Registry.normalizeEventTs(spark.readStream
+        .schema(EventStream.eventsNanosSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/*.parquet"))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamEvent]
     val got = EventStream.runToMemory(spark,
@@ -599,11 +578,10 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.move(f.toPath, dst.toPath)
       dst.setLastModified(1000000L * (i + 1))
     }
-    val stream = spark.readStream
-      .schema(EventStream.eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Registry.normalizeEventTs(spark.readStream
+        .schema(EventStream.eventsNanosSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/*.parquet"))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamEvent]
     val got = EventStream.runToMemory(spark,
@@ -674,10 +652,9 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.move(f.toPath, srcDir.resolve(name))
     }
     def runOnce(): Unit = {
-      val stream = spark.readStream
-        .schema(EventStream.eventsSchema)
-        .parquet(s"$srcDir/*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Registry.normalizeEventTs(spark.readStream
+          .schema(EventStream.eventsNanosSchema)
+          .parquet(s"$srcDir/*.parquet"))
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[StreamEvent]
       val q = EventStream.sessionize(stream, flushOpenTails = false).toDF()
