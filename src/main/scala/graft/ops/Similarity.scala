@@ -972,7 +972,15 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
     * column-pruned count job, and the SAME closed form is evaluated in
     * the DuckDB oracle, so the graph stays bit-deterministic.
     */
-  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+  /** The candidate edge set of [[knnJoin]] — IVF dual assignment with the
+    * corpus-scaled cell count, distinct directed (i, j) pairs sharing a
+    * cell. Split out so the Round8 linearity law can count candidates at
+    * two corpus sizes: the `max(KnnCells, n/KnnCellTarget)` closed form is
+    * what keeps this set O(n), and a future "tune nprobe/cells" edit that
+    * reverts to a fixed cell count turns it quadratic again (the r7 sf1
+    * smoke measured that cliff at 123× wall-clock for 10× data).
+    */
+  private[graft] def knnCandidates(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
     val nVec = Registry.table(s, dir, "embeddings").count()
     val kCells = math.max(KnnCells.toLong, nVec / KnnCellTarget)
@@ -989,11 +997,16 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
     val asg = dists.withColumn("rk", row_number().over(byNearest))
       .filter(col("rk") <= KnnProbes)
       .select(col("vec_id"), col("centroid_id").as("cell"))
-    val cand = asg.as("a")
+    asg.as("a")
       .join(asg.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .distinct()
+  }
+
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val cand = knnCandidates(s, dir)
     val side = corpus.select(col("vec_id"), col("qv"), col("nrm"))
     val scored = cand
       .join(side.select(col("vec_id").as("i"), col("qv").as("qa"),
