@@ -4,6 +4,20 @@ import java.lang.ref.SoftReference
 
 import org.apache.spark.sql.SparkSession
 
+private[graft] object SessionMemo {
+  /** When true, memo maps are ALSO held strongly (per session), disabling
+    * reclamation. Set by the single-session mains (Bench/Verify/Main):
+    * there the process lifetime IS the session lifetime, so reclaimability
+    * buys nothing — while a GC-cleared soft reference mid-suite silently
+    * drops cached (often `localCheckpoint`ed) DataFrames and lands a
+    * multi-second recompute spike on whichever timed query touches the
+    * cold cache first (the r7 `dedup_semantic_clusters` 2.2s→4.5s bench
+    * regression class). Long-lived multi-session servers keep the default
+    * soft behavior and its leak-freedom.
+    */
+  @volatile private[graft] var pinSessions: Boolean = false
+}
+
 /** Per-session, per-key memo for derived DataFrames and chains.
   *
   * Keyed weakly by the [[SparkSession]] with the per-session map held
@@ -15,9 +29,13 @@ import org.apache.spark.sql.SparkSession
   * path back to itself goes through the soft reference, which the collector
   * may clear — under memory pressure the memo is dropped (and recomputed on
   * next use, it is a cache), and an otherwise-unreferenced session stops
-  * being reachable through the cache at the latest before an OOM. In the
-  * single-session Verify/Bench/test processes the soft reference behaves
-  * like a strong one, so memo hit rates are unchanged there.
+  * being reachable through the cache at the latest before an OOM.
+  *
+  * [[SessionMemo.pinSessions]] opts a single-session process out of the
+  * reclamation: the inner map is then also strongly referenced (which
+  * intentionally pins the session entry — exactly the behavior the soft
+  * design exists to avoid in servers), so bench/verify timings can never
+  * be distorted by a collector clearing the memo between queries.
   */
 private[graft] final class SessionMemo[V] {
 
@@ -25,14 +43,19 @@ private[graft] final class SessionMemo[V] {
     new java.util.WeakHashMap[SparkSession,
       SoftReference[scala.collection.mutable.Map[String, V]]]()
 
+  // populated only under pinSessions; values reference their key's session
+  // through the cached DataFrames, deliberately defeating the weak keying
+  private val pinned =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, V]]()
+
   def getOrElseUpdate(s: SparkSession, key: String)(compute: => V): V =
     cache.synchronized {
-      val inner = Option(cache.get(s)).flatMap(r => Option(r.get))
-        .getOrElse {
-          val m = scala.collection.mutable.Map.empty[String, V]
-          cache.put(s, new SoftReference(m))
-          m
-        }
+      val inner = Option(pinned.get(s))
+        .orElse(Option(cache.get(s)).flatMap(r => Option(r.get)))
+        .getOrElse(scala.collection.mutable.Map.empty[String, V])
+      cache.put(s, new SoftReference(inner))
+      if (SessionMemo.pinSessions) pinned.put(s, inner)
       inner.getOrElseUpdate(key, compute)
     }
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.{GraftSession, SessionMemo}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+
+/** Streaming micro-bench (round-8 verdict #6): the streaming twins are
+  * correctness-tested against their batch oracles but had no performance
+  * signal. Times each stateful/watermarked operator end-to-end over the
+  * events table at $SPARK_GRAFT_SF_DIR with `Trigger.AvailableNow` into a
+  * memory sink, and prints ONE JSON line — same contract shape as
+  * `graft.Bench`, so a future round can diff the numbers
+  * (docs/ROUND8_NOTES.md carries the first baseline).
+  *
+  * Wall-clock includes micro-batch planning + state-store overhead — that
+  * is the point: watermark/state operators regress through exactly those
+  * layers, which batch timings never see.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    SessionMemo.pinSessions = true // single-session process
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // file stream sources watch a directory — stage the bounded table once
+    val staged = java.nio.file.Files.createTempDirectory("stream_bench_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val path = staged.toString
+
+    def events() = EventStream.readEvents(spark, path)
+    def typed() = events()
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent]
+
+    val cases: Seq[(String, () => Unit)] = Seq(
+      "tumbling_daily" -> (() => EventStream.runToMemory(spark,
+        EventStream.tumblingDaily(events()), "sb_tumbling")),
+      "stream_stream_join" -> { () =>
+        val p = events().filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+          .withWatermark("p_ts", "1 hour")
+        val sgn = events().filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+            col("event_id").as("s_id"))
+          .withWatermark("s_ts", "1 hour")
+        EventStream.runToMemory(spark, p.join(sgn,
+            col("p_user") === col("s_user") && col("s_ts") <= col("p_ts") &&
+              col("s_ts") >= col("p_ts") - expr("interval 1 hour"))
+          .select("p_id", "s_id"), "sb_ss_join", OutputMode.Append())
+        ()
+      },
+      "dedup_by_id" -> (() => EventStream.runToMemory(spark,
+        EventStream.dedupById(events()).select("event_id"), "sb_dedup",
+        OutputMode.Append())),
+      "sessionize_fmgws" -> (() => EventStream.runToMemory(spark,
+        EventStream.sessionize(typed()).toDF(), "sb_sessions",
+        OutputMode.Append())),
+      "latest_snapshot_upsert" -> (() => EventStream.runToMemory(spark,
+        EventStream.latestSnapshot(typed()).toDF(), "sb_latest",
+        OutputMode.Update())),
+      "funnel_stages" -> (() => EventStream.runToMemory(spark,
+        EventStream.funnelStages(typed()).toDF(), "sb_funnel",
+        OutputMode.Update())))
+
+    // one untimed warmup of the cheapest case pays source-probe + codegen
+    try cases.head._2() catch { case _: Throwable => }
+    val results = cases.map { case (name, run) =>
+      val t0 = System.nanoTime()
+      try run() catch { case e: Throwable =>
+        System.err.println(s"[streambench] $name failed: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    def sec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stream_total","value":${sec3(results.map(_._2).sum)},""" +
+      s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
