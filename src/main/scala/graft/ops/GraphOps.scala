@@ -27,13 +27,15 @@ object GraphOps {
     * aggregates straight to the (25×25-bounded) edge list, so the fact
     * table is read ONCE and never shuffled by more than (u, v).
     *
-    * Each iteration joins ranks to the out-going SHARE table (share =
+    * Each iteration folds ranks through the out-going SHARE table (share =
     * w·1e6 div out-weight, dollar-granularity weights) and re-aggregates
     * per destination — at a 100 TB fact scale the iteration cost is
     * O(edges), independent of the corpus, because the heavy reduction
-    * happened once at edge-build time. The 1e-6 share grid keeps every
-    * product within int64 up to ~1e12 dollars of single-edge mass;
-    * beyond that, coarsen the grid or lift shares to decimal.
+    * happened once at edge-build time; since |edges| is nation²-bounded
+    * the iterations run on the collected edge list (see inline note).
+    * The 1e-6 share grid keeps every product within int64 up to ~1e12
+    * dollars of single-edge mass; beyond that, coarsen the grid or lift
+    * shares to decimal.
     *
     * Rank mass: teleport = (15·Scale) div (100·N) to each node, 85% of
     * each node's rank distributed by share, and DANGLING mass (nodes with
@@ -56,12 +58,6 @@ object GraphOps {
       .select(col("o_orderkey"), col("o_custkey"))
     val cust = Registry.table(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey").as("v"))
-    // localCheckpoint AFTER the heavy reduction: every iteration (and the
-    // share/out-weight/node derivations) re-reads the ≤625-row edge list
-    // from memory instead of replaying the fact join per reference — the
-    // fact table is scanned exactly once, which is the whole point of
-    // separating edge-build from iteration at 100 TB. (Same lineage-cut
-    // pattern as DedupClusters' label propagation.)
     val edges = li
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
@@ -69,40 +65,48 @@ object GraphOps {
       .groupBy("u", "v").agg(sum("c").as("wc"))
       .withColumn("w6", expr("wc div 100"))
       .filter(col("w6") > 0)
-      .localCheckpoint()
-    // shares/nodes are ≤625/≤50 rows: checkpoint them too so the three
-    // iterations don't re-derive the joins/distinct (each re-derivation is
-    // a stage; on a tiny graph the stage COUNT is the whole cost), and
-    // resolve the node count to a literal — N is part of the statistic's
-    // definition, folding it removes two broadcast exchanges per iteration
-    val outw = edges.groupBy("u").agg(sum("w6").as("wu")).localCheckpoint()
-    val shares = edges.join(outw, "u")
-      .withColumn("share", expr("(w6 * 1000000) div wu"))
-      .select("u", "v", "share").localCheckpoint()
-    val nodes = edges.select(col("u").as("nk"))
-      .union(edges.select(col("v").as("nk"))).distinct().localCheckpoint()
-    val nnV: Long = nodes.count()
-    // 15·Scale with explicit L: int×int literals would overflow int32
-    // under ANSI before any long promotion
-    val teleport = s"${15 * Scale}L div ${100 * nnV}"
-    var ranks = nodes.withColumn("r", lit(Scale / nnV)).select("nk", "r")
-    for (_ <- 1 to 3) {
-      val contribs = shares
-        .join(ranks.select(col("nk").as("u"), col("r").as("ru")), "u")
-        .withColumn("c", expr("(ru * share) div 1000000"))
-        .groupBy("v").agg(sum("c").as("sc"))
-      val dangling = ranks
-        .join(outw.select(col("u").as("nk")), Seq("nk"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0L)).as("dg"))
-      ranks = nodes.crossJoin(broadcast(dangling))
-        .join(contribs.select(col("v").as("nk"), col("sc")), Seq("nk"),
-          "left_outer")
-        .withColumn("scn", coalesce(col("sc"), lit(0L)))
-        .withColumn("r",
-          expr(s"$teleport + (85 * scn) div 100 + (85 * dg) div ${100 * nnV}"))
-        .select("nk", "r")
+    // The nation graph is STRUCTURALLY bounded: |edges| ≤ |nation|² = 625
+    // rows whatever the fact scale — all O(100 TB) work is the single
+    // edge-build reduction above. r7's plan audit showed the remaining
+    // cost was pure stage COUNT (three unrolled iterations × several tiny
+    // checkpointed joins each); like DedupClusters.driverUnionFind, the
+    // iterations now run on the collected edge list. Everything is scaled
+    // INTEGER arithmetic (div on non-negative longs), so the result is
+    // bit-identical to the former DataFrame unrolling and to the oracle's
+    // replay — the hash-compare proves it.
+    val edgeList: Array[(Int, Int, Long)] = edges
+      .select(col("u").cast("int"), col("v").cast("int"), col("w6"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    require(edgeList.length <= 1000000, // nation²-bounded; guard regardless
+      s"pagerank edge list unexpectedly large (${edgeList.length})")
+    val outw: Map[Int, Long] = edgeList.groupBy(_._1)
+      .map { case (u, es) => u -> es.iterator.map(_._3).sum }
+    val shares: Array[(Int, Int, Long)] = edgeList.map { case (u, v, w6) =>
+      (u, v, (w6 * 1000000L) / outw(u))
     }
-    ranks
+    val nodes: Array[Int] =
+      (edgeList.map(_._1) ++ edgeList.map(_._2)).distinct.sorted
+    val nn = nodes.length.toLong
+    val teleport = (15L * Scale) / (100L * nn)
+    var ranks: Map[Int, Long] = nodes.map(n => n -> Scale / nn).toMap
+    for (_ <- 1 to 3) {
+      // per-edge floor-div BEFORE the sum — the exact order of the former
+      // DataFrame expression `sum((ru * share) div 1000000)`
+      val contribs: Map[Int, Long] = shares.groupBy(_._2).map {
+        case (v, es) =>
+          v -> es.iterator.map { case (u, _, sh) =>
+            (ranks(u) * sh) / 1000000L
+          }.sum
+      }
+      val dangling = nodes.iterator
+        .filterNot(outw.contains).map(ranks).sum
+      ranks = nodes.map { n =>
+        n -> (teleport + (85L * contribs.getOrElse(n, 0L)) / 100L +
+          (85L * dangling) / (100L * nn))
+      }.toMap
+    }
+    import s.implicits._
+    nodes.map(n => (n, ranks(n))).toSeq.toDF("nk", "r")
       .join(broadcast(Registry.table(s, dir, "nation")
         .select(col("n_nationkey").as("nk"), col("n_name"))), "nk")
       .select(col("n_name"), col("r").as("rank_scaled"),
