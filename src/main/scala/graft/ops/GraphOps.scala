@@ -395,36 +395,36 @@ ORDER BY jaccard DESC, a ASC, b ASC LIMIT 20
     * randomly, which would be oracle-hostile; min-tiebreak is the standard
     * derandomization).
     *
-    * Scale shape: shares [[thresholdedTradeEdges]]'s scan-once edge build;
-    * one round = join(adj, labels) + count + per-node arg-max window —
-    * Σ deg work, partitioned BY NODE (never a global window). Each round's
-    * output is a ≤25-row `localCheckpoint` barrier, exactly the pagerank
-    * iteration discipline; on a 100 TB graph the label frontier stays
-    * O(nodes) and only edge keys shuffle.
+    * Scale shape: shares [[thresholdedTradeEdges]]'s scan-once edge build
+    * (the only O(fact) work); the three synchronous vote rounds are
+    * integer arg-max counts on the nation-bounded edge list, so they run
+    * on [[collectedTradeEdges]] — bit-identical to the former per-round
+    * join + window unrolling (most-frequent neighbor label, ties to the
+    * smallest; the oracle hash-compare proves parity). On a graph that
+    * GROWS with the data — not this one — the distributed round shape is
+    * `DedupClusters.labelPropagation`.
     */
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val edges = thresholdedTradeEdges(s, dir)
-    val adj = edges.select(col("a").as("n"), col("b").as("nb"))
-      .union(edges.select(col("b").as("n"), col("a").as("nb")))
-      .localCheckpoint()
-    var labels = adj.select(col("n")).distinct().withColumn("lbl", col("n"))
+    val adj: Array[(Int, Int)] = collectedTradeEdges(s, dir)
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    var labels: Map[Int, Int] = adj.map(_._1).distinct.map(n => n -> n).toMap
     for (_ <- 1 to 3) {
-      val votes = adj
-        .join(labels.toDF("nb", "lbl"), "nb")
-        .groupBy("n", "lbl").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("n")
-        .orderBy(col("cnt").desc, col("lbl").asc)
-      labels = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("n", "lbl")
-        .localCheckpoint() // ≤ |V| rows: the per-iteration barrier
+      // synchronous: every node votes over its neighbors' PREVIOUS labels
+      labels = adj.groupBy(_._1).map { case (n, nbs) =>
+        val votes = nbs.groupBy(x => labels(x._2))
+          .map { case (l, vs) => (l, vs.length) }
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
     }
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, "lbl")
+    val sizes = labels.values.groupBy(identity)
+      .map { case (l, vs) => l -> vs.size.toLong }
+    import s.implicits._
+    labels.toSeq.sortBy(_._1)
+      .map { case (n, l) => (n, l.toLong, sizes(l)) }
+      .toDF("n", "community", "community_size")
       .join(broadcast(Registry.table(s, dir, "nation")
         .select(col("n_nationkey").as("n"), col("n_name"))), "n")
-      .select(col("n_name"), col("lbl").cast("long").as("community"),
-        col("community_size"))
+      .select(col("n_name"), col("community"), col("community_size"))
       .orderBy("n_name")
   }
 
@@ -472,35 +472,52 @@ ORDER BY n_name
 """
   }
 
+  /** The thresholded edge list, collected: nation-bounded (≤ |nation|²/2
+    * undirected pairs) at ANY fact scale, so the iterative graph queries
+    * run their rounds on it driver-side — the pagerank /
+    * `DedupClusters.driverUnionFind` discipline. The distributed edge
+    * BUILD (the only O(fact) work) still runs once per session via
+    * [[thresholdedTradeEdges]]'s memo; only the ≤300-row result crosses
+    * to the driver. Non-iterative consumers (triangles, link prediction)
+    * stay as single-pass distributed joins — the collapse only pays where
+    * per-round stage count dominates.
+    */
+  private def collectedTradeEdges(s: SparkSession, dir: String): Array[(Int, Int)] = {
+    val rows = thresholdedTradeEdges(s, dir)
+      .select(col("a").cast("int"), col("b").cast("int")).collect()
+    require(rows.length <= 1000000, // nation²-bounded; guard regardless
+      s"trade edge list unexpectedly large (${rows.length})")
+    rows.map(r => (r.getInt(0), r.getInt(1)))
+  }
+
   /** 3-core decomposition of the thresholded trade graph — the density
     * filter a graph pipeline runs before community work: iteratively
     * drop nodes of degree < 3 (each removal can push neighbors below the
-    * bar, hence the rounds) and report who survives. Three unrolled
-    * prune rounds, each = degree count + semi-join restriction of the
-    * adjacency to surviving endpoints, behind a per-round checkpoint
-    * barrier — the pagerank iteration shape, O(edges) per round at any
-    * scale. Output is anchored on all 25 nations (`in_core` flag +
-    * post-prune degree) so convergence is visible in the row set.
+    * bar, hence the rounds) and report who survives. The three synchronous
+    * prune rounds are pure degree counts on the nation-bounded edge list,
+    * so they run on [[collectedTradeEdges]] (bit-identical to the former
+    * per-round semi-join unrolling — integer counts only; the oracle
+    * hash-compare proves it). Output is anchored on all 25 nations
+    * (`in_core` flag + post-prune degree) so convergence is visible in
+    * the row set.
     */
   def kcore(s: SparkSession, dir: String): DataFrame = {
-    val edges = thresholdedTradeEdges(s, dir)
-    var adj = edges.select(col("a").as("n"), col("b").as("nb"))
-      .union(edges.select(col("b").as("n"), col("a").as("nb")))
-      .localCheckpoint()
+    var adj: Array[(Int, Int)] = collectedTradeEdges(s, dir)
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
     for (_ <- 1 to 3) {
-      val keep = adj.groupBy("n").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 3).select("n")
-        .localCheckpoint() // ≤ |V| rows
-      adj = adj
-        .join(keep, Seq("n"), "left_semi")
-        .join(keep.toDF("nb"), Seq("nb"), "left_semi")
-        .select("n", "nb")
-        .localCheckpoint()
+      // synchronous round: keep-set from the CURRENT adjacency, then both
+      // endpoints filtered against that same set
+      val keep = adj.groupBy(_._1).collect {
+        case (n, xs) if xs.length >= 3 => n
+      }.toSet
+      adj = adj.filter { case (n, nb) => keep(n) && keep(nb) }
     }
-    val deg = adj.groupBy("n").agg(count(lit(1)).as("core_degree"))
+    val coreDeg = adj.groupBy(_._1).map { case (n, xs) => n -> xs.length.toLong }
+    import s.implicits._
+    val degDf = coreDeg.toSeq.sortBy(_._1).toDF("n", "core_degree")
     Registry.table(s, dir, "nation")
       .select(col("n_nationkey").as("n"), col("n_name"))
-      .join(broadcast(deg), Seq("n"), "left_outer")
+      .join(broadcast(degDf), Seq("n"), "left_outer")
       .select(col("n_name"),
         col("core_degree").isNotNull.as("in_core"),
         coalesce(col("core_degree"), lit(0L)).as("core_degree"))
