@@ -77,6 +77,29 @@ class EventsSchemaCanarySpec extends SparkSpec {
     }
   }
 
+  test("NTZ conversion is timezone-independent on a non-UTC session") {
+    // the ADVICE r7 scenario: a caller-provided vanilla session with a
+    // non-UTC timezone must read the SAME instants — prepareEventConfs
+    // pins UTC before the NTZ→timestamp cast, so bucketing/oracle hashes
+    // can't shift by the session offset
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    val utc = batchRows(sfDirStaged)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      assert(batchRows(sfDirStaged) == utc,
+        "events read shifted instants under a non-UTC session timezone")
+    } finally spark.conf.set(tzKey, prev)
+  }
+
+  private lazy val sfDirStaged: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_canary_tz")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
   test("an unknown third ts encoding fails loudly instead of miscasting") {
     import spark.implicits._
     val bad = Seq((1L, "2024-01-01T00:00:00")).toDF("event_id", "ts")
