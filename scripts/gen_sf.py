@@ -50,14 +50,15 @@ import os
 
 os.makedirs(OUT, exist_ok=True)
 
-# key domain sizes from the source (offsets must clear the real max)
+# key domain strides: max(key)+1 so replica i's key 0 never collides with
+# replica i-1's max key (the sf0.1 domains are 0-based dense)
 mx = {}
 for t, k in [("customer", "c_custkey"), ("supplier", "s_suppkey"),
              ("part", "p_partkey"), ("orders", "o_orderkey"),
              ("events", "event_id"), ("documents", "doc_id"),
              ("embeddings", "vec_id")]:
-    mx[t] = con.execute(f"SELECT max({k}) FROM {src(t)}").fetchone()[0]
-umax = con.execute(f"SELECT max(user_id) FROM {src('events')}").fetchone()[0]
+    mx[t] = con.execute(f"SELECT max({k}) FROM {src(t)}").fetchone()[0] + 1
+umax = con.execute(f"SELECT max(user_id) FROM {src('events')}").fetchone()[0] + 1
 
 write("region", f"SELECT * FROM {src('region')}")
 write("nation", f"SELECT * FROM {src('nation')}")

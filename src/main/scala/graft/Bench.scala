@@ -35,6 +35,12 @@ object Bench {
     // in-suite timings); the driver never sets it, so the contract is intact
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Optional per-query median-of-N (round-8 verdict #3): suite totals on
+    // this host swing ±30% run-to-run, so single-shot sub-0.3s numbers are
+    // barely signal when diffing rounds. The driver never sets it — its
+    // single-shot contract is the default (reps=1 ≡ old behavior exactly).
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .map(_.trim.toInt).filter(_ > 1).getOrElse(1)
     val headline = Registry.all.toSeq.sortBy(_._1).filter(_._2.headline)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed warmup pass at the TARGET SF: pays JIT + whole-stage-codegen
@@ -60,13 +66,16 @@ object Bench {
     System.gc()
     val results = headline.zipWithIndex.map { case ((name, q), i) =>
       if (i > 0 && i % 25 == 0) System.gc()
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(reps) {
+        val t0 = System.nanoTime()
+        try q.fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(times)
     }
     val total = results.map(_._2).sum
-    writeDetail(results, total, sfDir)
+    writeDetail(results, total, sfDir, reps)
     println(renderLine(results, total, sfDir))
     spark.stop()
   }
@@ -75,6 +84,13 @@ object Bench {
   // comma-decimal locale (de_DE) would print "0,123" and break the JSON
   private def sec3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** True median (mean of the two middle order statistics for even n). */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
 
   /** One JSON line under [[LineBudget]]: totals + slowest queries first. */
   private[graft] def renderLine(
@@ -98,8 +114,8 @@ object Bench {
   }
 
   /** Full name-sorted per-query breakdown, for the repo/judge. */
-  private def writeDetail(
-      results: Seq[(String, Double)], total: Double, sfDir: String): Unit = {
+  private def writeDetail(results: Seq[(String, Double)], total: Double,
+      sfDir: String, reps: Int): Unit = {
     val qs = results.map { case (k, v) => s"""  "$k": ${sec3(v)}""" }
       .mkString("{\n", ",\n", "\n}")
     val json =
@@ -108,6 +124,7 @@ object Bench {
          |"value": ${sec3(total)},
          |"unit": "sec",
          |"nq": ${results.size},
+         |"reps": $reps,
          |"sf": "$sfDir",
          |"queries": $qs
          |}""".stripMargin

@@ -13,6 +13,9 @@ object Main {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Main <config.yaml> [master]")
     val cfg = Configs.load(args(0))
+    // reference run.py:28-29 — the config's logging section drives the
+    // process's log level/format before any job work starts
+    graft.config.LogSetup.configure(cfg.logging)
     val master = if (args.length > 1) args(1)
       else sys.env.getOrElse("SPARK_MASTER", "local[*]")
     val spark = GraftSession

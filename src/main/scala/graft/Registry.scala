@@ -47,16 +47,16 @@ object Registry {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Session confs every `events` read path needs BEFORE resolving the
+  /** Session conf every `events` read path needs BEFORE resolving the
     * parquet schema: `nanosAsLong` so a TIMESTAMP(NANOS) file surfaces as
-    * LongType instead of failing (PARQUET_TYPE_ILLEGAL), and a UTC session
-    * timezone so the NTZ→timestamp cast in [[normalizeEventTs]] is
-    * timezone-independent even on a caller-provided vanilla session
-    * (GraftSession already pins UTC; the driver's smoke session may not).
+    * LongType instead of failing (PARQUET_TYPE_ILLEGAL). This is the ONLY
+    * session mutation — the NTZ→timestamp conversion in
+    * [[normalizeEventTs]] carries its own explicit UTC zone, so a
+    * caller-provided non-UTC session keeps its timezone (and all its other
+    * timestamp behavior) untouched by an events read.
     */
   def prepareEventConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   /** Normalize a raw `events` scan's `ts` to TimestampType (microseconds),
@@ -69,10 +69,14 @@ object Registry {
     *    ~1.6% of values. The data carries no sub-microsecond component
     *    (ns % 1000 == 0), so this is lossless.
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
-    *    TIMESTAMP_NTZ; cast to TimestampType under the UTC session tz
-    *    pinned by [[prepareEventConfs]], so the wall-clock instant is
-    *    unchanged and every downstream plan and oracle stays identical to
-    *    the nanos-era behavior.
+    *    TIMESTAMP_NTZ; rebuilt as a TimestampType instant via
+    *    `make_timestamp(..., 'UTC')` — the zone is explicit in the
+    *    expression, NOT taken from the session, so the conversion is
+    *    timezone-independent on any caller session without mutating
+    *    `spark.sql.session.timeZone` (a plain NTZ→timestamp cast would
+    *    interpret the wall clock in the session zone). Field extraction
+    *    from NTZ is itself zone-free, and `extract(SECOND)` is
+    *    DECIMAL(8,6) so microseconds survive exactly.
     * Any third encoding fails loudly instead of silently miscasting.
     *
     * Shared by the batch path ([[events]]) and the streaming path
@@ -80,14 +84,16 @@ object Registry {
     * testdata can never split the two again.
     */
   def normalizeEventTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
       case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
+        df.withColumn("ts", expr(
+          "make_timestamp(year(ts), month(ts), day(ts), hour(ts), " +
+            "minute(ts), extract(SECOND FROM ts), 'UTC')"))
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other — expected epoch-nanos " +
           "LongType, TimestampType, or TimestampNTZType")

@@ -14,8 +14,27 @@ private[graft] object SessionMemo {
     * cold cache first (the r7 `dedup_semantic_clusters` 2.2s→4.5s bench
     * regression class). Long-lived multi-session servers keep the default
     * soft behavior and its leak-freedom.
+    *
+    * The flag is symmetric: flipping it back to `false` drops every strong
+    * pin across all memo instances (the maps stay reachable through the
+    * soft path until the collector decides otherwise), so a multi-session
+    * process that pinned temporarily does not leak each session it touched
+    * while pinned. Memo *instances* live in static operator objects, so
+    * the registry below holds a bounded, process-lifetime set — no leak.
     */
-  @volatile private[graft] var pinSessions: Boolean = false
+  private val instances =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionMemo[_]]()
+
+  private[graft] def register(m: SessionMemo[_]): Unit = instances.add(m)
+
+  @volatile private var _pinSessions: Boolean = false
+
+  private[graft] def pinSessions: Boolean = _pinSessions
+
+  private[graft] def pinSessions_=(v: Boolean): Unit = {
+    _pinSessions = v
+    if (!v) instances.forEach(_.clearPinned())
+  }
 }
 
 /** Per-session, per-key memo for derived DataFrames and chains.
@@ -48,6 +67,14 @@ private[graft] final class SessionMemo[V] {
   private val pinned =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, V]]()
+
+  SessionMemo.register(this)
+
+  /** Drop every strong pin (called when [[SessionMemo.pinSessions]] flips
+    * off). Entries remain visible through the soft path until collected.
+    */
+  private[graft] def clearPinned(): Unit =
+    cache.synchronized { pinned.clear() }
 
   def getOrElseUpdate(s: SparkSession, key: String)(compute: => V): V =
     cache.synchronized {

@@ -33,20 +33,30 @@ final case class TargetConfig(
 
 final case class MetaConfig(metaUri: String)
 
+/** The reference's `logging:` dictConfig section (`run.py:28-29`) reduced
+  * to the two knobs that have a log4j2 meaning in a Spark process: the
+  * root level and the console format pattern (Python %-style, converted by
+  * [[LogSetup.toLog4jPattern]]). Handler topology (which is Python
+  * `logging`-machinery-specific) has no analogue and is not modeled.
+  */
+final case class LoggingConfig(rootLevel: Option[String],
+    pattern: Option[String])
+
 final case class JobConfig(source: SourceConfig, target: TargetConfig,
-    meta: MetaConfig)
+    meta: MetaConfig, logging: Option[LoggingConfig] = None)
 
 /** Minimal YAML-subset loader for the flat two-level config shape the
   * reference uses (sections → scalar or inline-list values). No external
   * YAML dependency exists in this build (zero-egress, Spark jars only), and
-  * the config grammar genuinely needed is this small; deeper nesting (the
-  * reference's `logging:` section) is ignored — Spark has its own log4j2
-  * config surface.
+  * the config grammar genuinely needed is this small. The one nested
+  * section, the reference's `logging:` dictConfig, gets a dedicated scan
+  * ([[Configs.parseLogging]]) and is applied to log4j2 by [[LogSetup]].
   */
 object Configs {
 
   def load(path: String): JobConfig = {
-    val sections = parse(Source.fromFile(path, "UTF-8").mkString)
+    val text = Source.fromFile(path, "UTF-8").mkString
+    val sections = parse(text)
     val s = sections.getOrElse("source",
       sys.error("config: missing 'source' section"))
     val t = sections.getOrElse("target",
@@ -93,7 +103,47 @@ object Configs {
         colMaxPrice = one(t, "trg_col_max_price"),
         colDailyTradedVol = one(t, "trg_col_dail_trad_vol"),
         colChPrevClos = one(t, "trg_col_ch_prev_clos")),
-      MetaConfig(metaUri = one(m, "meta_uri")))
+      MetaConfig(metaUri = one(m, "meta_uri")),
+      logging = parseLogging(text))
+  }
+
+  /** Extract root level + formatter pattern from a nested `logging:`
+    * dictConfig section. The main [[parse]] grammar is deliberately
+    * two-level; this is a targeted indentation-aware scan of just the
+    * `logging:` block, so `level:` keys inside handler definitions are NOT
+    * confused with `root: → level:` (dictConfig semantics: the root level
+    * is what gates emission; handler levels only filter further).
+    */
+  private[graft] def parseLogging(text: String): Option[LoggingConfig] = {
+    var inLogging = false
+    var path = List.empty[(Int, String)] // (indent, blockKey), innermost first
+    var rootLevel: Option[String] = None
+    var pattern: Option[String] = None
+    for (raw <- text.linesIterator) {
+      val line = stripComment(raw).replaceAll("\\s+$", "")
+      if (line.trim.nonEmpty) {
+        val indent = line.takeWhile(_ == ' ').length
+        if (indent == 0) {
+          inLogging = line == "logging:"
+          path = Nil
+        } else if (inLogging && line.contains(":")) {
+          val Array(k, v) = line.split(":", 2)
+          val key = k.trim
+          val value = v.trim
+          path = path.dropWhile(_._1 >= indent)
+          if (value.isEmpty) path = (indent, key) :: path
+          else {
+            val parents = path.map(_._2)
+            if (key == "level" && parents.headOption.contains("root"))
+              rootLevel = Some(unquote(value))
+            if (key == "format" && parents.contains("formatters"))
+              pattern = Some(unquote(value))
+          }
+        }
+      }
+    }
+    if (rootLevel.isEmpty && pattern.isEmpty) None
+    else Some(LoggingConfig(rootLevel, pattern))
   }
 
   /** section → key → scalar | list. Inline lists only (`[a, b, c]`);

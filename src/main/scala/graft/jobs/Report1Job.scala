@@ -26,6 +26,12 @@ import org.apache.spark.sql.types._
   */
 final class Report1Job(spark: SparkSession, cfg: JobConfig, clock: Clock) {
 
+  // stage-progress logging, reference `XetraETL` (`xetra_transformer
+  // .py:111-231`): messages flow through log4j2, so the config's
+  // `logging:` section (LogSetup) gates them exactly as dictConfig does
+  private val logger =
+    org.apache.logging.log4j.LogManager.getLogger(classOf[Report1Job])
+
   private val connector = new Connector(spark, cfg.source.uri)
   private val target = new Connector(spark, cfg.target.uri)
   private val meta = new MetaStore(cfg.meta.metaUri,
@@ -51,8 +57,11 @@ final class Report1Job(spark: SparkSession, cfg: JobConfig, clock: Clock) {
     meta.pendingDates(cfg.source.firstExtractDate)
 
   def extract(): DataFrame = {
+    logger.info("Extracting source files started...")
     val files = extractDates.flatMap(connector.listPrefix)
-    connector.readCsv(files, schema)
+    val bars = connector.readCsv(files, schema)
+    logger.info("Extracting source files finished.")
+    bars
   }
 
   def transform(bars: DataFrame): DataFrame =
@@ -75,7 +84,9 @@ final class Report1Job(spark: SparkSession, cfg: JobConfig, clock: Clock) {
       .format(DateTimeFormatter.ofPattern(cfg.target.keyDateFormat))
     val key = s"${cfg.target.key}$stamp.${cfg.target.format}"
     target.write(report, key, cfg.target.format)
+    logger.info("Target data successfully written.")
     meta.commit(extractDates.filter(_ >= extractDate))
+    logger.info("Meta file successfully updated.")
     true
   }
 

@@ -357,11 +357,11 @@ ORDER BY pick
   private val neymanOracle = """
 WITH strata AS (
   SELECT o_orderpriority AS stratum, CAST(count(*) AS BIGINT) AS nh,
-    CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
-      AS DECIMAL(30,0))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+    CAST(CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+      AS DECIMAL(30,0))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
       * CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
-      AS DECIMAL(30,0))) AS DOUBLE) AS sxx
+      AS DECIMAL(30,0))) AS VARCHAR) AS DOUBLE) AS sxx
   FROM orders GROUP BY 1),
 wtd AS (
   SELECT stratum, nh,

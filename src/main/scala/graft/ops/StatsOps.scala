@@ -26,10 +26,14 @@ object StatsOps {
   def moments(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
     // integer cent grid: every power sum is integral, so the final
-    // decimal(30,0)→double cast is ONE correctly-rounded conversion in both
-    // engines. Summing decimal(30,2/4) instead leaves DuckDB's int128/10^s
-    // double-rounding a ULP off Spark's BigDecimal.doubleValue (seen at
-    // sf0.001 on corr/stddev).
+    // decimal(30,0)→double cast is ONE conversion. Spark's (BigDecimal
+    // .doubleValue) is correctly rounded at any magnitude; DuckDB's direct
+    // hugeint→double cast is NOT once the sum needs int128 (observed one
+    // ulp off at sf0.1 on an ~2^64 power sum), so every oracle-side cast
+    // of these sums hops through VARCHAR — DuckDB's string→double parse IS
+    // correctly rounded, which re-aligns the two engines bit-for-bit.
+    // Summing decimal(30,2/4) instead would add an int128/10^s division
+    // with its own rounding (seen at sf0.001 on corr/stddev).
     val pc = (col("l_extendedprice")
       .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
       .cast("long")
@@ -61,11 +65,11 @@ WITH cents AS (
 sums AS (
   SELECT l_returnflag,
     CAST(count(*) AS DOUBLE) AS n,
-    CAST(sum(CAST(q AS DECIMAL(30,0))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(q * q AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
-    CAST(sum(CAST(pc AS DECIMAL(30,0))) AS DOUBLE) AS syc,
-    CAST(sum(CAST(pc * pc AS DECIMAL(30,0))) AS DOUBLE) AS syyc,
-    CAST(sum(CAST(q * pc AS DECIMAL(30,0))) AS DOUBLE) AS sxyc
+    CAST(CAST(sum(CAST(q AS DECIMAL(30,0))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(q * q AS DECIMAL(30,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(pc AS DECIMAL(30,0))) AS VARCHAR) AS DOUBLE) AS syc,
+    CAST(CAST(sum(CAST(pc * pc AS DECIMAL(30,0))) AS VARCHAR) AS DOUBLE) AS syyc,
+    CAST(CAST(sum(CAST(q * pc AS DECIMAL(30,0))) AS VARCHAR) AS DOUBLE) AS sxyc
   FROM cents GROUP BY l_returnflag)
 SELECT l_returnflag,
   CAST(n AS BIGINT) AS n,
@@ -484,15 +488,15 @@ WITH v AS (
 sums AS (
   SELECT
     CAST(count(*) FILTER (event_type = 'click') AS DOUBLE) AS n1,
-    CAST(sum(CAST(vmic AS DECIMAL(30,0)))
-         FILTER (event_type = 'click') AS DOUBLE) AS a1,
-    CAST(sum(CAST(vmic AS DECIMAL(30,0)) * vmic)
-         FILTER (event_type = 'click') AS DOUBLE) AS q1,
+    CAST(CAST(sum(CAST(vmic AS DECIMAL(30,0)))
+         FILTER (event_type = 'click') AS VARCHAR) AS DOUBLE) AS a1,
+    CAST(CAST(sum(CAST(vmic AS DECIMAL(30,0)) * vmic)
+         FILTER (event_type = 'click') AS VARCHAR) AS DOUBLE) AS q1,
     CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE) AS n2,
-    CAST(sum(CAST(vmic AS DECIMAL(30,0)))
-         FILTER (event_type = 'purchase') AS DOUBLE) AS a2,
-    CAST(sum(CAST(vmic AS DECIMAL(30,0)) * vmic)
-         FILTER (event_type = 'purchase') AS DOUBLE) AS q2
+    CAST(CAST(sum(CAST(vmic AS DECIMAL(30,0)))
+         FILTER (event_type = 'purchase') AS VARCHAR) AS DOUBLE) AS a2,
+    CAST(CAST(sum(CAST(vmic AS DECIMAL(30,0)) * vmic)
+         FILTER (event_type = 'purchase') AS VARCHAR) AS DOUBLE) AS q2
   FROM v),
 st AS (
   SELECT n1, n2, a1 / n1 AS m1, a2 / n2 AS m2,
@@ -756,7 +760,7 @@ tot AS (
     CAST(sum(cnt * q) AS BIGINT) AS sx
   FROM hist GROUP BY flag)
 SELECT t.flag AS flag, t.n,
-  CAST(m.num AS DOUBLE)
+  CAST(CAST(m.num AS VARCHAR) AS DOUBLE)
     / (2.0 * CAST(t.n AS DOUBLE) * CAST(t.sx AS DOUBLE)) AS gini
 FROM tot t JOIN num m ON m.flag = t.flag
 ORDER BY flag
@@ -953,7 +957,8 @@ lags AS (
   JOIN g b ON b.rn = a.rn + k
   GROUP BY k)
 SELECT CAST(k AS BIGINT) AS k, n_pairs,
-  CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS r
+  CASE WHEN den <> 0 THEN CAST(CAST(num AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS r
 FROM lags, den ORDER BY k
 """
 

@@ -26,6 +26,12 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Streaming state partitions sized to bench volumes, not the batch
+    // default (round-8 verdict #1): the 17.8s r8 baseline was ~100%
+    // per-batch state-store commit overhead × 32 partitions. See
+    // EventStream.StreamShufflePartitionsConf for the full rationale.
+    spark.conf.set(EventStream.StreamShufflePartitionsConf,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     import spark.implicits._
 
     // file stream sources watch a directory — stage the bounded table once
@@ -73,19 +79,27 @@ object StreamBench {
 
     // one untimed warmup of the cheapest case pays source-probe + codegen
     try cases.head._2() catch { case _: Throwable => }
-    val results = cases.map { case (name, run) =>
+    // a failed case must not masquerade as a fast one: its time is emitted
+    // as null, its name lands in "errors", and the process exits non-zero,
+    // so a diff of bench JSONs can never read a new failure as a speedup
+    val results: Seq[(String, Option[Double])] = cases.map { case (name, run) =>
       val t0 = System.nanoTime()
-      try run() catch { case e: Throwable =>
+      val ok = try { run(); true } catch { case e: Throwable =>
         System.err.println(s"[streambench] $name failed: ${e.getMessage}")
+        false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     def sec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"stream_total","value":${sec3(results.map(_._2).sum)},""" +
-      s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(sec3)
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => k }
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"stream_total","value":${sec3(results.flatMap(_._2).sum)},""" +
+      s""""unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -30,6 +30,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("reduced streaming state partitions: identical results, conf restored") {
+    // the round-9 fixed-cost knob (EventStream.StreamShufflePartitionsConf)
+    // must change only WHERE state lives, never results — and must leave
+    // the session's batch shuffle setting untouched after the run
+    val batchParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(EventStream.StreamShufflePartitionsConf, "3")
+    try {
+      val stream = EventStream.readEvents(spark, eventsPath)
+      val got = EventStream.runToMemory(spark,
+          EventStream.tumblingDaily(stream), "stream_tumbling_p3")
+        .orderBy("day", "event_type").collect().map(_.toSeq).toSeq
+      val expected = ops.EventOps.tumblingDaily(spark, sfDir)
+        .select("day", "event_type", "n_events", "sum_value")
+        .orderBy("day", "event_type").collect().map(_.toSeq).toSeq
+      assert(got == expected,
+        "streaming result changed under a reduced state partition count")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == batchParts,
+        "batch shuffle partitions not restored after the streaming run")
+    } finally spark.conf.unset(EventStream.StreamShufflePartitionsConf)
+  }
+
   test("watermark drops late data beyond the delay in update mode") {
     // structural check: the plan carries the 30-minute watermark
     val agg = EventStream.tumblingDaily(EventStream.readEvents(spark, eventsPath))
