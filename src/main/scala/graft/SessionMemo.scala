@@ -76,6 +76,10 @@ private[graft] final class SessionMemo[V] {
   private[graft] def clearPinned(): Unit =
     cache.synchronized { pinned.clear() }
 
+  /** Number of sessions currently pinned strongly (test observability). */
+  private[graft] def pinnedSessionCount: Int =
+    cache.synchronized { pinned.size }
+
   def getOrElseUpdate(s: SparkSession, key: String)(compute: => V): V =
     cache.synchronized {
       val inner = Option(pinned.get(s))
