@@ -213,18 +213,55 @@ ORDER BY doc_id
 """
 
   // ------------------------------------------- semantic (embedding) dedup
-  private val SemCells = 16 // coarse IVF cells (first-16-vector seeds)
+  private val SemCells = 16 // cell-count FLOOR (first-N-vector seeds)
+  private val SemCellTarget = 128L // target per-cell occupancy (n/128 cells)
   private val SemProbes = 2 // dual assignment: nearest + second-nearest cell
   private val SemThreshold = 0.45
+
+  /** Corpus-scaled IVF cell count — `max(16, n/128)`, the same closed form
+    * as `Similarity.knnCandidates` and for the same reason: a FIXED cell
+    * count makes the within-cell candidate set O(n²/cells) (the r9 sf1
+    * smoke measured the old fixed-16 shape at 11-35× wall for 10× data);
+    * scaling cells with n holds per-cell occupancy — and therefore the
+    * pair set — linear. One column-pruned count job; the identical
+    * expression is evaluated in the oracles, so the bucketing stays
+    * bit-deterministic. n ≤ 2048 keeps the floor, so driver-SF results
+    * are unchanged.
+    */
+  private[graft] def semCellCount(s: SparkSession, dir: String): Long =
+    math.max(SemCells.toLong,
+      Registry.table(s, dir, "embeddings").count() / SemCellTarget)
 
   /** The bucketed candidate stage of [[semanticClusters]]: cell-restricted
     * cosine-threshold pairs. Exposed for the PlanSpec pin that pair
     * generation stays an equi-join on the cell key (no vec×vec term).
     */
   private[graft] def semanticPairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Similarity.quantized(s, dir)
+    val side = corpus.select(col("vec_id"), col("qv"), col("nrm"))
+    semanticCandidates(s, dir)
+      .join(side.select(col("vec_id").as("i"), col("qv").as("qa"),
+        col("nrm").as("na")), "i")
+      .join(side.select(col("vec_id").as("j"), col("qv").as("qb"),
+        col("nrm").as("nb")), "j")
+      .select(col("i"), col("j"),
+        (call_function("vec_dot_long", col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= SemThreshold)
+      .select("i", "j")
+  }
+
+  /** The pre-cosine candidate set of [[semanticPairs]]: distinct (i, j)
+    * pairs sharing an IVF cell under the corpus-scaled cell count. Split
+    * out (like `Similarity.knnCandidates`) so the Round9 linearity law can
+    * count candidates at two corpus sizes.
+    */
+  private[graft] def semanticCandidates(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = Similarity.quantized(s, dir)
-    val cents = corpus.filter(col("vec_id") < SemCells)
+    val cells = semCellCount(s, dir)
+    val cents = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
     val dists = corpus.join(broadcast(cents))
@@ -238,22 +275,10 @@ ORDER BY doc_id
       .filter(col("rk") <= SemProbes)
       .select(col("vec_id"), col("centroid_id").as("cell"))
     val a = asg.as("a"); val b = asg.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .distinct()
-    val side = corpus.select(col("vec_id"), col("qv"), col("nrm"))
-    cand
-      .join(side.select(col("vec_id").as("i"), col("qv").as("qa"),
-        col("nrm").as("na")), "i")
-      .join(side.select(col("vec_id").as("j"), col("qv").as("qb"),
-        col("nrm").as("nb")), "j")
-      .select(col("i"), col("j"),
-        (call_function("vec_dot_long", col("qa"), col("qb")).cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-          .as("cosine"))
-      .filter(col("cosine") >= SemThreshold)
-      .select("i", "j")
   }
 
   /** End-to-end SEMANTIC dedup over `embeddings` — the composition proving
@@ -315,7 +340,8 @@ nn AS (
     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
   FROM n),
 c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
-      FROM nn WHERE vec_id < $SemCells),
+      FROM nn WHERE vec_id < greatest($SemCells,
+        (SELECT count(*) FROM embeddings) // $SemCellTarget)),
 d AS (
   SELECT v.vec_id, c.centroid_id,
     v.nrm + c.cnrm - 2 * CAST(list_sum(
@@ -363,8 +389,9 @@ ORDER BY e.vec_id
     * `dedup_incremental_batch`: a new batch (vectors hashing to buckets
     * 0-1, ~20%) is checked against the EXISTING corpus through the IVF
     * cells, with neither a corpus×corpus nor a new×new term. Centroids are
-    * the 16 lowest-id EXISTING vectors (a production index is built before
-    * the batch arrives, so seeds cannot leak from the batch); both sides
+    * the corpus-scaled count ([[semCellCount]]) of lowest-id EXISTING
+    * vectors (a production index is built before the batch arrives, so
+    * seeds cannot leak from the batch); both sides
     * take the usual dual (rk ≤ 2) assignment and only new×existing pairs
     * sharing a cell are cosine-verified. At 100 TB the existing side is a
     * prebuilt cell-partitioned index the batch probes into.
@@ -376,7 +403,7 @@ ORDER BY e.vec_id
         pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
           16, 10).cast("long"), lit(10)) < 2)
     val cents = corpus.filter(!col("is_new"))
-      .orderBy("vec_id").limit(SemCells)
+      .orderBy("vec_id").limit(semCellCount(s, dir).toInt)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
     val dists = corpus.join(broadcast(cents))
@@ -420,7 +447,9 @@ nn AS (
     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
   FROM n),
 c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
-      FROM nn WHERE NOT is_new ORDER BY vec_id LIMIT $SemCells),
+      FROM nn WHERE NOT is_new
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= greatest($SemCells,
+        (SELECT count(*) FROM embeddings) // $SemCellTarget)),
 d AS (
   SELECT v.vec_id, v.is_new, c.centroid_id,
     v.nrm + c.cnrm - 2 * CAST(list_sum(

@@ -71,6 +71,33 @@ class Round9PropertySpec extends SparkSpec {
       "driver union-find and distributed label propagation disagree")
   }
 
+  /** Synthetic embeddings corpus (same shape as Round8PropertySpec's). */
+  private def mkCorpus(n: Int): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(910910L)
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat), i % 5)
+    }
+    val dir = java.nio.file.Files.createTempDirectory(s"sem_linearity_$n")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir.toString
+  }
+
+  test("semantic dedup candidate pairs grow linearly in corpus size") {
+    // the r9 sf1 smoke caught the semantic family on the SAME fixed-cell
+    // quadratic the knn family fixed in r7 (11-35× wall at 10× data);
+    // both corpus sizes sit past the scaling knee (n/128 > 16), so a
+    // revert to fixed cells fails this at ~4× pair growth for 2× data
+    val small = ops.DedupClusters.semanticCandidates(spark, mkCorpus(2048)).count()
+    val large = ops.DedupClusters.semanticCandidates(spark, mkCorpus(4096)).count()
+    assert(small > 0, "no candidates at n=2048 — vacuous law")
+    assert(large.toDouble / small <= 2.8,
+      f"semantic candidate pairs grew ${large.toDouble / small}%.2f× for " +
+        "2× data — the corpus-scaled cell count is no longer keeping the " +
+        "pair set linear")
+  }
+
   test("unpinning SessionMemo drops every strong pin across instances") {
     // the r8 ADVICE leak: pin → touch sessions → unpin used to leave the
     // touched sessions strongly referenced forever. The setter now clears
