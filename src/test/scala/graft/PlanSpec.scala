@@ -502,6 +502,37 @@ class PlanSpec extends SparkSpec {
       "coverage rank step lost its bounded TakeOrdered top-k")
   }
 
+  test("top paths: WindowGroupLimit bounds the shuffle, agg reuses the window partitioning") {
+    // the r9 watch-item audit, pinned: the rn<=4 rank filter must push a
+    // partial WindowGroupLimit BELOW the exchange (only top-4-per-group
+    // rows cross the wire — at 100 TB that is the difference between
+    // shuffling 4 rows and a whole day of events per user) plus the final
+    // one above it; the path-assembly aggregate shares the window's
+    // (user_id, day) partitioning, so the whole query is two exchanges
+    // (one hash, one for the path histogram) ending in a TakeOrdered
+    val plan = executedPlan(ops.EventOps.topPaths(spark, sfDir))
+    assert(plan.split("WindowGroupLimit").length - 1 >= 2,
+      s"rank-limit pushdown lost (partial+final expected):\n${plan.take(2000)}")
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"top-paths gained an exchange (window/agg partitioning reuse broke):\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-paths final top-20 lost its bounded TakeOrdered")
+  }
+
+  test("interval bucket join: bin technique keeps the keyless range join an equi-join") {
+    // the point of the bucket expansion is that a keyless ts-in-interval
+    // join NEVER plans as a nested-loop over two data-sized sides; the
+    // interval side here is 20 rows so a broadcast HASH join on the bin
+    // key is expected — but no cartesian/BNLJ term may touch the fact scan
+    val plan = executedPlan(ops.EventOps.intervalBucketJoin(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"keyless range join degraded to a nested loop:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      "interval bucket join lost its bin equi-join")
+  }
+
   test("mv top-k maintenance: both arms end in TakeOrdered, no global sort") {
     // the only Sort allowed is the 25-row rank window; a range-partitioned
     // exchange would mean a distributed sort of base-table data
