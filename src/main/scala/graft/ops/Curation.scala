@@ -40,7 +40,7 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  private val curatedCorpusOracle = """
+  private val curatedCorpusOracle = s"""
 WITH toks AS (
   SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
 m AS (
@@ -57,12 +57,15 @@ sh AS (
                    for i in range(1, len(t) - 3)]) AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
   WHERE len(t) >= 5),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+ex AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.PostingDfCap}),
 cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
 losers AS (
   SELECT DISTINCT j AS doc_id
   FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
@@ -92,7 +95,7 @@ ORDER BY p.doc_id
       .orderBy("source")
   }
 
-  private val curationReportOracle = """
+  private val curationReportOracle = s"""
 WITH toks AS (
   SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
 m AS (
@@ -108,12 +111,15 @@ sh AS (
                    for i in range(1, len(t) - 3)]) AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
   WHERE len(t) >= 5),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+ex AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.PostingDfCap}),
 cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
 losers AS (
   SELECT DISTINCT j AS doc_id
   FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
@@ -159,7 +165,7 @@ FROM m GROUP BY m.source ORDER BY m.source
       .orderBy("split", "source")
   }
 
-  private val corpusBuildOracle = """
+  private val corpusBuildOracle = s"""
 WITH toks AS (
   SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
 m AS (
@@ -176,12 +182,15 @@ sh AS (
                    for i in range(1, len(t) - 3)]) AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
   WHERE len(t) >= 5),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+ex AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.PostingDfCap}),
 cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
 losers AS (
   SELECT DISTINCT j AS doc_id
   FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j

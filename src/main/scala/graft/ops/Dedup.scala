@@ -34,6 +34,62 @@ object Dedup {
     array_distinct(call_function("shingle_hashes_5", split(col("text"), " ")))
   }
 
+  /** Stop-shingle document-frequency cap for the posting-join pipelines
+    * (Jaccard / containment / shingle-cosine).
+    *
+    * The inverted-index candidate term is Σ_shingle C(df, 2): never
+    * corpus², but quadratic in each shingle's document frequency — the
+    * latent class the r9 sf1 smoke surfaced (10× docs on the replica
+    * corpus took df 4→40 and candidate pairs 13.5k→12.6M, 933×). One
+    * boilerplate shingle in a million documents would contribute 5·10¹¹
+    * pairs on its own. The guard is the standard stop-shingle discipline:
+    * a shingle occurring in more than [[PostingDfCap]] documents carries
+    * no near-dup signal (it is template/boilerplate text by construction)
+    * and is dropped from the shingle UNIVERSE — postings, set sizes, and
+    * norms alike, so each similarity stays a true ratio over the capped
+    * universe. With the fixed cap, any one shingle contributes ≤ C(1024,2)
+    * pairs and total candidate work is ≤ #shingles · C(cap,2) — linear in
+    * corpus size, not df².
+    *
+    * Every consuming DuckDB oracle (Jaccard/containment/cosine here, the
+    * curation family, cluster consolidation) mirrors the same cap in SQL
+    * (QUALIFY on the posting CTE), so results stay bit-identical across
+    * engines at any scale. At the driver SFs and the sf1 smoke the max df
+    * is 40 ≪ 1024: the cap provably changes nothing there (hash gates
+    * re-verified), it only bounds the boilerplate catastrophe beyond.
+    * Round9PropertySpec pins the behavior on a synthetic corpus whose
+    * boilerplate shingle exceeds the cap.
+    *
+    * The incremental (new×old) and train×eval posting joins keep their own
+    * bound — the small side of those joins caps their worst case — so the
+    * df cap applies only to the self-join family.
+    */
+  private[graft] val PostingDfCap = 1024
+
+  /** Exploded posting list over the df-capped shingle universe.
+    *
+    * The cap is applied as a BROADCAST anti-join against the stop-shingle
+    * list rather than a df window over the postings: the stop list (df >
+    * cap) is tiny by construction — boilerplate shingles only — and its
+    * aggregation ships just map-side-combined (shingle, partial-count)
+    * rows, so the postings themselves are never shuffled for the filter
+    * (a window form measured ~0.4s/query extra at sf0.1 for the same
+    * semantics). On a corpus where the stop list itself outgrew a
+    * broadcast, the df histogram — not the cap — would be the thing to
+    * revisit.
+    */
+  private def cappedPostings(d: DataFrame): DataFrame = {
+    // materialize the exploded index once (same discipline as the
+    // shingle-cosine tf list): the stop-list aggregate, both self-join
+    // sides, and the set-size aggregate all read it, and re-running the
+    // shingle explode per consumer was the dominant added cost
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+      .localCheckpoint()
+    val stop = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > PostingDfCap).select("s")
+    ex.join(broadcast(stop), Seq("s"), "left_anti")
+  }
+
   // ------------------------------------------------------------ exact dedup
   /** Exact dedup on content hash: survivor = min doc_id per md5(text).
     * (Identity on this corpus — no byte-identical dups — which the oracle
@@ -89,24 +145,33 @@ ORDER BY kept_doc_id
 
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(s, dir) {
-      val d = docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))
-      jaccardFromCandidates(d, candidatesFromIndex(d)).persist()
+      val ex = cappedPostings(
+        docs(s, dir).select(col("doc_id"), shingles(s).as("sh")))
+      jaccardFromCandidates(ex, candidatesFromIndex(ex)).persist()
     }
 
-  /** Inverted-index candidate pairs with intersection sizes. */
-  private def candidatesFromIndex(d: DataFrame): DataFrame = {
+  /** Candidate-pair count over the capped universe — the
+    * Round9PropertySpec hook for the stop-shingle law.
+    */
+  private[graft] def jaccardCandidates(s: SparkSession, dir: String): DataFrame =
+    candidatesFromIndex(cappedPostings(
+      docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))))
+
+  /** Inverted-index candidate pairs with intersection sizes, from an
+    * (already df-capped) posting list.
+    */
+  private def candidatesFromIndex(ex: DataFrame): DataFrame = {
     // shingles are already 64-bit hashes: the self-join shuffle carries
     // (long, long) rows
-    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
     val a = ex.as("a"); val b = ex.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
   }
 
-  /** Join candidate pairs back to shingle-set sizes → Jaccard ≥ 0.8. */
-  private def jaccardFromCandidates(d: DataFrame, cand: DataFrame): DataFrame = {
-    val sizes = d.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+  /** Join candidate pairs back to capped-universe set sizes → Jaccard ≥ 0.8. */
+  private def jaccardFromCandidates(ex: DataFrame, cand: DataFrame): DataFrame = {
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cand
       .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
@@ -117,19 +182,22 @@ ORDER BY kept_doc_id
       .orderBy("i", "j")
   }
 
-  private val jaccardPairsOracle = """
+  private val jaccardPairsOracle = s"""
 WITH sh AS (
   SELECT doc_id,
     list_distinct([array_to_string(toks[i:i+4], ' ')
                    for i in range(1, len(toks) - 3)]) AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   WHERE len(toks) >= 5),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+ex AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= $PostingDfCap),
 cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
 SELECT i, j,
   CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
 FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
@@ -345,12 +413,18 @@ ORDER BY i, j
     // sides of the self-join read it from memory instead of replaying the
     // shingle explode + aggregation 3× — the production form persists the
     // inverted index before the pair join at any scale
-    val tf = docs(s, dir)
+    val tfAll = docs(s, dir)
       .select(col("doc_id"),
         explode(call_function("shingle_hashes_5", split(col("text"), " ")))
           .as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    // stop-shingle cap (see PostingDfCap): one row per (doc, shingle) in
+    // tf, so its per-shingle row count IS the document frequency; the
+    // tiny boilerplate list broadcasts and the postings stay unshuffled
+    val stop = tfAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > PostingDfCap).select("sh")
+    val tf = tfAll.join(broadcast(stop), Seq("sh"), "left_anti")
     val norms = tf.groupBy("doc_id")
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val a = tf.as("a"); val b = tf.as("b")
@@ -374,7 +448,7 @@ ORDER BY i, j
       .orderBy("i", "j")
   }
 
-  private val shingleCosineOracle = """
+  private val shingleCosineOracle = s"""
 WITH sh AS (
   SELECT doc_id,
     [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)] AS s
@@ -383,7 +457,8 @@ WITH sh AS (
 tf AS (
   SELECT doc_id, shingle, count(*) AS tf
   FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
-  GROUP BY 1, 2),
+  GROUP BY 1, 2
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= $PostingDfCap),
 norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j, sum(a.tf * b.tf) AS dot
@@ -408,17 +483,10 @@ ORDER BY i, j
     * flags mark which side is (80%-)contained in which.
     */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val d = docs(s, dir).select(col("doc_id"),
-      array_distinct(call_function("shingle_hashes_5", split(col("text"), " ")))
-        .as("sh"))
-    val ex = d.select(col("doc_id"), explode(col("sh")).as("ss"))
-    val a = ex.as("a"); val b = ex.as("b")
-    val cand = a.join(b,
-        col("a.ss") === col("b.ss") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val ex = cappedPostings(
+      docs(s, dir).select(col("doc_id"), shingles(s).as("sh")))
+    val cand = candidatesFromIndex(ex)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cand
       .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
@@ -432,19 +500,22 @@ ORDER BY i, j
       .orderBy("i", "j")
   }
 
-  private val containmentOracle = """
+  private val containmentOracle = s"""
 WITH sh AS (
   SELECT doc_id,
     list_distinct([array_to_string(toks[i:i+4], ' ')
                    for i in range(1, len(toks) - 3)]) AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   WHERE len(toks) >= 5),
-ex AS (SELECT doc_id, unnest(s) AS ss FROM sh),
+ex AS (
+  SELECT doc_id, ss
+  FROM (SELECT doc_id, unnest(s) AS ss FROM sh)
+  QUALIFY count(*) OVER (PARTITION BY ss) <= $PostingDfCap),
 cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
   FROM ex a JOIN ex b ON a.ss = b.ss AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
 SELECT i, j, CAST(inter AS BIGINT) AS inter, sa.n AS na, sb.n AS nb,
   CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment,
   inter * 10 >= sa.n * 8 AS i_in_j,

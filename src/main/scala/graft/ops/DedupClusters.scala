@@ -134,7 +134,7 @@ object DedupClusters {
   /** Shared oracle CTEs: transitive closure over the Jaccard pair graph →
     * `cl(doc_id, cluster_rep)`.
     */
-  private val ClusterCte = """RECURSIVE pairs AS (
+  private val ClusterCte = s"""RECURSIVE pairs AS (
   SELECT i, j FROM (
     WITH sh AS (
       SELECT doc_id,
@@ -142,12 +142,15 @@ object DedupClusters {
                        for x in range(1, len(t) - 3)]) AS s
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       WHERE len(t) >= 5),
-    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    ex AS (
+      SELECT doc_id, shingle
+      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.PostingDfCap}),
     cand AS (
       SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+    sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
     SELECT i, j
     FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)),

@@ -98,6 +98,67 @@ class Round9PropertySpec extends SparkSpec {
         "pair set linear")
   }
 
+  /** Synthetic documents corpus with a boilerplate shingle ABOVE the
+    * stop-shingle cap: `nBoiler` docs share one 5-token header (one
+    * shingle at df = nBoiler) followed by unique tails, plus one true
+    * near-dup pair built from tokens no other doc uses.
+    */
+  private def mkBoilerplateCorpus(nBoiler: Int): String = {
+    import spark.implicits._
+    val boiler = (0 until nBoiler).map { i =>
+      val tail = (0 until 5).map(t => s"u${i}x$t").mkString(" ")
+      (i.toLong, s"hdr0 hdr1 hdr2 hdr3 hdr4 $tail", "en", "boiler", 0L)
+    }
+    val base = (0 until 10).map(t => s"dupTok$t").mkString(" ")
+    val dups = Seq(
+      (900000L, base, "en", "dup", 0L),
+      (900001L, s"$base dupExtra", "en", "dup", 0L))
+    val dir = java.nio.file.Files.createTempDirectory(s"dfcap_$nBoiler")
+    (boiler ++ dups).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("stop-shingle cap bounds the posting self-join under boilerplate") {
+    // the r9 sf1 smoke measured the inverted-index candidate term growing
+    // as Σ C(df,2) (933× pairs for 10× docs on the replica corpus) — one
+    // boilerplate shingle shared by every document would alone contribute
+    // C(n,2) pairs. With n docs sharing the header shingle past
+    // PostingDfCap, an uncapped index yields ≥ C(n,2) ≈ n²/2 candidates;
+    // the capped universe must keep ONLY pairs that share an informative
+    // shingle — here exactly the planted near-dup pair.
+    val n = ops.Dedup.PostingDfCap + 176 // 1200 > cap → header is dropped
+    val dir = mkBoilerplateCorpus(n)
+    val cand = ops.Dedup.jaccardCandidates(spark, dir).collect()
+    assert(cand.length == 1,
+      s"expected only the planted near-dup candidate, got ${cand.length} " +
+        "pairs — the df cap is no longer dropping the boilerplate shingle")
+    // and the surviving pair's exact arithmetic is intact over the capped
+    // universe: A's 6 shingles ⊂ B's 7 → jaccard 6/7, containment 1.0
+    val j = ops.Dedup.jaccardPairs(spark, dir).collect()
+    assert(j.length == 1 && j(0).getLong(0) == 900000L &&
+      j(0).getLong(1) == 900001L &&
+      math.abs(j(0).getDouble(2) - 6.0 / 7.0) < 1e-12,
+      s"near-dup pair lost or mis-scored under the cap: ${j.mkString(",")}")
+    val c = ops.Dedup.containmentPairs(spark, dir)
+      .select("i", "j", "containment").collect()
+    assert(c.length == 1 && c(0).getDouble(2) == 1.0,
+      s"containment lost the embedded-doc pair under the cap: ${c.mkString(",")}")
+  }
+
+  test("below the cap the posting universe is untouched (df << cap)") {
+    // a small corpus (every df ≤ 2 ≪ cap) must see IDENTICAL candidates
+    // with and without boilerplate-dropping in play — i.e. the cap can
+    // never engage on the driver corpora, which the sf0.01/sf0.1 hash
+    // gates also re-verified after the change
+    val dir = mkBoilerplateCorpus(8) // 8 < cap: header shingle survives
+    val cand = ops.Dedup.jaccardCandidates(spark, dir).count()
+    // header shingle df=8 → C(8,2)=28 boilerplate pairs + the dup pair
+    assert(cand == 28 + 1,
+      s"expected the full uncapped candidate set (29), got $cand — the " +
+        "cap engaged below its threshold")
+  }
+
   test("unpinning SessionMemo drops every strong pin across instances") {
     // the r8 ADVICE leak: pin → touch sessions → unpin used to leave the
     // touched sessions strongly referenced forever. The setter now clears
