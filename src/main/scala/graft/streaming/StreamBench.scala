@@ -32,6 +32,19 @@ object StreamBench {
     // EventStream.StreamShufflePartitionsConf for the full rationale.
     spark.conf.set(EventStream.StreamShufflePartitionsConf,
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    // State-store provider arm (round-9: the other half of verdict #1's
+    // "evaluate RocksDB vs HDFSBackedStateStore commit cost"). Accepts the
+    // shorthands "rocksdb"/"hdfs" or a fully-qualified provider class.
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").foreach { p =>
+      val cls = p.toLowerCase(java.util.Locale.ROOT) match {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case "hdfs" =>
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        case _ => p
+      }
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
     import spark.implicits._
 
     // file stream sources watch a directory — stage the bounded table once
