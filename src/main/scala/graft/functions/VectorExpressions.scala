@@ -78,6 +78,18 @@ object VectorFunctions {
     // aggregate: the analyzer wraps a bare AggregateFunction in an
     // AggregateExpression during resolution, so the builder returns it raw
     add("graft_mode")(exprs => DeterministicMode(exprs.head))
+    // Spark's own runtime-join-filter sketch pair (the expressions the
+    // InjectRuntimeFilter rule plants), surfaced as callable functions so a
+    // query can build/apply an EXPLICIT semi-join bloom filter — see
+    // ScalePatterns.bloomPrunedJoin. Signatures follow the optimizer rule's
+    // usage: the aggregate ingests xxhash64(key) longs, might_contain probes
+    // the serialized sketch with the same hash.
+    add("bloom_agg")(exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)))
+    add("bloom_might_contain")(exprs =>
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)))
   }
 }
 
@@ -259,6 +271,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_mode"),
       new ExpressionInfo(classOf[DeterministicMode].getName, "graft_mode"),
       (exprs: Seq[Expression]) => DeterministicMode(exprs.head)))
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
     // the custom operator's planner strategy + its pushdown rule (Catalyst
     // can't see through an opaque binary node without the rule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

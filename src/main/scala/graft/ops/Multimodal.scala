@@ -183,7 +183,7 @@ FROM documents ORDER BY doc_id
     * byte-block structure, so the signature ships as a catalog column and
     * the banding composition stays with the text/embedding families.
     */
-  def mediaPhash(s: SparkSession, dir: String): DataFrame = {
+  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds: Dataset[(Long, Array[Byte])] = media(s, dir)
       .select(col("doc_id"), col("payload"))
@@ -206,10 +206,15 @@ FROM documents ORDER BY doc_id
       }
       (id, ph)
     }).toDF("doc_id", "phash")
-      .orderBy("doc_id")
   }
 
-  private val mediaPhashOracle = """
+  def mediaPhash(s: SparkSession, dir: String): DataFrame =
+    phashSigs(s, dir).orderBy("doc_id")
+
+  /** Shared oracle prefix: the 60-bit signature CTE (`sig`), reused by the
+    * catalog query and the near-dup pair query.
+    */
+  private val phashSigSql = """
 WITH tot AS (
   SELECT doc_id, length(text) AS L,
     list_sum(list_prepend(0,
@@ -230,11 +235,77 @@ sig AS (
     CAST(sum(CASE WHEN sb * L > stot * bl
              THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS phash
   FROM blk GROUP BY doc_id)
-SELECT doc_id, phash FROM sig ORDER BY doc_id
+"""
+
+  private val mediaPhashOracle =
+    phashSigSql + "SELECT doc_id, phash FROM sig ORDER BY doc_id"
+
+  // -------------------------------------------------- perceptual near-dup
+  /** Media near-dup pairs over the perceptual signatures — the multimodal
+    * twin of `dedup_simhash_pairs`, turning the [[mediaPhash]] catalog
+    * column into a dedup decision: 4-band blocking over the 60-bit
+    * signatures proposes candidates, `bit_count(xor)` verifies at
+    * Hamming ≤ 12. Like `dedup_minhash_lsh` (and unlike the simhash query,
+    * whose ≤3 threshold makes banding pigeonhole-exact), this is LSH
+    * semantics: recall beyond distance 3 is probabilistic in the band
+    * structure, so the banding IS the operator's definition and the oracle
+    * mirrors it band-for-band — byte-shifted token edits spread phash bits
+    * too widely for an exact ≤3 cut to fire on this corpus (0 pairs at
+    * every SF), which is itself the documented reason image dedup uses
+    * looser perceptual thresholds than text simhash.
+    *
+    * 100 TB posture: the self-join is on (band, key) equality — shuffle is
+    * O(candidate pairs), never catalog²; a band value shared by B payloads
+    * contributes C(B,2) candidates, so a skew-prone corpus (e.g. huge
+    * single-color image populations) takes the same stop-value df cap as
+    * the text posting joins (`Dedup.PostingDfCap`) — not engaged here
+    * because this corpus' band frequencies are single digits.
+    */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+    // materialize the signatures once: the band explode and both verify
+    // sides read the (tiny, 2-column) sig table instead of re-running the
+    // mapPartitions decode 3x
+    val sigs = phashSigs(s, dir).localCheckpoint()
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), 15 * b).bitwiseAND(lit(0x7FFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val a = bands.as("a"); val bb = bands.as("b")
+    val cand = a.join(bb,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("i"), col("phash").as("pa")), "i")
+      .join(sigs.select(col("doc_id").as("j"), col("phash").as("pb")), "j")
+      .select(col("i"), col("j"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 12)
+      .orderBy("i", "j")
+  }
+
+  private val phashNearDupOracle = phashSigSql + """,
+bands AS (
+  SELECT doc_id, k AS band, (phash >> (15*k)) & 32767 AS key
+  FROM sig, (SELECT unnest(range(0, 4)) AS k)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT i, j,
+  CAST(bit_count(xor(sa.phash, sb.phash)) AS BIGINT) AS hamming
+FROM cand JOIN sig sa ON sa.doc_id = i JOIN sig sb ON sb.doc_id = j
+WHERE bit_count(xor(sa.phash, sb.phash)) <= 12
+ORDER BY i, j
 """
 
   val queries: Map[String, QueryDef] = Map(
     "media_phash" -> QueryDef(mediaPhash, Some(mediaPhashOracle)),
+    "media_phash_neardup" ->
+      QueryDef(phashNearDup, Some(phashNearDupOracle)),
     "media_metadata" -> QueryDef(mediaMetadata, Some(mediaMetadataOracle)),
     "media_features_mappartitions" -> QueryDef(mediaFeatures, Some(mediaFeaturesOracle)),
     "media_frame_sample" -> QueryDef(frameSample, Some(frameSampleOracle)),

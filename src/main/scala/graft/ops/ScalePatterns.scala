@@ -170,7 +170,62 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
 ORDER BY new_id, corpus_id
 """
 
+  /** Sketch-pruned join — the explicit form of Spark's runtime bloom-filter
+    * join pruning (the `InjectRuntimeFilter` rule, surfaced here as callable
+    * `bloom_agg` / `bloom_might_contain` expressions so the pattern is
+    * available when the optimizer's size thresholds or a non-join shape keep
+    * the automatic rule out): the build side (urgent orders — a selective
+    * dim subset) is folded into ONE ~100 KB bloom sketch, materialized as a
+    * scalar on the driver (the same thing the rule's ScalarSubquery does —
+    * `might_contain` requires a constant/scalar-subquery sketch by
+    * contract) and probed as a scan-side filter on lineitem BEFORE the
+    * shuffle join, so non-matching fact rows never enter the exchange.
+    * False positives are removed by the exact join that follows, which is
+    * why the oracle — the naive join — proves the optimized plan computes
+    * the identical relation.
+    *
+    * 100 TB posture: a 10M-key build side is a ~12 MB sketch (1.2 bytes/key
+    * at 1% FPP) vs gigabytes for the key set itself — broadcastable when a
+    * broadcast-hash join is not — and the fact-side shuffle shrinks by the
+    * join's selectivity (~80% here). The same sketch serves partition-level
+    * pruning when the probe column is a layout key.
+    */
+  def bloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val urgent = table(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // build: one binary sketch scalar (est 100k keys / 800k bits ≈ the
+    // optimizer rule's 8-bits-per-key default), collected like the rule's
+    // ScalarSubquery result — ~100 KB to the driver, never the keys
+    val sketch = urgent.agg(call_function("bloom_agg",
+      xxhash64(col("o_orderkey")), lit(100000L), lit(800000L)).as("bf"))
+      .first().getAs[Array[Byte]]("bf")
+    val fact = table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+    // probe: the constant sketch filters the scan before the join
+    val pruned = fact.filter(call_function("bloom_might_contain",
+      lit(sketch), xxhash64(col("l_orderkey"))))
+    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(25, 2))).cast("double")
+          .as("urgent_revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val bloomPrunedJoinOracle = """
+SELECT l_returnflag, count(*) AS n_items,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+    AS urgent_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "bloom_pruned_join" ->
+      QueryDef(bloomPrunedJoin, Some(bloomPrunedJoinOracle)),
     "salted_skew_agg" -> QueryDef(saltedAgg, Some(saltedAggOracle)),
     "sql_correlated_subquery" -> QueryDef(sqlSurface, Some(sqlSurfaceOracle)),
     "skew_split_join" -> QueryDef(skewSplitJoin, Some(skewSplitJoinOracle)),

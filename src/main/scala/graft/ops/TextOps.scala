@@ -781,7 +781,66 @@ FROM ex JOIN fs USING (sh)
 GROUP BY ex.doc_id ORDER BY doc_id
 """
 
+  // ------------------------------------------------------- tf-idf keywords
+  /** Per-document top-3 keywords by tf-idf — the corpus-curation signal a
+    * topic/domain tagger keys on. Same rational-idf discipline as
+    * [[SearchOps]] BM25: the monotone pre-log Robertson idf
+    * (N−df+0.5)/(df+0.5) = (2N−2df+1)/(2df+1) keeps every factor an exact
+    * int64 product, so the ONE double division per (doc, term) is
+    * bit-identical cross-engine and the ranking cannot flap. Ties broken by
+    * term (ascending) for a total order.
+    *
+    * 100 TB posture: tokenize+tf is the standard linear (doc, term) shuffle
+    * (same as heavy_hitter_tokens); df is a map-side-combined aggregate of
+    * the tf relation; the df join shuffles on term (vocab-sized — broadcast
+    * only when the vocabulary is known small); the top-3 window partitions
+    * by doc_id, so its state is bounded by one document's distinct terms.
+    */
+  def tfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    val score =
+      (col("tf") * (lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)))
+        .cast("double") / (lit(2L) * col("df") + lit(1L)).cast("double")
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term").join(broadcast(n))
+      .withColumn("tfidf", score)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tfidf", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
+  private val tfidfKeywordsOracle = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       t -> t <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term,
+    CAST(tf * (2*n - 2*df + 1) AS DOUBLE) / CAST(2*df + 1 AS DOUBLE) AS tfidf,
+    row_number() OVER (PARTITION BY doc_id
+      ORDER BY CAST(tf * (2*n - 2*df + 1) AS DOUBLE)
+               / CAST(2*df + 1 AS DOUBLE) DESC, term) AS rk
+  FROM tf JOIN dfr USING (term), nr)
+WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "text_tfidf_keywords" ->
+      QueryDef(tfidfKeywords, Some(tfidfKeywordsOracle)),
     "text_ngram_novelty" -> QueryDef(ngramNovelty, Some(ngramNoveltyOracle)),
     "vocab_oov_rate" -> QueryDef(vocabOovRate, Some(vocabOovOracle)),
     "vocab_bpe_first_merge" ->

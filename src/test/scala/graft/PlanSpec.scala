@@ -542,4 +542,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"base data range-sorted in the top-k maintenance plan:\n${plan.take(2000)}")
   }
+
+  test("bloom-pruned join: the sketch probe filters the fact scan below the join") {
+    val plan = executedPlan(ops.ScalePatterns.bloomPrunedJoin(spark, sfDir))
+    // the might_contain filter must survive optimization as a scan-side
+    // predicate — if it folds away or floats above the join, the fact rows
+    // shuffle unpruned and the pattern is dead weight
+    val joinAt = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(plan.indexOf).filter(_ >= 0).minOption
+      .getOrElse(fail(s"no equi-join in bloom plan:\n${plan.take(2000)}"))
+    val probeAt = plan.indexOf("might_contain")
+    assert(probeAt >= 0, s"bloom probe missing from plan:\n${plan.take(2000)}")
+    // plans print top-down, so scan-side (deeper) means LATER in the string
+    assert(probeAt > joinAt,
+      s"bloom probe sits above the join, not on the scan side:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("tfidf keywords: the rank window partitions by doc_id, never global") {
+    val plan = executedPlan(ops.TextOps.tfidfKeywords(spark, sfDir))
+    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[doc_id".r
+      .findFirstIn(plan).isDefined,
+      s"top-3 window lost its doc_id partitioning:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      "tf/df aggregation lost map-side partials")
+  }
+
+  test("phash near-dup: banded candidates are an equi-join, never catalog x catalog") {
+    val plan = executedPlan(ops.Multimodal.phashNearDup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"phash banding degraded to an all-pairs join:\n${plan.take(2000)}")
+  }
 }

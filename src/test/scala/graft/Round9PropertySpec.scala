@@ -159,6 +159,34 @@ class Round9PropertySpec extends SparkSpec {
         "cap engaged below its threshold")
   }
 
+  test("the bloom sketch genuinely prunes the fact side (not a tautology)") {
+    // the oracle proves bloom_pruned_join returns the exact-join relation,
+    // but an always-true probe would ALSO pass it — this law pins the
+    // pruning itself: the sketch filter must reject most non-matching fact
+    // rows (≤ matches + FPP slack) while never rejecting a true match
+    graft.functions.VectorFunctions.register(spark)
+    val urgent = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val sketch = urgent.agg(call_function("bloom_agg",
+        xxhash64(col("o_orderkey")), lit(100000L), lit(800000L)).as("bf"))
+      .first().getAs[Array[Byte]]("bf")
+    val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey")
+    val factN = fact.count()
+    val prunedN = fact.filter(call_function("bloom_might_contain",
+      lit(sketch), xxhash64(col("l_orderkey")))).count()
+    val matchN = fact.join(urgent,
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(matchN > 0 && matchN < factN, "degenerate corpus — vacuous law")
+    assert(prunedN >= matchN,
+      s"bloom dropped true matches: pruned=$prunedN < matches=$matchN")
+    // 800k bits / ~urgent-key count keeps FPP ~1%; allow 5% of the
+    // non-matching population as slack before calling the sketch dead
+    assert(prunedN <= matchN + (factN - matchN) / 20,
+      s"sketch passes ${prunedN - matchN} of ${factN - matchN} non-matching " +
+        "rows — the bloom probe is no longer pruning")
+  }
+
   test("unpinning SessionMemo drops every strong pin across instances") {
     // the r8 ADVICE leak: pin → touch sessions → unpin used to leave the
     // touched sessions strongly referenced forever. The setter now clears
