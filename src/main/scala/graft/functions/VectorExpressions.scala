@@ -90,6 +90,7 @@ object VectorFunctions {
     add("bloom_might_contain")(exprs =>
       new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1)))
+    add("cdc_boundaries_8_64")(exprs => CdcBoundaries(exprs.head))
   }
 }
 
@@ -194,6 +195,52 @@ case class MinHashSignature(child: Expression, width: Int, k: Int)
     copy(child = c)
 }
 
+/** Content-defined chunk boundaries of a binary payload — the shift-robust
+  * chunking primitive under CDC dedup (`media_cdc_*`): a boundary closes at
+  * 1-based position p (p ≥ 8) when the first byte of md5 over the 8-byte
+  * window ending at p has its low 6 bits zero (P = 1/64 → ~64-byte mean
+  * chunks), and the payload end always closes the final chunk. Boundaries
+  * depend only on LOCAL bytes, so an insertion re-synchronizes after one
+  * window and every later chunk digest still matches — the property
+  * fixed-offset framing (`media_frame_sample`) structurally lacks. md5 is
+  * the window hash because both engines compute it bit-identically (same
+  * discipline as [[SimHash60]]); a production deployment swaps in an O(1)
+  * rolling gear hash, which only changes WHERE boundaries fall, not the
+  * operator shape. Output: sorted ascending array<long> of boundary end
+  * positions (empty for an empty payload; [L] alone when L < 8).
+  */
+case class CdcBoundaries(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val L = bytes.length
+    if (L == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var p = 8
+    while (p <= L) {
+      val d = md5.digest(java.util.Arrays.copyOfRange(bytes, p - 8, p))
+      if ((d(0) & 0x3f) == 0) out += p.toLong
+      p += 1
+    }
+    if (out.isEmpty || out.last != L) out += L.toLong
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcBoundaries =
+    copy(child = c)
+}
+
 /** 60-bit SimHash signature of a (repeated) token array in one per-row
   * loop: per-token hash = the first 60 bits of md5 (identical to
   * `conv(substring(md5(t),1,15),16,10)` and DuckDB's
@@ -285,6 +332,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("cdc_boundaries_8_64"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries_8_64"),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs.head)))
     // the custom operator's planner strategy + its pushdown rule (Catalyst
     // can't see through an opaque binary node without the rule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -302,8 +302,107 @@ WHERE bit_count(xor(sa.phash, sb.phash)) <= 12
 ORDER BY i, j
 """
 
+  // ------------------------------------------- content-defined chunking
+  /** Per-payload content-defined chunks: boundary positions from the
+    * [[graft.functions.CdcBoundaries]] window hash (~64-byte mean), one
+    * row per chunk with its length and digest. This is the shift-robust
+    * complement of [[frameSample]]'s fixed 256-byte frames: an insertion
+    * shifts every later fixed frame (zero digest reuse) but re-syncs CDC
+    * boundaries after one window, so downstream dedup still matches the
+    * unchanged content — the storage/WARC dedup shape. Pure per-row
+    * expressions after the boundary scan; no shuffle until a consumer
+    * aggregates digests.
+    */
+  private def cdcDigests(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    media(s, dir)
+      .filter(octet_length(col("payload")) >= 1)
+      .select(col("doc_id"), col("payload"),
+        call_function("cdc_boundaries_8_64", col("payload")).as("b"))
+      .select(col("doc_id"), col("payload"), col("b"),
+        posexplode(col("b")).as(Seq("chunk_idx", "en")))
+      .withColumn("st", when(col("chunk_idx") === 0, lit(0L))
+        .otherwise(element_at(col("b"), col("chunk_idx").cast("int"))))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("en") - col("st")).as("chunk_len"),
+        md5(col("payload").substr((col("st") + 1).cast("int"),
+          (col("en") - col("st")).cast("int"))).as("chunk_md5"))
+  }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcDigests(s, dir).orderBy("doc_id", "chunk_idx")
+
+  /** Shared CTE: boundary list per document, mirroring CdcBoundaries —
+    * interior positions where the first md5 byte of the 8-char window has
+    * low 6 bits zero (hex value % 64 = 0), payload end appended,
+    * list_sort because DuckDB's list_distinct does not preserve order.
+    */
+  private val cdcChunkSql = """
+WITH bnd AS (
+  SELECT doc_id, length(text) AS L,
+    list_sort(list_distinct(list_append(
+      list_filter(range(8, length(text) + 1),
+        p -> CAST('0x' || substr(md5(substr(text, CAST(p - 7 AS INT), 8)),
+                  1, 2) AS BIGINT) % 64 = 0),
+      CAST(length(text) AS BIGINT)))) AS b
+  FROM documents WHERE length(text) >= 1),
+ch AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+    CASE WHEN i = 1 THEN 0 ELSE b[CAST(i - 1 AS INT)] END AS st,
+    b[CAST(i AS INT)] AS en
+  FROM bnd, LATERAL (SELECT unnest(range(1, len(b) + 1)) AS i)),
+dig AS (
+  SELECT c.doc_id, c.chunk_idx, c.en - c.st AS chunk_len,
+    md5(substr(d.text, CAST(c.st + 1 AS INT), CAST(c.en - c.st AS INT)))
+      AS chunk_md5
+  FROM ch c JOIN documents d USING (doc_id))
+"""
+
+  private val cdcChunksOracle = cdcChunkSql + """
+SELECT doc_id, chunk_idx, chunk_len, chunk_md5
+FROM dig ORDER BY doc_id, chunk_idx
+"""
+
+  /** Per-document CDC dedup profile: how much of each payload's content is
+    * shared with ANY other payload, by chunk digest. n_shared counts this
+    * document's chunks whose digest occurs in ≥ 2 distinct documents —
+    * the per-asset signal a storage-dedup / near-copy triage ranks on.
+    * Scale: digest df is one map-side-combined aggregate; the profile join
+    * shuffles on digest (content-addressed key, uniform by construction).
+    */
+  def cdcSharedProfile(s: SparkSession, dir: String): DataFrame = {
+    // materialize the (doc, digest) table once: the df aggregate and the
+    // profile join both read it instead of re-running the boundary scan +
+    // per-chunk md5 twice
+    val dig = cdcDigests(s, dir).select("doc_id", "chunk_md5")
+      .localCheckpoint()
+    val dfd = dig.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("dn"))
+    dig.join(dfd, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dn") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_fraction",
+        col("n_shared").cast("double") / col("n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  private val cdcSharedOracle = cdcChunkSql + """,
+dfd AS (
+  SELECT chunk_md5, count(DISTINCT doc_id) AS dn FROM dig GROUP BY chunk_md5)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN dn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  CAST(sum(CASE WHEN dn >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS shared_fraction
+FROM dig JOIN dfd USING (chunk_md5)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "media_phash" -> QueryDef(mediaPhash, Some(mediaPhashOracle)),
+    "media_cdc_chunks" -> QueryDef(cdcChunks, Some(cdcChunksOracle)),
+    "media_cdc_shared" ->
+      QueryDef(cdcSharedProfile, Some(cdcSharedOracle)),
     "media_phash_neardup" ->
       QueryDef(phashNearDup, Some(phashNearDupOracle)),
     "media_metadata" -> QueryDef(mediaMetadata, Some(mediaMetadataOracle)),

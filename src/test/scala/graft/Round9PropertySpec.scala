@@ -187,6 +187,36 @@ class Round9PropertySpec extends SparkSpec {
         "rows — the bloom probe is no longer pruning")
   }
 
+  test("CDC chunking survives a prefix shift; fixed frames do not") {
+    // the reason media_cdc_* exists next to media_frame_sample: insert 3
+    // bytes at the front of a payload and every fixed 256-byte frame
+    // digest changes, but content-defined boundaries re-synchronize after
+    // one 8-byte window so most chunk digests still match. This pins the
+    // shift-robustness itself — if the boundary rule ever becomes
+    // offset-dependent, the shared count collapses and this fails.
+    import spark.implicits._
+    val words = (0 until 120).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val rows = Seq((1L, words, "en", "cdc", 0L),
+      (2L, "ZZ " + words, "en", "cdc", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("cdc_shift")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cdcShared = ops.Multimodal.cdcChunks(spark, dir.toString)
+      .groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("dn"))
+      .filter(col("dn") === 2).count()
+    assert(cdcShared >= 3,
+      s"CDC re-sync lost: only $cdcShared chunk digests survive a 3-byte " +
+        "prefix insertion")
+    val frameShared = ops.Multimodal.frameSample(spark, dir.toString)
+      .groupBy("frame_md5")
+      .agg(countDistinct(col("doc_id")).as("dn"))
+      .filter(col("dn") === 2).count()
+    assert(frameShared == 0,
+      "fixed-offset frames unexpectedly survived the shift — the law's " +
+        "contrast arm is vacuous")
+  }
+
   test("unpinning SessionMemo drops every strong pin across instances") {
     // the r8 ADVICE leak: pin → touch sessions → unpin used to leave the
     // touched sessions strongly referenced forever. The setter now clears
