@@ -229,8 +229,10 @@ case class CdcBoundaries(child: Expression)
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var p = 8
     while (p <= L) {
-      val d = md5.digest(java.util.Arrays.copyOfRange(bytes, p - 8, p))
-      if ((d(0) & 0x3f) == 0) out += p.toLong
+      // hash the window in place (update+digest resets the instance);
+      // no per-position copy of the 8-byte slice
+      md5.update(bytes, p - 8, 8)
+      if ((md5.digest()(0) & 0x3f) == 0) out += p.toLong
       p += 1
     }
     if (out.isEmpty || out.last != L) out += L.toLong

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Registry}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed media-feature record produced by the (stubbed) decoder. */
@@ -315,18 +315,25 @@ ORDER BY i, j
     */
   private def cdcDigests(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    // slice + digest every chunk INSIDE the row (transform over the
+    // boundary array), then explode only the tiny (len, md5) structs — a
+    // posexplode before the digest would copy the whole payload into every
+    // per-chunk row (O(L²/chunk) intermediate bytes per document)
+    def startAt(i: Column, b: Column): Column =
+      when(i === 0, lit(0L)).otherwise(element_at(b, i))
     media(s, dir)
       .filter(octet_length(col("payload")) >= 1)
       .select(col("doc_id"), col("payload"),
         call_function("cdc_boundaries_8_64", col("payload")).as("b"))
-      .select(col("doc_id"), col("payload"), col("b"),
-        posexplode(col("b")).as(Seq("chunk_idx", "en")))
-      .withColumn("st", when(col("chunk_idx") === 0, lit(0L))
-        .otherwise(element_at(col("b"), col("chunk_idx").cast("int"))))
+      .select(col("doc_id"),
+        posexplode(transform(col("b"), (en, i) => struct(
+          (en - startAt(i, col("b"))).as("chunk_len"),
+          md5(col("payload").substr(
+            (startAt(i, col("b")) + 1).cast("int"),
+            (en - startAt(i, col("b"))).cast("int"))).as("chunk_md5"))))
+          .as(Seq("chunk_idx", "ch")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        (col("en") - col("st")).as("chunk_len"),
-        md5(col("payload").substr((col("st") + 1).cast("int"),
-          (col("en") - col("st")).cast("int"))).as("chunk_md5"))
+        col("ch.chunk_len"), col("ch.chunk_md5"))
   }
 
   def cdcChunks(s: SparkSession, dir: String): DataFrame =
