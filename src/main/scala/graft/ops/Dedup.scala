@@ -611,6 +611,194 @@ GROUP BY b.doc_id
 ORDER BY doc_id
 """
 
+  // ------------------------------------------------ exact substring spans
+  /** Minimum shared-run length (in tokens) for a span to count. 15 tokens
+    * = 11 consecutive matching 5-gram seeds, comfortably above the random
+    * 5-gram collision floor of this vocabulary (a chance seed match yields
+    * span exactly 5), so reported spans are genuine copied text, not
+    * noise. The published exact-substring dedup line uses the same
+    * seed-then-extend structure at 50 tokens; the smaller bound fits the
+    * 10–99-token corpus while keeping identical machinery.
+    */
+  private[graft] val MinSpanTokens = 15
+
+  /** Positional seed-gram postings (doc_id, pos, g): every 5-gram hash at
+    * its 0-based token position — the non-distinct, position-carrying twin
+    * of [[shingles]]. Same stop-gram df discipline as [[cappedPostings]]
+    * (df counts DISTINCT docs here, since a gram may repeat within one
+    * doc); the exploded index is checkpointed once because the stop
+    * aggregate and both self-join sides read it.
+    */
+  private def positionalPostings(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val g = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(call_function("shingle_hashes_5", split(col("text"), " ")))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
+      .localCheckpoint()
+    val stop = g.groupBy("g").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > PostingDfCap).select("g")
+    g.join(broadcast(stop), Seq("g"), "left_anti")
+  }
+
+  /** Maximal cross-document shared token runs ≥ [[MinSpanTokens]] — the
+    * exact-substring dedup primitive (find verbatim copied passages, the
+    * thing similarity scores only approximate). Seed-and-extend, fully
+    * relational: positional postings self-join on gram (candidates only
+    * for co-occurring seeds — never corpus×corpus), then consecutive seed
+    * matches merge into maximal runs per (pair, diagonal) via the
+    * gaps-and-islands window (`pos − row_number`), where diagonal
+    * = pi − pj pins the relative alignment of the two occurrences. A run
+    * of k consecutive matching 5-gram seeds is a shared span of k + 4
+    * tokens. Shuffle posture: one exchange for the posting join, one for
+    * the (i, j, diag)-partitioned window — never a global window — and the
+    * grouped island aggregation reuses the window's partitioning. Shared
+    * intermediate of both substring queries, session-memoized like the
+    * Jaccard pair list.
+    */
+  private val spansCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def substringSpans(s: SparkSession, dir: String): DataFrame =
+    spansCache.getOrElseUpdate(s, dir) {
+      import org.apache.spark.sql.expressions.Window
+      val ex = positionalPostings(s, dir)
+      val cand = ex.as("a")
+        .join(ex.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.pos").as("pi"), col("b.pos").as("pj"),
+          (col("a.pos") - col("b.pos")).as("diag"))
+      val w = Window.partitionBy("i", "j", "diag").orderBy("pi")
+      cand
+        .withColumn("isl", col("pi") - row_number().over(w))
+        .groupBy("i", "j", "diag", "isl")
+        .agg(count(lit(1)).as("run"),
+          min("pi").as("start_i"), min("pj").as("start_j"))
+        .select(col("i"), col("j"), col("start_i"), col("start_j"),
+          (col("run") + lit(4L)).as("span_tokens"))
+        .filter(col("span_tokens") >= MinSpanTokens)
+        .persist()
+    }
+
+  /** Per near-dup pair: longest shared verbatim run and how many disjoint
+    * maximal runs clear the bound.
+    */
+  def substringSpanPairs(s: SparkSession, dir: String): DataFrame =
+    substringSpans(s, dir)
+      .groupBy("i", "j")
+      .agg(max("span_tokens").as("max_span_tokens"),
+        count(lit(1)).as("n_spans"))
+      .orderBy("i", "j")
+
+  private val substringSeedCte = s"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)),
+stop AS (SELECT gram FROM (
+  SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+  WHERE df > $PostingDfCap),
+ex AS (SELECT g.* FROM g ANTI JOIN stop USING (gram)),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj,
+         a.pos - b.pos AS diag
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+isl AS (
+  SELECT i, j, diag, pi, pj,
+         pi - row_number() OVER (PARTITION BY i, j, diag ORDER BY pi) AS isl
+  FROM cand),
+spans AS (
+  SELECT i, j, diag, isl, CAST(count(*) + 4 AS BIGINT) AS span_tokens,
+         min(pi) AS start_i, min(pj) AS start_j
+  FROM isl GROUP BY i, j, diag, isl
+  HAVING count(*) + 4 >= $MinSpanTokens)"""
+
+  private val substringSpanPairsOracle = s"""
+$substringSeedCte
+SELECT i, j, max(span_tokens) AS max_span_tokens,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM spans GROUP BY i, j ORDER BY i, j
+"""
+
+  /** Per-document fraction of tokens inside ANY shared span — the decision
+    * input of substring-level dedup (drop/trim documents that are mostly
+    * verbatim copies of others). Span occurrences from both pair roles
+    * union into per-doc [start, start+span) intervals; overlapping
+    * intervals merge with the running-max island window (new island when a
+    * start clears every previous end), so covered tokens are counted once
+    * however many partners share them. All windows are doc-partitioned.
+    */
+  def substringCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = substringSpans(s, dir)
+    // DISTINCT is load-bearing, not a tidy-up: two partners sharing the
+    // same passage emit IDENTICAL (doc, st, en) intervals, and a fully-tied
+    // window ORDER BY is where engines disagree — DuckDB's parallel window
+    // was observed (≈1 in 3 runs) giving BOTH tied rows an empty preceding
+    // frame, double-counting the union (coverage 2.0 on a 78-token doc).
+    // Duplicates are redundant for a set union, so removing them removes
+    // the full tie in both engines; the remaining (st, en) ordering is a
+    // total order per doc.
+    val iv = sp.select(col("i").as("doc_id"), col("start_i").as("st"),
+        (col("start_i") + col("span_tokens")).as("en"))
+      .unionAll(sp.select(col("j").as("doc_id"), col("start_j").as("st"),
+        (col("start_j") + col("span_tokens")).as("en")))
+      .distinct()
+    val prev = Window.partitionBy("doc_id").orderBy("st", "en")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy("doc_id").orderBy("st", "en")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val covered = iv
+      .withColumn("newisl",
+        when(col("st") > coalesce(max("en").over(prev), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum("newisl").over(upto))
+      .groupBy("doc_id", "isl")
+      .agg((max("en") - min("st")).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("covered_tokens"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
+        (col("covered_tokens").cast("double") / col("n_tokens"))
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  private val substringCoverageOracle = s"""
+$substringSeedCte,
+iv AS (
+  -- UNION (not ALL): identical intervals from different partners would
+  -- fully tie the merge window's ORDER BY, which DuckDB's parallel window
+  -- resolves nondeterministically (both tied rows can see an empty
+  -- preceding frame); the set union is unchanged by duplicate removal
+  SELECT i AS doc_id, start_i AS st, start_i + span_tokens AS en FROM spans
+  UNION
+  SELECT j, start_j, start_j + span_tokens FROM spans),
+mk AS (
+  SELECT doc_id, st, en,
+    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id
+           ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         -1) THEN 1 ELSE 0 END AS newisl
+  FROM iv),
+grp AS (
+  SELECT doc_id, st, en, sum(newisl) OVER (PARTITION BY doc_id
+           ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS isl
+  FROM mk),
+cov AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered_tokens FROM (
+    SELECT doc_id, isl, max(en) - min(st) AS c FROM grp GROUP BY doc_id, isl)
+  GROUP BY doc_id),
+nt AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+SELECT nt.doc_id, n_tokens, covered_tokens,
+       CAST(covered_tokens AS DOUBLE) / n_tokens AS coverage
+FROM nt JOIN cov USING (doc_id) ORDER BY nt.doc_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "dedup_paragraphs" ->
       QueryDef(paragraphDedup, Some(paragraphDedupOracle)),
@@ -623,6 +811,10 @@ ORDER BY doc_id
     "dedup_ngram_jaccard" -> QueryDef(jaccardPairs, Some(jaccardPairsOracle)),
     "dedup_minhash_lsh" -> QueryDef(minhashLsh, Some(jaccardPairsOracle)),
     "dedup_simhash" -> QueryDef(simhash, Some(simhashOracle)),
-    "dedup_embedding_cosine" -> QueryDef(embeddingPairs, Some(embeddingPairsOracle))
+    "dedup_embedding_cosine" -> QueryDef(embeddingPairs, Some(embeddingPairsOracle)),
+    "dedup_substring_spans" ->
+      QueryDef(substringSpanPairs, Some(substringSpanPairsOracle)),
+    "dedup_substring_coverage" ->
+      QueryDef(substringCoverage, Some(substringCoverageOracle))
   )
 }

@@ -574,4 +574,27 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"phash banding degraded to an all-pairs join:\n${plan.take(2000)}")
   }
+
+  test("substring spans: seed equi-join + pair-diagonal window, never corpus×corpus") {
+    // exact-substring dedup must stay O(co-occurring seeds): candidates
+    // come from the positional posting self-join on the gram hash, and
+    // the islands window partitions by (i, j, diag) — a global window or
+    // a non-equi join here is an all-pairs pass at corpus scale
+    val plan = executedPlan(ops.Dedup.substringSpanPairs(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"substring candidates degraded to an all-pairs join:\n${plan.take(2000)}")
+    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[i#?[0-9L]*, j".r
+      .findFirstIn(plan).isDefined,
+      s"islands window lost its (i, j, diag) partitioning:\n${plan.take(2000)}")
+  }
+
+  test("substring coverage: interval-merge windows are doc-partitioned, never global") {
+    val plan = executedPlan(ops.Dedup.substringCoverage(spark, sfDir))
+    assert("Window \\[[^\\]]*\\], \\[doc_id".r.findFirstIn(plan).isDefined,
+      s"interval-union window lost its doc_id partitioning:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"coverage picked up an all-pairs term:\n${plan.take(2000)}")
+  }
 }

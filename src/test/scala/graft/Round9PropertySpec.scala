@@ -217,6 +217,44 @@ class Round9PropertySpec extends SparkSpec {
         "contrast arm is vacuous")
   }
 
+  test("substring spans: exact run arithmetic, threshold, and interval-union coverage") {
+    // planted-copy corpus: A carries tokens t0..t29 plus a 10-token unique
+    // tail (40 tokens); B embeds A's t0..t19 (a 20-token verbatim run), C
+    // embeds A's t10..t29 (another 20-token run overlapping A's first by
+    // 10). B and C share only t10..t19 with each other — 10 tokens, below
+    // MinSpanTokens — so that pair must not appear at all.
+    import spark.implicits._
+    def toks(a: Int, b: Int) = (a until b).map(i => s"t$i").mkString(" ")
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"${toks(0, 30)} ${uniq("ua", 10)}", "en", "sub", 0L),
+      (2L, s"${uniq("ub", 10)} ${toks(0, 20)} ${uniq("vb", 10)}", "en", "sub", 0L),
+      (3L, s"${uniq("uc", 10)} ${toks(10, 30)} ${uniq("vc", 10)}", "en", "sub", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("substr")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = ops.Dedup.substringSpanPairs(spark, dir.toString).collect()
+    assert(spans.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L)),
+      s"expected exactly the two planted pairs (1,2),(1,3) — the " +
+        s"sub-threshold (2,3) 10-token overlap must be absent: " +
+        spans.mkString(","))
+    assert(spans.forall(r => r.getLong(2) == 20L && r.getLong(3) == 1L),
+      s"a maximal 20-token planted run must surface as ONE span of " +
+        s"exactly 20 tokens (16 consecutive 5-gram seeds + 4): " +
+        spans.mkString(","))
+    // coverage: A's two intervals [0,20) and [10,30) must MERGE to
+    // [0,30) → 30 of 40 tokens. Double-counting the overlap would read
+    // 40/40; dropping the union would read 20/40.
+    val cov = ops.Dedup.substringCoverage(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(cov(1L) == ((30L, 0.75)),
+      s"interval union broken for the overlapping spans: ${cov(1L)}")
+    assert(cov(2L) == ((20L, 0.5)) && cov(3L) == ((20L, 0.5)),
+      s"single-span coverage wrong: ${cov(2L)}, ${cov(3L)}")
+  }
+
   test("unpinning SessionMemo drops every strong pin across instances") {
     // the r8 ADVICE leak: pin → touch sessions → unpin used to leave the
     // touched sessions strongly referenced forever. The setter now clears
