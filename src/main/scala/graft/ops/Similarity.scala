@@ -1189,7 +1189,190 @@ SELECT b.query_id,
 FROM brute b GROUP BY b.query_id ORDER BY query_id
 """
 
+  // -------------------------------------- random-projection (JL) rerank
+  private val RpDims = 16
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix, row r = the 64
+    * signs of projection r: +1 iff the first hex digit of md5("r_d") is
+    * below '8' (P = 1/2 per entry). The same closed form is evaluated in
+    * the oracle with DuckDB's md5 over the identical string, so both
+    * engines project through bit-identical matrices without shipping one.
+    */
+  private lazy val rpSigns: Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until RpDims).map { r =>
+      (0 until 64).map { d =>
+        val h = md.digest(s"${r}_$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+      }.toSeq
+    }
+  }
+
+  /** Random-projection ANN — the fourth classic compression scheme next to
+    * SQ8 (scalar), PQ (product) and LSH (binary): a DENSE ±1
+    * Johnson–Lindenstrauss projection to [[RpDims]] int64 coordinates
+    * (each = one [[graft.functions.LongArrayDot]] against a literal sign
+    * row — codegen'd, exact), preserving dot products in expectation with
+    * JL variance ~1/[[RpDims]]. The approx phase ranks by the projected
+    * quasi-cosine dot/√‖rp‖² (the query-side norm is rank-constant and
+    * dropped; one IEEE sqrt+division on exact int64 inputs, bit-identical
+    * across engines), keeps [[CandPool]] candidates, and the exact phase
+    * rescores them with full-precision quantized cosine — same
+    * two-phase shape as [[sq8Rerank]]. Scale: the sketch scan reads 16
+    * int64s instead of 64 floats per row (4× less candidate-phase I/O and
+    * arithmetic), and the sketch column is the thing a 100 TB layout
+    * would store alongside the vectors. [[rpRecall]] audits what the
+    * compression costs against the exact baseline.
+    */
+  def rpRerank(s: SparkSession, dir: String): DataFrame = {
+    val base = quantized(s, dir)
+      .withColumn("rp", array(rpSigns.map(row =>
+        call_function("vec_dot_long", col("qv"), typedLit(row))): _*))
+      .withColumn("rpn", call_function("vec_dot_long", col("rp"), col("rp")))
+    val probes = base.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("query_id"), col("qv").as("pq"),
+        col("nrm").as("pnrm"), col("rp").as("prp"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cands = base.join(broadcast(probes),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (call_function("vec_dot_long", col("prp"), col("rp")).cast("double")
+          / sqrt(col("rpn").cast("double"))).as("approx"),
+        col("pq"), col("pnrm"), col("qv"), col("nrm"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= CandPool)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("pq"), col("qv"), col("pnrm"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared oracle CTE: the sign matrix + per-vector int64 RP sketch. */
+  private val rpSketchCte = s"""
+WITH mat AS (
+  SELECT r, d,
+    CASE WHEN substr(md5(CAST(r AS VARCHAR) || '_' || CAST(d AS VARCHAR)),
+                     1, 1) < '8' THEN 1 ELSE -1 END AS sgn
+  FROM range(0, $RpDims) t1(r), range(0, 64) t2(d)),
+m AS (SELECT list(srow ORDER BY r) AS mm FROM (
+  SELECT r, list(sgn ORDER BY d) AS srow FROM mat GROUP BY r) GROUP BY ALL),
+q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+rp AS (
+  SELECT vec_id, qv,
+    list_transform(range(1, ${RpDims + 1}),
+      r -> list_sum(list_transform(range(1, 65),
+        k -> qv[k] * mm[r][k]))) AS rpv
+  FROM q, m)"""
+
+  private val rpRerankOracle = s"""
+$rpSketchCte,
+cands AS (
+  SELECT query_id, neighbor_id, pq, cqv FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      p.qv AS pq, c.qv AS cqv,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, ${RpDims + 1}),
+          k -> p.rpv[k] * c.rpv[k])) AS DOUBLE)
+        / sqrt(CAST(list_sum(list_transform(c.rpv, x -> x * x)) AS DOUBLE))
+        DESC, c.vec_id ASC) AS arank
+    FROM rp p JOIN rp c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id)
+  WHERE arank <= $CandPool),
+reranked AS (
+  SELECT query_id, neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> pq[k] * cqv[k])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(pq, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(cqv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM cands)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM reranked)
+WHERE rank <= $TopK ORDER BY query_id, rank
+"""
+
+  /** Recall of the RP-sketch pipeline against the exact brute-force top-k —
+    * the audit that makes the JL compression's cost measurable, same shape
+    * as [[ivfRecall]]/[[pqRecall]].
+    */
+  def rpRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
+    val a = rpRerank(s, dir).select(col("query_id").as("a_q"),
+      col("neighbor_id").as("a_n"))
+    brute.join(a, col("query_id") === col("a_q") &&
+        col("neighbor_id") === col("a_n"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("common"))
+      .select(col("query_id"), col("n_exact"), col("common"),
+        (col("common").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  private val rpRecallOracle = s"""
+$rpSketchCte,
+cands AS (
+  SELECT query_id, neighbor_id, pq, cqv FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      p.qv AS pq, c.qv AS cqv,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, ${RpDims + 1}),
+          k -> p.rpv[k] * c.rpv[k])) AS DOUBLE)
+        / sqrt(CAST(list_sum(list_transform(c.rpv, x -> x * x)) AS DOUBLE))
+        DESC, c.vec_id ASC) AS arank
+    FROM rp p JOIN rp c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id)
+  WHERE arank <= $CandPool),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65), k -> pq[k] * cqv[k]))
+          AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(pq, x -> x * x)) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(cqv, x -> x * x)) AS DOUBLE)))
+        DESC, neighbor_id ASC) AS rank
+    FROM cands)
+  WHERE rank <= $TopK),
+bscored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> p.qv[k] * c.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM q p JOIN q c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM bscored)
+  WHERE rank <= $TopK)
+SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS common,
+  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS recall
+FROM brute b LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "ann_rp_rerank" -> QueryDef(rpRerank, Some(rpRerankOracle)),
+    "ann_rp_recall" -> QueryDef(rpRecall, Some(rpRecallOracle)),
     "ann_ivf_recall" -> QueryDef(ivfRecall, Some(ivfRecallOracle)),
     "ann_ivf_pq" -> QueryDef(ivfPq, Some(ivfPqOracle)),
     "ann_ivf_pq_recall" -> QueryDef(ivfPqRecall, Some(ivfPqRecallOracle)),
