@@ -59,14 +59,33 @@ class XetraBarsTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XetraBarsScanBuilder(path)
+    new XetraBarsScanBuilder(path, options.getBoolean("trustLayout", false))
 }
 
-class XetraBarsScanBuilder(path: String) extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+/** Supported pushed-aggregate shapes ([[SupportsPushDownAggregates]]). */
+private[sources] sealed trait PushedAgg
+private[sources] object PushedAgg {
+  /** `count(*)` — sound unconditionally: the row reader emits one row per
+    * non-header line whatever the cells contain, so a per-file line count
+    * is exactly the row count, with no split/parse/InternalRow per row.
+    */
+  case object CountAll extends PushedAgg
+  /** `min(Date)` / `max(Date)` — answered from the date DIRECTORY NAMES,
+    * zero file opens. Only offered under `trustLayout=true` (see
+    * [[XetraBarsScanBuilder]]).
+    */
+  case object MinDate extends PushedAgg
+  case object MaxDate extends PushedAgg
+}
+
+class XetraBarsScanBuilder(path: String, trustLayout: Boolean)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = XetraBarsTable.Schema
+  private var pushedAggs: Option[Seq[PushedAgg]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept the Date-shaped predicates for directory pruning; EVERYTHING
@@ -86,17 +105,88 @@ class XetraBarsScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new XetraBarsScan(path, pushed, required)
+  /** Aggregate pushdown (`SupportsPushDownAggregates`), two tiers:
+    *
+    *  - `count(*)` pushes UNCONDITIONALLY as a partial: one per-file line
+    *    count per input partition (parallel, no row materialization), with
+    *    Spark's final aggregate summing the partials. Sound because the
+    *    row reader emits exactly one row per non-header line regardless of
+    *    cell contents.
+    *  - `min(Date)` / `max(Date)` push only when the user opted in with
+    *    `.option("trustLayout", true)`: the answer comes from the date
+    *    directory NAMES with zero file opens — the reference's own layout
+    *    contract (`s3.py` derives the processed-date set from key
+    *    prefixes), but it IS a contract: a stray row whose Date cell
+    *    disagrees with its directory, or an empty date directory, is
+    *    out-of-contract and would make the metadata answer differ from a
+    *    full scan. Default is off, so the unopted source never trades
+    *    correctness for speed.
+    *
+    * Metadata-only shapes (no count) report COMPLETE pushdown: the scan
+    * returns the single final row, computed at planning time from the
+    * pruned listing — at 100 TB that is a directory listing instead of a
+    * table scan. Any grouping, any other aggregate, or any residual
+    * filter (Spark's own rule: aggregates never push through post-scan
+    * filters, and every filter here stays residual) falls back to the
+    * ordinary row scan.
+    */
+  private def classify(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[Seq[PushedAgg]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isDate(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("Date"))
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) return None
+    val fns = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PushedAgg.CountAll)
+      case m: Min if isDate(m.column) && trustLayout => Some(PushedAgg.MinDate)
+      case m: Max if isDate(m.column) && trustLayout => Some(PushedAgg.MaxDate)
+      case _ => None
+    }
+    if (fns.nonEmpty && fns.forall(_.isDefined)) Some(fns.flatten) else None
+  }
+
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean =
+    classify(agg).exists(!_.contains(PushedAgg.CountAll))
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = {
+    classify(agg) match {
+      case some @ Some(_) => pushedAggs = some; true
+      case None => false
+    }
+  }
+
+  override def build(): Scan =
+    new XetraBarsScan(path, pushed, required, pushedAggs)
 }
 
 class XetraBarsScan(path: String, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, aggs: Option[Seq[PushedAgg]] = None)
+  extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  /** Positional schema of the pushed-aggregate rows (partial or final) —
+    * Spark matches scan output to the pushed `aggregateExpressions` by
+    * position.
+    */
+  private def aggSchema(fns: Seq[PushedAgg]): StructType =
+    StructType(fns.zipWithIndex.map {
+      case (PushedAgg.CountAll, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", StringType)
+    })
+
+  override def readSchema(): StructType =
+    aggs.map(aggSchema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"XetraBars path=$path prunedBy=[${pushed.mkString(", ")}] " +
-      s"columns=[${required.fieldNames.mkString(",")}]"
+      aggs.fold(s"columns=[${required.fieldNames.mkString(",")}]")(fns =>
+        s"PushedAggregates=[${fns.mkString(", ")}]")
 
   /** One date directory survives iff its name satisfies every pushed Date
     * predicate (names are ISO dates, so lexicographic compare is order-
@@ -112,16 +202,39 @@ class XetraBarsScan(path: String, pushed: Array[Filter],
     case _ => true
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Admitted (dateDir, csvFile) pairs from one listing pass. */
+  private def listFiles(): Seq[(String, String)] = {
     val base = new Path(path)
     val fs = base.getFileSystem(new Configuration())
-    if (!fs.exists(base)) return Array.empty
+    if (!fs.exists(base)) return Nil
     fs.listStatus(base).iterator
       .filter(s => s.isDirectory && dateAdmitted(s.getPath.getName))
       .flatMap(d => fs.listStatus(d.getPath).iterator
         .filter(f => f.isFile && f.getPath.getName.endsWith(".csv"))
-        .map(f => XetraBarsPartition(f.getPath.toString)))
-      .toArray
+        .map(f => (d.getPath.getName, f.getPath.toString)))
+      .toSeq
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = aggs match {
+    case None =>
+      listFiles().map { case (_, f) => XetraBarsPartition(f) }.toArray
+    case Some(fns) if fns.contains(PushedAgg.CountAll) =>
+      // partial pushdown: one per-file partition, each emits one partial
+      // row (its line count; min/max partials = the trusted dir name);
+      // Spark's final aggregate merges. Zero admitted files → zero
+      // partials → Spark's final agg still yields count 0 / null min.
+      listFiles().map { case (d, f) => XetraBarsAggPartition(fns, d, f) }
+        .toArray
+    case Some(fns) =>
+      // complete pushdown, metadata only: ONE final row from the pruned
+      // directory listing — no file is ever opened. Nulls when no dates.
+      val dates = listFiles().map(_._1)
+      val row = fns.map {
+        case PushedAgg.MinDate if dates.nonEmpty => dates.min
+        case PushedAgg.MaxDate if dates.nonEmpty => dates.max
+        case _ => null
+      }
+      Array(XetraBarsAggRowPartition(row))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -130,10 +243,65 @@ class XetraBarsScan(path: String, pushed: Array[Filter],
 
 case class XetraBarsPartition(file: String) extends InputPartition
 
+/** Partial-aggregate partition: one file to line-count + its date dir. */
+case class XetraBarsAggPartition(fns: Seq[PushedAgg], date: String,
+    file: String) extends InputPartition
+
+/** Complete-pushdown partition carrying the precomputed final row. */
+case class XetraBarsAggRowPartition(values: Seq[String])
+  extends InputPartition
+
 class XetraBarsReaderFactory(required: StructType)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new XetraBarsReader(p.asInstanceOf[XetraBarsPartition].file, required)
+    p match {
+      case XetraBarsPartition(file) => new XetraBarsReader(file, required)
+      case a: XetraBarsAggPartition => new XetraBarsAggReader(a)
+      case r: XetraBarsAggRowPartition => new SingleRowReader(
+        InternalRow.fromSeq(r.values.map(v =>
+          if (v == null) null else UTF8String.fromString(v))))
+    }
+}
+
+/** Emits one partial-aggregate row for one file: the line count (bytes
+  * streamed, no split/parse/row allocation) and, when requested, the
+  * trusted directory date as the min/max partial.
+  */
+class XetraBarsAggReader(p: XetraBarsAggPartition)
+  extends PartitionReader[InternalRow] {
+
+  private var done = false
+
+  override def next(): Boolean = !done
+
+  override def get(): InternalRow = {
+    done = true
+    lazy val lines: Long = {
+      val fp = new Path(p.file)
+      val fs = fp.getFileSystem(new Configuration())
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(fp), java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var n = -1L // header
+        while (in.readLine() != null) n += 1
+        math.max(n, 0L)
+      } finally in.close()
+    }
+    InternalRow.fromSeq(p.fns.map {
+      case PushedAgg.CountAll => java.lang.Long.valueOf(lines)
+      case _ => UTF8String.fromString(p.date)
+    })
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Single precomputed row (complete metadata-only aggregate pushdown). */
+class SingleRowReader(row: InternalRow) extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = !done
+  override def get(): InternalRow = { done = true; row }
+  override def close(): Unit = ()
 }
 
 /** Per-file CSV reader emitting only the pruned columns. Parse failures

@@ -115,4 +115,83 @@ class SourcesSpec extends SparkSpec {
       .select("TradedVolume").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(633L, 1220L, 9066L))
   }
+
+  // ---------------------------------------------------- aggregate pushdown
+
+  private def dsv2Trusted = spark.read
+    .format("graft.sources.XetraBarsProvider")
+    .option("trustLayout", true)
+    .load(root.toString)
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("count(*) pushes down as per-file line counts, no parse") {
+    val counted = dsv2.groupBy().count()
+    assert(planOf(counted).contains("PushedAggregates=[CountAll"),
+      s"count(*) did not reach the scan:\n${planOf(counted).take(1500)}")
+    assert(counted.collect().head.getLong(0) == 6L)
+    // soundness does not depend on cell contents: a garbage row is still
+    // one line, exactly as the row reader would have emitted one row
+    val r = Files.createTempDirectory("xetra_garbage")
+    stage(r, Map(("2021-05-01", "09") ->
+      Seq("not,even,close,to,valid,,,,", "AT1,SANT,2021-05-01,09:00,1,2,1,2,5")))
+    val g = spark.read.format("xetra-bars").load(r.toString)
+    assert(g.groupBy().count().collect().head.getLong(0) == 2L)
+    assert(g.count() == 2L)
+  }
+
+  test("min/max(Date) under trustLayout is a metadata-only complete pushdown") {
+    val mm = dsv2Trusted.agg(min("Date"), max("Date"))
+    assert(planOf(mm).contains("PushedAggregates=[MinDate, MaxDate]"),
+      s"min/max did not reach the scan:\n${planOf(mm).take(1500)}")
+    // ONE partition however many files: the answer is the directory
+    // listing, no file is opened (6 csv files → 6 row-scan partitions)
+    assert(mm.queryExecution.executedPlan.execute().getNumPartitions == 1)
+    val row = mm.collect().head
+    assert(row.getString(0) == "2021-04-15" && row.getString(1) == "2021-04-18")
+    // empty layout → the single final row must carry SQL nulls (count 0)
+    val empty = Files.createTempDirectory("xetra_empty")
+    val e = spark.read.format("xetra-bars").option("trustLayout", true)
+      .load(empty.toString)
+    val er = e.agg(min("Date"), max("Date")).collect().head
+    assert(er.isNullAt(0) && er.isNullAt(1))
+    assert(e.count() == 0L)
+  }
+
+  test("combined count+min+max pushes as partials that Spark merges") {
+    val comb = dsv2Trusted.agg(count(lit(1)), min("Date"), max("Date"))
+    assert(planOf(comb).contains("PushedAggregates=[CountAll, MinDate, MaxDate]"))
+    val row = comb.collect().head
+    assert(row.getLong(0) == 6L && row.getString(1) == "2021-04-15" &&
+      row.getString(2) == "2021-04-18")
+  }
+
+  test("aggregate pushdown declines: untrusted min/max, grouping, other aggs") {
+    // min/max without the explicit trustLayout opt-in must fall back to
+    // the row scan (the metadata answer is a layout CONTRACT, not a fact)
+    val mm = dsv2.agg(min("Date"), max("Date"))
+    assert(!planOf(mm).contains("PushedAggregates"),
+      "min/max pushed without trustLayout")
+    assert(mm.collect().head.getString(0) == "2021-04-15")
+    // grouping is not supported → ordinary scan, correct per-date counts
+    val gb = dsv2.groupBy("Date").count().orderBy("Date")
+    assert(!planOf(gb).contains("PushedAggregates"))
+    assert(gb.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq("2021-04-15" -> 1L, "2021-04-16" -> 1L, "2021-04-17" -> 2L,
+        "2021-04-18" -> 2L))
+    // an unsupported aggregate in the mix vetoes the whole pushdown
+    val sums = dsv2Trusted.agg(count(lit(1)), sum("TradedVolume"))
+    assert(!planOf(sums).contains("PushedAggregates"))
+    assert(sums.collect().head.getLong(1) == 877L + 987 + 633 + 455 + 9066 + 1220)
+  }
+
+  test("residual filters block aggregate pushdown (Spark's own rule)") {
+    // every filter here stays residual, so an aggregate above a filtered
+    // scan must NOT push — otherwise pre-aggregated rows would skip the
+    // row-level re-check and the count would silently include pruned rows
+    val fc = dsv2.filter(col("Time") < "14:00").groupBy().count()
+    assert(!planOf(fc).contains("PushedAggregates"))
+    assert(fc.collect().head.getLong(0) == 4L)
+  }
 }
