@@ -270,13 +270,13 @@ class XetraBarsReaderFactory(required: StructType)
 class XetraBarsAggReader(p: XetraBarsAggPartition)
   extends PartitionReader[InternalRow] {
 
-  private var done = false
+  private var emitted = false
 
-  override def next(): Boolean = !done
-
-  override def get(): InternalRow = {
-    done = true
-    lazy val lines: Long = {
+  // one file pass per partition, however the next()/get() contract is
+  // exercised (an agg partition is only planned when CountAll is present,
+  // so the count is always needed)
+  private lazy val row: InternalRow = {
+    val lines: Long = {
       val fp = new Path(p.file)
       val fs = fp.getFileSystem(new Configuration())
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -292,6 +292,10 @@ class XetraBarsAggReader(p: XetraBarsAggPartition)
       case _ => UTF8String.fromString(p.date)
     })
   }
+
+  override def next(): Boolean = !emitted && { emitted = true; true }
+
+  override def get(): InternalRow = row
 
   override def close(): Unit = ()
 }

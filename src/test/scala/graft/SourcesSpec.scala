@@ -135,10 +135,16 @@ class SourcesSpec extends SparkSpec {
     // one line, exactly as the row reader would have emitted one row
     val r = Files.createTempDirectory("xetra_garbage")
     stage(r, Map(("2021-05-01", "09") ->
-      Seq("not,even,close,to,valid,,,,", "AT1,SANT,2021-05-01,09:00,1,2,1,2,5")))
+      Seq("not,even,close,to,valid,,,,", "",
+        "AT1,SANT,2021-05-01,09:00,1,2,1,2,5")))
     val g = spark.read.format("xetra-bars").load(r.toString)
-    assert(g.groupBy().count().collect().head.getLong(0) == 2L)
-    assert(g.count() == 2L)
+    // pin the equivalence against the actual ROW SCAN (collect has no
+    // aggregate, so it cannot push): the pushed line count must equal the
+    // number of rows the reader emits, garbage and blank lines included —
+    // comparing two pushed counts to each other would test nothing
+    assert(g.collect().length == 3)
+    assert(g.groupBy().count().collect().head.getLong(0) == 3L)
+    assert(g.count() == 3L)
   }
 
   test("min/max(Date) under trustLayout is a metadata-only complete pushdown") {
