@@ -91,7 +91,38 @@ object VectorFunctions {
       new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs(0), exprs(1)))
     add("cdc_boundaries_8_64")(exprs => CdcBoundaries(exprs.head))
+    add("nfc_normalize")(exprs => NfcNormalize(exprs.head))
   }
+}
+
+/** Unicode NFC normalization (UAX #15 canonical composition) — the
+  * canonical-equivalence trap of web corpora: "é" arrives both composed
+  * (U+00E9) and decomposed (e + U+0301), byte-different but canonically
+  * the SAME text, so hash-keyed exact dedup silently misses such pairs.
+  * Spark ships no normalization function; this wraps
+  * `java.text.Normalizer` (ICU-grade, same UAX #15 the oracle's DuckDB
+  * `nfc_normalize` implements via utf8proc, so both engines agree on any
+  * assigned codepoint). Fast path: `Normalizer.isNormalized` is O(n) with
+  * no allocation, and real-world text is overwhelmingly already NFC, so
+  * the common case returns the input UTF8String untouched.
+  */
+case class NfcNormalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
 }
 
 /** 64-bit hashes of all word `width`-grams of a token array, in one
@@ -337,6 +368,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("cdc_boundaries_8_64"),
       new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries_8_64"),
       (exprs: Seq[Expression]) => CdcBoundaries(exprs.head)))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     // the custom operator's planner strategy + its pushdown rule (Catalyst
     // can't see through an opaque binary node without the rule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -126,6 +126,36 @@ GROUP BY list_aggr(list_sort(list_distinct(string_split(text, ' '))),
 ORDER BY kept_doc_id
 """
 
+  /** Unicode-canonical exact dedup: the key is md5 of the NFC-normalized
+    * text ([[graft.functions.NfcNormalize]]), so canonically-equivalent
+    * byte-different variants (composed U+00E9 vs decomposed e+U+0301 —
+    * both arrive constantly in web corpora) land in one group where
+    * [[exactDedup]]'s raw-byte key keeps them apart. `n_denormalized`
+    * counts group members whose bytes changed under NFC — 0 on an
+    * already-normalized corpus, where this result equals [[exactDedup]]'s
+    * (the oracle pins both facts). Same single-hash-aggregation shape as
+    * exact dedup: one shuffle on the derived key at any scale.
+    */
+  def unicodeNfcDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        call_function("nfc_normalize", col("text")).as("nt"))
+      .groupBy(md5(col("nt")).as("content_key"))
+      .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("group_size"),
+        sum(when(col("nt") =!= col("text"), 1L).otherwise(0L))
+          .as("n_denormalized"))
+      .select("kept_doc_id", "group_size", "n_denormalized")
+      .orderBy("kept_doc_id")
+  }
+
+  private val unicodeNfcDedupOracle = """
+SELECT min(doc_id) AS kept_doc_id, count(*) AS group_size,
+  CAST(sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_denormalized
+FROM documents GROUP BY md5(nfc_normalize(text)) ORDER BY kept_doc_id
+"""
+
   // --------------------------------------------------- n-gram Jaccard pairs
   /** Near-duplicate pairs by exact 5-gram Jaccard ≥ 0.8 via inverted index:
     * explode shingles → self-join on shingle (only co-occurring docs pair
@@ -815,6 +845,8 @@ FROM nt JOIN cov USING (doc_id) ORDER BY nt.doc_id
     "dedup_substring_spans" ->
       QueryDef(substringSpanPairs, Some(substringSpanPairsOracle)),
     "dedup_substring_coverage" ->
-      QueryDef(substringCoverage, Some(substringCoverageOracle))
+      QueryDef(substringCoverage, Some(substringCoverageOracle)),
+    "dedup_unicode_nfc" ->
+      QueryDef(unicodeNfcDedup, Some(unicodeNfcDedupOracle))
   )
 }

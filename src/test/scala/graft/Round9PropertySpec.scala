@@ -255,6 +255,31 @@ class Round9PropertySpec extends SparkSpec {
       s"single-span coverage wrong: ${cov(2L)}, ${cov(3L)}")
   }
 
+  test("NFC dedup collapses canonical equivalents that byte-exact dedup keeps apart") {
+    // the web-corpus trap: "café" composed (U+00E9) and decomposed
+    // (e + U+0301) are byte-different, canonically identical text
+    import spark.implicits._
+    val composed = "café au lait"
+    val decomposed = "café au lait"
+    assert(composed != decomposed, "fixture must be byte-different")
+    val rows = Seq(
+      (1L, composed, "fr", "web", 0L),
+      (2L, decomposed, "fr", "web", 0L),
+      (3L, "something else entirely", "en", "web", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("nfc")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = ops.Dedup.exactDedup(spark, dir.toString).collect()
+    assert(exact.length == 3,
+      "byte-exact dedup must keep the canonical variants apart (3 groups)")
+    val nfc = ops.Dedup.unicodeNfcDedup(spark, dir.toString).collect()
+    assert(nfc.length == 2, s"NFC dedup must collapse the pair: ${nfc.mkString(",")}")
+    val g = nfc.find(_.getLong(0) == 1L).get
+    assert(g.getLong(1) == 2L && g.getLong(2) == 1L,
+      s"group of 2 with exactly the decomposed member counted as " +
+        s"denormalized, got (size=${g.getLong(1)}, denorm=${g.getLong(2)})")
+  }
+
   test("unpinning SessionMemo drops every strong pin across instances") {
     // the r8 ADVICE leak: pin → touch sessions → unpin used to leave the
     // touched sessions strongly referenced forever. The setter now clears
