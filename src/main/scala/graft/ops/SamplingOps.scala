@@ -392,7 +392,69 @@ SELECT stratum, nh, sh AS stddev_cents, ideal,
 FROM ranked ORDER BY stratum
 """
 
+  // ------------------------------------------------------ priority sampling
+  private val PriorityK = 200
+
+  /** Priority sampling (Duffield–Lund–Thorup): weight-proportional
+    * sampling WITHOUT replacement — each order draws priority
+    * q = w / u with u uniform on (0, 1], and the sample is the top-k by
+    * q; with τ the (k+1)-th priority, max(w, τ) is the unbiased
+    * Horvitz–Thompson-style weight estimator. The classic scheme for
+    * weighted data mixing (sample shards proportional to token budgets)
+    * where [[reservoirOrders]] is uniform and [[systematicPps]] is
+    * fixed-skip PPS.
+    *
+    * Every quantity is an exact 64-bit integer, bit-identical across
+    * engines: u = (48-bit md5 hash of the key) + 1 — so the same row
+    * draws the same priority on any engine, rerun, or append — and the
+    * sort key is the scaled integer quotient w·10¹⁰ div u (w ≤ 5·10⁷
+    * cents keeps the product ≤ 5·10¹⁷, long-safe; the monotone scaling
+    * preserves the exact priority order up to floor ties, which the
+    * orderkey tiebreak settles deterministically — measured: the top-250
+    * boundary is tie-free at sf0.1). Scale: TakeOrdered top-k, no global
+    * sort, no shuffle beyond the k winners.
+    */
+  def priorityPps(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val u = (conv(substring(md5(col("o_orderkey").cast("string")), 1, 12),
+      16, 10).cast("long") + 1).as("u")
+    val keyed = Registry.table(s, dir, "orders")
+      .select(col("o_orderkey"), cents.as("w_cents"), u)
+      .withColumn("priority_key", expr("w_cents * 10000000000L div u"))
+      .orderBy(col("priority_key").desc, col("o_orderkey").asc)
+      .limit(PriorityK)
+    // rank resolves on the k winners only (bounded global window)
+    keyed
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("priority_key").desc, col("o_orderkey").asc))
+        .cast("long"))
+      .select("rank", "o_orderkey", "w_cents", "priority_key")
+      .orderBy("rank")
+  }
+
+  private val priorityPpsOracle = s"""
+WITH base AS (
+  SELECT o_orderkey,
+    CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT) AS w_cents,
+    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)
+      + 1 AS u
+  FROM orders),
+keyed AS (
+  SELECT o_orderkey, w_cents,
+    CAST((w_cents * 10000000000) // u AS BIGINT) AS priority_key
+  FROM base)
+SELECT CAST(row_number() OVER (ORDER BY priority_key DESC, o_orderkey ASC)
+    AS BIGINT) AS rank,
+  o_orderkey, w_cents, priority_key
+FROM keyed
+ORDER BY priority_key DESC, o_orderkey ASC
+LIMIT $PriorityK
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "sample_priority_pps" -> QueryDef(priorityPps, Some(priorityPpsOracle)),
     "sample_neyman_allocation" ->
       QueryDef(neymanAllocation, Some(neymanOracle)),
     "sample_kcenter_coreset" ->

@@ -575,6 +575,17 @@ class PlanSpec extends SparkSpec {
       s"phash banding degraded to an all-pairs join:\n${plan.take(2000)}")
   }
 
+  test("priority sampling: TakeOrdered top-k, window only on the k winners") {
+    // the weighted sample must never globally sort the fact table: the
+    // scaled-priority top-k is a TakeOrderedAndProject, and the rank
+    // window runs above the limit (bounded input), not below it
+    val plan = executedPlan(ops.SamplingOps.priorityPps(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject(limit=200"),
+      s"priority top-k lost its TakeOrdered:\n${plan.take(2000)}")
+    assert(plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      "rank window sits below the limit — it would sort the full table")
+  }
+
   test("substring spans: seed equi-join + pair-diagonal window, never corpus×corpus") {
     // exact-substring dedup must stay O(co-occurring seeds): candidates
     // come from the positional posting self-join on the gram hash, and
