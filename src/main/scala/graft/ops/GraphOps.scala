@@ -566,7 +566,72 @@ ORDER BY n_name
 """
   }
 
+  /** BFS hop distances from nation 0 over the thresholded trade graph —
+    * the reachability/shortest-path primitive the family lacked. The
+    * frontier rounds run on [[collectedTradeEdges]] (the adjudicated
+    * driver-side pattern: the node set is structurally ≤|nation| at ANY
+    * fact scale, the O(fact) edge build stays distributed and
+    * session-memoized); the oracle is an independently-expressed
+    * `WITH RECURSIVE` walk with `min(hops)` per node, so the hash compare
+    * certifies the whole traversal. Unreached nations report hops = −1,
+    * anchoring the full nation list in the row set.
+    */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val adj = collectedTradeEdges(s, dir)
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val dist = scala.collection.mutable.Map(0 -> 0L)
+    var frontier = List(0)
+    var h = 0L
+    while (frontier.nonEmpty) {
+      h += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Int]))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = h)
+    }
+    import s.implicits._
+    val d = dist.toSeq.map { case (n, hh) => (n.toLong, hh) }
+      .toDF("n", "hops")
+    Registry.table(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .join(broadcast(d), col("n_nationkey") === col("n"), "left_outer")
+      .select(col("n_name"), coalesce(col("hops"), lit(-1L)).as("hops"))
+      .orderBy("n_name")
+  }
+
+  private val bfsOracle = """
+WITH RECURSIVE e AS (
+  SELECT s.s_nationkey AS u, cu.c_nationkey AS v,
+    CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  WHERE s.s_nationkey <> cu.c_nationkey),
+und AS MATERIALIZED (
+  SELECT least(u, v) AS a, greatest(u, v) AS b, CAST(sum(c) AS BIGINT) AS w
+  FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw
+  FROM und),
+edges AS MATERIALIZED (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
+adj AS MATERIALIZED (
+  SELECT a AS n, b AS nb FROM edges
+  UNION ALL SELECT b, a FROM edges),
+walk(n, hops) AS (
+  SELECT 0, 0
+  UNION
+  SELECT a.nb, w.hops + 1
+  FROM walk w JOIN adj a ON a.n = w.n
+  WHERE w.hops < 25),
+dist AS (SELECT n, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY n)
+SELECT na.n_name, coalesce(d.hops, -1) AS hops
+FROM nation na LEFT JOIN dist d ON d.n = na.n_nationkey
+ORDER BY n_name
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "graph_bfs_hops" -> QueryDef(bfsHops, Some(bfsOracle)),
     "graph_kcore" -> QueryDef(kcore, Some(kcoreOracle)),
     "graph_pagerank_nations" -> QueryDef(pagerankNations, Some(pagerankOracle)),
     "graph_triangle_clustering" ->
