@@ -235,7 +235,90 @@ WHERE rk = 1
 GROUP BY centroid_id, k ORDER BY centroid_id, dim
 """
 
+  // ------------------------------------------------- semantic boundaries
+  private val SemChunk = 16 // tokens per block
+  private val BoundaryCos = 0.3
+
+  /** Semantic chunk boundaries — the splitting rule RAG/context prep uses
+    * instead of a fixed stride: cut where adjacent text stops being about
+    * the same thing. Relational form: non-overlapping [[SemChunk]]-token
+    * blocks → per-block term-frequency vectors (one hash aggregate with
+    * map-side combine) → adjacent-block cosine via a (doc, block, token)
+    * equi-join — exact int64 dot/norms, ONE IEEE sqrt·sqrt·division per
+    * pair, the [[Similarity]] discipline, so both engines agree
+    * bit-for-bit. A pair with no shared tokens never appears in the dot
+    * join; the norms self-join anchors it with dot = 0 (cosine 0 — the
+    * strongest boundary). Boundary where cosine < [[BoundaryCos]].
+    *
+    * 100 TB posture: everything is keyed by (doc, block) — the tf
+    * aggregate and the adjacency join shuffle on document-local keys, no
+    * corpus-wide term index and no window at all.
+    */
+  def semanticBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val blocks = table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          expr(s"(size(t) + ${SemChunk - 1}) div $SemChunk") - 1)).as("pidx"))
+      .select(col("doc_id"), col("pidx").cast("long").as("pidx"),
+        explode(slice(col("t"), col("pidx") * SemChunk + 1, lit(SemChunk)))
+          .as("tok"))
+    val tf = blocks.groupBy("doc_id", "pidx", "tok")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read 3×: norms + both adjacency sides
+    val norms = tf.groupBy("doc_id", "pidx")
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val dot = tf.as("a")
+      .join(tf.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.pidx") + 1 === col("b.pidx") && col("a.tok") === col("b.tok"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.pidx").as("pidx"))
+      .agg(sum(col("a.c") * col("b.c")).as("dp"))
+    val cosine = coalesce(col("dp"), lit(0L)).cast("double") /
+      (sqrt(col("x2").cast("double")) * sqrt(col("y2").cast("double")))
+    norms.as("na")
+      .join(norms.as("nb"), col("na.doc_id") === col("nb.doc_id") &&
+        col("na.pidx") + 1 === col("nb.pidx"))
+      .select(col("na.doc_id").as("doc_id"), col("na.pidx").as("pidx"),
+        col("na.n2").as("x2"), col("nb.n2").as("y2"))
+      .join(dot, Seq("doc_id", "pidx"), "left_outer")
+      .select(col("doc_id"), col("pidx"), cosine.as("cosine"),
+        (cosine < BoundaryCos).as("is_boundary"))
+      .orderBy("doc_id", "pidx")
+  }
+
+  private val semanticBoundariesOracle = s"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bl AS (
+  SELECT doc_id, pidx,
+    t[pidx * $SemChunk + 1 : pidx * $SemChunk + $SemChunk] AS blk
+  FROM d, unnest(range(0, (len(t) + ${SemChunk - 1}) // $SemChunk))
+    AS u(pidx)),
+blocks AS (SELECT doc_id, pidx, unnest(blk) AS tok FROM bl),
+tf AS (SELECT doc_id, pidx, tok, count(*) AS c FROM blocks GROUP BY 1, 2, 3),
+norms AS (
+  SELECT doc_id, pidx, CAST(sum(c * c) AS BIGINT) AS n2
+  FROM tf GROUP BY 1, 2),
+dot AS (
+  SELECT a.doc_id AS ddoc, a.pidx AS dpidx,
+    CAST(sum(a.c * b.c) AS BIGINT) AS dp
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.pidx + 1 = b.pidx
+    AND a.tok = b.tok
+  GROUP BY 1, 2)
+SELECT na.doc_id, CAST(na.pidx AS BIGINT) AS pidx,
+  CAST(coalesce(dp, 0) AS DOUBLE)
+    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine,
+  CAST(coalesce(dp, 0) AS DOUBLE)
+    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+    < $BoundaryCos AS is_boundary
+FROM norms na JOIN norms nb ON nb.doc_id = na.doc_id
+  AND nb.pidx = na.pidx + 1
+LEFT JOIN dot ON ddoc = na.doc_id AND dpidx = na.pidx
+ORDER BY na.doc_id, pidx
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "chunk_semantic_boundaries" ->
+      QueryDef(semanticBoundaries, Some(semanticBoundariesOracle)),
     "chunk_documents_stride" -> QueryDef(chunkDocuments, Some(chunkDocumentsOracle)),
     "context_length_buckets" -> QueryDef(contextLengthBuckets, Some(contextLengthBucketsOracle)),
     "kmeans_assign_step" -> QueryDef(kmeansAssignStep, Some(kmeansAssignOracle)),
