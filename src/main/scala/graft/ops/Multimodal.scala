@@ -405,7 +405,109 @@ FROM dig JOIN dfd USING (chunk_md5)
 GROUP BY doc_id ORDER BY doc_id
 """
 
+  // ------------------------------------------------------------ scene cuts
+  private val CutHamming = 30
+
+  /** Per-frame 60-bit perceptual signatures: [[phashSigs]]'s blocksum rule
+    * applied independently to each 256-byte frame (the [[frameSample]]
+    * framing). Same codec seam, same kernel family — the only
+    * `mapPartitions` in the engine stays the multimodal decode stand-in.
+    */
+  private def framePhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = media(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      val L = bytes.length
+      val nf = if (L == 0) 0 else (L - 1) / 256 + 1
+      (0 until nf).iterator.map { f =>
+        val lo = f * 256
+        val hi = math.min(lo + 256, L)
+        val fl = hi - lo
+        var stot = 0L
+        var i = lo
+        while (i < hi) { stot += bytes(i) & 0xff; i += 1 }
+        var ph = 0L
+        var k = 0
+        while (k < 60) {
+          val blo = lo + (k.toLong * fl / 60).toInt
+          val bhi = lo + ((k + 1).toLong * fl / 60).toInt
+          var sb = 0L
+          var j = blo
+          while (j < bhi) { sb += bytes(j) & 0xff; j += 1 }
+          if (sb * fl > stot * (bhi - blo)) ph |= 1L << k
+          k += 1
+        }
+        (id, f.toLong, ph)
+      }
+    }).toDF("doc_id", "frame_idx", "fhash")
+  }
+
+  /** Scene-cut detection — temporal segmentation, the media analog of
+    * `chunk_semantic_boundaries`: adjacent frames whose perceptual
+    * signatures diverge mark a shot boundary. Per-frame phash → lag over
+    * the doc-partitioned frame order (unique frame_idx: a total sort key,
+    * per the round-9 window-tie discipline) → Hamming distance → cut at
+    * ≥ [[CutHamming]]. On this synthetic corpus adjacent text frames are
+    * independent, so distances cluster around the 60-bit random midpoint
+    * of 30 (measured mean 29.7) and the threshold splits at the midpoint;
+    * on real footage, frames within one shot sit far below it. Shuffle:
+    * one doc-keyed exchange for the lag window; signatures are a pure
+    * per-row map.
+    */
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    framePhashSigs(s, dir)
+      .withColumn("prev", lag("fhash", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("frame_idx"),
+        bit_count(col("fhash").bitwiseXOR(col("prev"))).cast("long")
+          .as("hamming"))
+      .withColumn("is_cut", col("hamming") >= CutHamming)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val sceneCutsOracle = s"""
+WITH fr AS (
+  SELECT doc_id, f AS frame_idx,
+    substr(text, CAST(f * 256 + 1 AS INT), 256) AS ftext
+  FROM documents,
+    LATERAL (SELECT unnest(range(0, (length(text) - 1) // 256 + 1)) AS f)
+  WHERE length(text) > 0),
+tot AS (
+  SELECT doc_id, frame_idx, length(ftext) AS L, ftext,
+    list_sum(list_prepend(0,
+      list_transform(string_split_regex(ftext, ''), c -> ascii(c)))) AS stot
+  FROM fr),
+blk AS (
+  SELECT doc_id, frame_idx, k, L, stot,
+    CAST(floor((k+1) * L / 60.0) - floor(k * L / 60.0) AS BIGINT) AS bl,
+    list_sum(list_prepend(0, list_transform(
+      string_split_regex(substr(ftext,
+        CAST(floor(k * L / 60.0) AS INT) + 1,
+        CAST(floor((k+1) * L / 60.0) - floor(k * L / 60.0) AS INT)), ''),
+      c -> ascii(c)))) AS sb
+  FROM tot, (SELECT unnest(range(0, 60)) AS k)),
+sig AS (
+  SELECT doc_id, frame_idx,
+    CAST(sum(CASE WHEN sb * L > stot * bl
+             THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS fhash
+  FROM blk GROUP BY doc_id, frame_idx),
+lagged AS (
+  SELECT doc_id, frame_idx, fhash,
+    lag(fhash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM sig)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(bit_count(xor(fhash, prev)) AS BIGINT) AS hamming,
+  bit_count(xor(fhash, prev)) >= $CutHamming AS is_cut
+FROM lagged WHERE prev IS NOT NULL
+ORDER BY doc_id, frame_idx
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "media_scene_cuts" -> QueryDef(sceneCuts, Some(sceneCutsOracle)),
     "media_phash" -> QueryDef(mediaPhash, Some(mediaPhashOracle)),
     "media_cdc_chunks" -> QueryDef(cdcChunks, Some(cdcChunksOracle)),
     "media_cdc_shared" ->
