@@ -183,59 +183,77 @@ FROM documents ORDER BY doc_id
     * byte-block structure, so the signature ships as a catalog column and
     * the banding composition stays with the text/embedding families.
     */
+  /** 60-bit blocksum signature of `bytes[lo, hi)` — the ONE definition of
+    * the perceptual bit rule, shared by the doc-level catalog signature
+    * and the per-frame scene-cut signature so the two families can never
+    * silently diverge (bit b set iff block b's byte mass exceeds its
+    * pro-rata share: `sb·len > stot·blockLen`, exact integers).
+    */
+  private def sig60(bytes: Array[Byte], lo: Int, hi: Int): Long = {
+    val fl = hi - lo
+    var stot = 0L
+    var i = lo
+    while (i < hi) { stot += bytes(i) & 0xff; i += 1 }
+    var ph = 0L
+    var k = 0
+    while (k < 60) {
+      val blo = lo + (k.toLong * fl / 60).toInt
+      val bhi = lo + ((k + 1).toLong * fl / 60).toInt
+      var sb = 0L
+      var j = blo
+      while (j < bhi) { sb += bytes(j) & 0xff; j += 1 }
+      if (sb * fl > stot * (bhi - blo)) ph |= 1L << k
+      k += 1
+    }
+    ph
+  }
+
   private def phashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds: Dataset[(Long, Array[Byte])] = media(s, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
     ds.mapPartitions(_.map { case (id, bytes) =>
-      val L = bytes.length
-      var stot = 0L
-      var i = 0
-      while (i < L) { stot += bytes(i) & 0xff; i += 1 }
-      var ph = 0L
-      var k = 0
-      while (k < 60) {
-        val lo = (k.toLong * L / 60).toInt
-        val hi = ((k + 1).toLong * L / 60).toInt
-        var sb = 0L
-        var j = lo
-        while (j < hi) { sb += bytes(j) & 0xff; j += 1 }
-        if (sb * L > stot * (hi - lo)) ph |= 1L << k
-        k += 1
-      }
-      (id, ph)
+      (id, sig60(bytes, 0, bytes.length))
     }).toDF("doc_id", "phash")
   }
 
   def mediaPhash(s: SparkSession, dir: String): DataFrame =
     phashSigs(s, dir).orderBy("doc_id")
 
+  /** SQL twin of [[sig60]]: emits the tot/blk/sig CTE chain computing the
+    * 60-bit signature of `textCol` per `keys` row of `src` — parameterized
+    * so the doc-level and per-frame oracles share one block rule, exactly
+    * like the Scala side.
+    */
+  private def sig60Sql(src: String, keys: String, textCol: String,
+      tot: String, blk: String, sig: String, out: String): String = s"""
+$tot AS (
+  SELECT $keys, length($textCol) AS L, $textCol AS sig_text,
+    list_sum(list_prepend(0,
+      list_transform(string_split_regex($textCol, ''), c -> ascii(c)))) AS stot
+  FROM $src),
+$blk AS (
+  SELECT $keys, k, L, stot,
+    CAST(floor((k+1) * L / 60.0) - floor(k * L / 60.0) AS BIGINT) AS bl,
+    list_sum(list_prepend(0, list_transform(
+      string_split_regex(substr(sig_text,
+        CAST(floor(k * L / 60.0) AS INT) + 1,
+        CAST(floor((k+1) * L / 60.0) - floor(k * L / 60.0) AS INT)), ''),
+      c -> ascii(c)))) AS sb
+  FROM $tot, (SELECT unnest(range(0, 60)) AS k)),
+$sig AS (
+  SELECT $keys,
+    CAST(sum(CASE WHEN sb * L > stot * bl
+             THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS $out
+  FROM $blk GROUP BY $keys)"""
+
   /** Shared oracle prefix: the 60-bit signature CTE (`sig`), reused by the
     * catalog query and the near-dup pair query.
     */
-  private val phashSigSql = """
-WITH tot AS (
-  SELECT doc_id, length(text) AS L,
-    list_sum(list_prepend(0,
-      list_transform(string_split_regex(text, ''), c -> ascii(c)))) AS stot
-  FROM documents),
-blk AS (
-  SELECT t.doc_id, k, t.L, t.stot,
-    CAST(floor((k+1) * t.L / 60.0) - floor(k * t.L / 60.0) AS BIGINT) AS bl,
-    list_sum(list_prepend(0, list_transform(
-      string_split_regex(substr(d.text,
-        CAST(floor(k * t.L / 60.0) AS INT) + 1,
-        CAST(floor((k+1) * t.L / 60.0) - floor(k * t.L / 60.0) AS INT)), ''),
-      c -> ascii(c)))) AS sb
-  FROM tot t JOIN documents d USING (doc_id),
-    (SELECT unnest(range(0, 60)) AS k)),
-sig AS (
-  SELECT doc_id,
-    CAST(sum(CASE WHEN sb * L > stot * bl
-             THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS phash
-  FROM blk GROUP BY doc_id)
-"""
+  private val phashSigSql =
+    "WITH " + sig60Sql("documents", "doc_id", "text",
+      "tot", "blk", "sig", "phash") + "\n"
 
   private val mediaPhashOracle =
     phashSigSql + "SELECT doc_id, phash FROM sig ORDER BY doc_id"
@@ -423,23 +441,7 @@ GROUP BY doc_id ORDER BY doc_id
       val nf = if (L == 0) 0 else (L - 1) / 256 + 1
       (0 until nf).iterator.map { f =>
         val lo = f * 256
-        val hi = math.min(lo + 256, L)
-        val fl = hi - lo
-        var stot = 0L
-        var i = lo
-        while (i < hi) { stot += bytes(i) & 0xff; i += 1 }
-        var ph = 0L
-        var k = 0
-        while (k < 60) {
-          val blo = lo + (k.toLong * fl / 60).toInt
-          val bhi = lo + ((k + 1).toLong * fl / 60).toInt
-          var sb = 0L
-          var j = blo
-          while (j < bhi) { sb += bytes(j) & 0xff; j += 1 }
-          if (sb * fl > stot * (bhi - blo)) ph |= 1L << k
-          k += 1
-        }
-        (id, f.toLong, ph)
+        (id, f.toLong, sig60(bytes, lo, math.min(lo + 256, L)))
       }
     }).toDF("doc_id", "frame_idx", "fhash")
   }
@@ -476,29 +478,12 @@ WITH fr AS (
   FROM documents,
     LATERAL (SELECT unnest(range(0, (length(text) - 1) // 256 + 1)) AS f)
   WHERE length(text) > 0),
-tot AS (
-  SELECT doc_id, frame_idx, length(ftext) AS L, ftext,
-    list_sum(list_prepend(0,
-      list_transform(string_split_regex(ftext, ''), c -> ascii(c)))) AS stot
-  FROM fr),
-blk AS (
-  SELECT doc_id, frame_idx, k, L, stot,
-    CAST(floor((k+1) * L / 60.0) - floor(k * L / 60.0) AS BIGINT) AS bl,
-    list_sum(list_prepend(0, list_transform(
-      string_split_regex(substr(ftext,
-        CAST(floor(k * L / 60.0) AS INT) + 1,
-        CAST(floor((k+1) * L / 60.0) - floor(k * L / 60.0) AS INT)), ''),
-      c -> ascii(c)))) AS sb
-  FROM tot, (SELECT unnest(range(0, 60)) AS k)),
-sig AS (
-  SELECT doc_id, frame_idx,
-    CAST(sum(CASE WHEN sb * L > stot * bl
-             THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS fhash
-  FROM blk GROUP BY doc_id, frame_idx),
+${sig60Sql("fr", "doc_id, frame_idx", "ftext",
+    "ftot", "fblk", "fsig", "fhash")},
 lagged AS (
   SELECT doc_id, frame_idx, fhash,
     lag(fhash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
-  FROM sig)
+  FROM fsig)
 SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
   CAST(bit_count(xor(fhash, prev)) AS BIGINT) AS hamming,
   bit_count(xor(fhash, prev)) >= $CutHamming AS is_cut

@@ -582,6 +582,8 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan(ops.SamplingOps.priorityPps(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject(limit=200"),
       s"priority top-k lost its TakeOrdered:\n${plan.take(2000)}")
+    assert(plan.contains("Window"),
+      "rank window disappeared — the above/below pin would be vacuous")
     assert(plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
       "rank window sits below the limit — it would sort the full table")
   }
