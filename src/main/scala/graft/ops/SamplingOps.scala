@@ -453,7 +453,53 @@ ORDER BY priority_key DESC, o_orderkey ASC
 LIMIT $PriorityK
 """
 
+  /** [[priorityPps]] over the events stream's weights (value cents) —
+    * the batch twin of `EventStream.prioritySampleTws`, which maintains
+    * the same top-k as sharded bounded state while events arrive
+    * (StreamingSpec asserts parity). Same exact-integer key discipline;
+    * event values are ≤ ~5·10⁴ cents so the scaled product is far inside
+    * long range.
+    */
+  def priorityEvents(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
+      .cast("long")
+    val u = (conv(substring(md5(col("event_id").cast("string")), 1, 12),
+      16, 10).cast("long") + 1).as("u")
+    Registry.events(s, dir)
+      .select(col("event_id"), cents.as("w_cents"), u)
+      .withColumn("priority_key", expr("w_cents * 10000000000L div u"))
+      .orderBy(col("priority_key").desc, col("event_id").asc)
+      .limit(PriorityK)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("priority_key").desc, col("event_id").asc))
+        .cast("long"))
+      .select("rank", "event_id", "w_cents", "priority_key")
+      .orderBy("rank")
+  }
+
+  private val priorityEventsOracle = s"""
+WITH base AS (
+  SELECT event_id,
+    CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS w_cents,
+    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT)
+      + 1 AS u
+  FROM events),
+keyed AS (
+  SELECT event_id, w_cents,
+    CAST((w_cents * 10000000000) // u AS BIGINT) AS priority_key
+  FROM base)
+SELECT CAST(row_number() OVER (ORDER BY priority_key DESC, event_id ASC)
+    AS BIGINT) AS rank,
+  event_id, w_cents, priority_key
+FROM keyed
+ORDER BY priority_key DESC, event_id ASC
+LIMIT $PriorityK
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "sample_priority_events" ->
+      QueryDef(priorityEvents, Some(priorityEventsOracle)),
     "sample_priority_pps" -> QueryDef(priorityPps, Some(priorityPpsOracle)),
     "sample_neyman_allocation" ->
       QueryDef(neymanAllocation, Some(neymanOracle)),

@@ -402,6 +402,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("streaming priority sample equals the batch (oracle-checked) top-k") {
+    // bounded per-shard top-k state + union-and-merge at read must equal
+    // sample_priority_events exactly — including the HALF_UP cents rule
+    // and the md5-derived priority arithmetic reproduced in JVM code
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.expressions.Window
+      val stream = EventStream.readEvents(spark, eventsPath)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
+      val emissions = EventStream.runToMemory(spark,
+        EventStream.prioritySampleTws(stream).toDF(), "prio_tws",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val got = emissions
+        // latest emission per shard = max n_seen (monotone per batch)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("shard").orderBy(col("n_seen").desc)))
+        .filter(col("rn") === 1)
+        .select(explode(col("entries")).as("e"))
+        .select(col("e.event_id"), col("e.w_cents"), col("e.priority_key"))
+        .orderBy(col("priority_key").desc, col("event_id").asc)
+        .limit(200)
+        .collect().map(_.toSeq).toSeq
+      val expected = ops.SamplingOps.priorityEvents(spark, sfDir)
+        .select("event_id", "w_cents", "priority_key")
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got == expected,
+        "sharded streaming top-k diverged from the batch priority sample")
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState latest-snapshot matches the classic-API upsert") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
