@@ -92,7 +92,78 @@ object VectorFunctions {
         exprs(0), exprs(1)))
     add("cdc_boundaries_8_64")(exprs => CdcBoundaries(exprs.head))
     add("nfc_normalize")(exprs => NfcNormalize(exprs.head))
+    add("block_cosines_16")(exprs => BlockCosines(exprs.head, 16))
   }
+}
+
+/** Adjacent-block term-frequency cosines of a token array, one per-row
+  * pass: split into `width`-token blocks, build each block's tf map, emit
+  * the cosine between every consecutive block pair as `array<double>`
+  * (element i = cosine(block i, block i+1); empty array for single-block
+  * docs). Replaces the relational form's explode→(doc, block, token)
+  * aggregate→adjacency join→norms join — ALL of whose work is
+  * document-local, so shuffling it was pure overhead (measured 3.1s at
+  * sf1 for the join form vs scan-speed here). Arithmetic is the engine
+  * discipline: exact int64 dot/norms per pair, then ONE
+  * IEEE sqrt·sqrt·division — bit-identical to the SQL oracle's grouped
+  * form. CodegenFallback is fine: the win is per-token → per-row.
+  */
+case class BlockCosines(child: Expression, width: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "block_cosines"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nb = if (n == 0) 0 else (n + width - 1) / width
+    if (nb < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Double])
+    def tf(b: Int): java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      var i = b * width
+      val hi = math.min(i + width, n)
+      while (i < hi) {
+        val k = arr.getUTF8String(i).toString
+        val c = m.get(k)
+        m.put(k, if (c == null) 1L else c + 1L)
+        i += 1
+      }
+      m
+    }
+    def n2(m: java.util.HashMap[String, java.lang.Long]): Long = {
+      var s = 0L
+      val i2 = m.values().iterator()
+      while (i2.hasNext) { val c = i2.next().longValue(); s += c * c }
+      s
+    }
+    val out = new Array[Double](nb - 1)
+    var prev = tf(0)
+    var b = 1
+    while (b < nb) {
+      val cur = tf(b)
+      var dot = 0L
+      val it = prev.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = cur.get(e.getKey)
+        if (c != null) dot += e.getValue.longValue() * c.longValue()
+      }
+      out(b - 1) = dot.toDouble / (math.sqrt(n2(prev).toDouble) *
+        math.sqrt(n2(cur).toDouble))
+      prev = cur
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BlockCosines =
+    copy(child = c)
 }
 
 /** Unicode NFC normalization (UAX #15 canonical composition) — the
@@ -371,6 +442,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((FunctionIdentifier("block_cosines_16"),
+      new ExpressionInfo(classOf[BlockCosines].getName, "block_cosines_16"),
+      (exprs: Seq[Expression]) => BlockCosines(exprs.head, 16)))
     // the custom operator's planner strategy + its pushdown rule (Catalyst
     // can't see through an opaque binary node without the rule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -241,48 +241,34 @@ GROUP BY centroid_id, k ORDER BY centroid_id, dim
 
   /** Semantic chunk boundaries — the splitting rule RAG/context prep uses
     * instead of a fixed stride: cut where adjacent text stops being about
-    * the same thing. Relational form: non-overlapping [[SemChunk]]-token
-    * blocks → per-block term-frequency vectors (one hash aggregate with
-    * map-side combine) → adjacent-block cosine via a (doc, block, token)
-    * equi-join — exact int64 dot/norms, ONE IEEE sqrt·sqrt·division per
-    * pair, the [[Similarity]] discipline, so both engines agree
-    * bit-for-bit. A pair with no shared tokens never appears in the dot
-    * join; the norms self-join anchors it with dot = 0 (cosine 0 — the
-    * strongest boundary). Boundary where cosine < [[BoundaryCos]].
+    * the same thing. One per-row pass via the
+    * [[graft.functions.BlockCosines]] expression: every
+    * [[SemChunk]]-token block's tf map, adjacent-pair cosine (exact int64
+    * dot/norms, ONE IEEE sqrt·sqrt·division per pair, the [[Similarity]]
+    * discipline), posexploded to (boundary index, cosine). A pair with no
+    * shared tokens gets cosine 0 — the strongest boundary. Boundary where
+    * cosine < [[BoundaryCos]].
     *
-    * 100 TB posture: everything is keyed by (doc, block) — the tf
-    * aggregate and the adjacency join shuffle on document-local keys, no
-    * corpus-wide term index and no window at all.
+    * The first form was fully relational — explode to (doc, block, token)
+    * rows, tf hash aggregate, adjacency equi-join, norms join — and
+    * hash-identical to this one; it measured 3.1s at sf1 because ALL of
+    * that work is document-local, so shuffling it was pure overhead. The
+    * kernel form is the SURVEY §7.3 escalation (compose → custom
+    * Expression when the shuffles are the bottleneck): scan-speed,
+    * embarrassingly parallel, ZERO exchanges before the presentation
+    * sort — the DuckDB oracle keeps the original grouped/joined SQL, so
+    * the hash gate certifies the two evaluation strategies agree
+    * bit-for-bit.
     */
   def semanticBoundaries(s: SparkSession, dir: String): DataFrame = {
-    val blocks = table(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0),
-          expr(s"(size(t) + ${SemChunk - 1}) div $SemChunk") - 1)).as("pidx"))
+    graft.functions.VectorFunctions.register(s)
+    val cosine = col("cosine")
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(call_function(s"block_cosines_$SemChunk",
+          split(col("text"), " "))).as(Seq("pidx", "cosine")))
       .select(col("doc_id"), col("pidx").cast("long").as("pidx"),
-        explode(slice(col("t"), col("pidx") * SemChunk + 1, lit(SemChunk)))
-          .as("tok"))
-    val tf = blocks.groupBy("doc_id", "pidx", "tok")
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // read 3×: norms + both adjacency sides
-    val norms = tf.groupBy("doc_id", "pidx")
-      .agg(sum(col("c") * col("c")).as("n2"))
-    val dot = tf.as("a")
-      .join(tf.as("b"), col("a.doc_id") === col("b.doc_id") &&
-        col("a.pidx") + 1 === col("b.pidx") && col("a.tok") === col("b.tok"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("a.pidx").as("pidx"))
-      .agg(sum(col("a.c") * col("b.c")).as("dp"))
-    val cosine = coalesce(col("dp"), lit(0L)).cast("double") /
-      (sqrt(col("x2").cast("double")) * sqrt(col("y2").cast("double")))
-    norms.as("na")
-      .join(norms.as("nb"), col("na.doc_id") === col("nb.doc_id") &&
-        col("na.pidx") + 1 === col("nb.pidx"))
-      .select(col("na.doc_id").as("doc_id"), col("na.pidx").as("pidx"),
-        col("na.n2").as("x2"), col("nb.n2").as("y2"))
-      .join(dot, Seq("doc_id", "pidx"), "left_outer")
-      .select(col("doc_id"), col("pidx"), cosine.as("cosine"),
-        (cosine < BoundaryCos).as("is_boundary"))
+        cosine, (cosine < BoundaryCos).as("is_boundary"))
       .orderBy("doc_id", "pidx")
   }
 

@@ -588,6 +588,17 @@ class PlanSpec extends SparkSpec {
       "rank window sits below the limit — it would sort the full table")
   }
 
+  test("semantic boundaries: per-row kernel — no join, no aggregate, no pre-sort exchange") {
+    // the work is document-local; the block_cosines kernel must keep it
+    // that way — a Join or HashAggregate here means the relational form
+    // (3.3× slower at sf1) crept back
+    val plan = executedPlan(ops.ChunkingOps.semanticBoundaries(spark, sfDir))
+    assert(plan.contains("Generate"),
+      s"posexplode of the kernel output disappeared:\n${plan.take(2000)}")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"semantic boundaries picked up a shuffle stage:\n${plan.take(2000)}")
+  }
+
   test("substring spans: seed equi-join + pair-diagonal window, never corpus×corpus") {
     // exact-substring dedup must stay O(co-occurring seeds): candidates
     // come from the positional posting self-join on the gram hash, and
