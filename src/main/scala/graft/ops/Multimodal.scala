@@ -426,26 +426,6 @@ GROUP BY doc_id ORDER BY doc_id
   // ------------------------------------------------------------ scene cuts
   private val CutHamming = 30
 
-  /** Per-frame 60-bit perceptual signatures: [[phashSigs]]'s blocksum rule
-    * applied independently to each 256-byte frame (the [[frameSample]]
-    * framing). Same codec seam, same kernel family — the only
-    * `mapPartitions` in the engine stays the multimodal decode stand-in.
-    */
-  private def framePhashSigs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ds: Dataset[(Long, Array[Byte])] = media(s, dir)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-    ds.mapPartitions(_.flatMap { case (id, bytes) =>
-      val L = bytes.length
-      val nf = if (L == 0) 0 else (L - 1) / 256 + 1
-      (0 until nf).iterator.map { f =>
-        val lo = f * 256
-        (id, f.toLong, sig60(bytes, lo, math.min(lo + 256, L)))
-      }
-    }).toDF("doc_id", "frame_idx", "fhash")
-  }
-
   /** Scene-cut detection — temporal segmentation, the media analog of
     * `chunk_semantic_boundaries`: adjacent frames whose perceptual
     * signatures diverge mark a shot boundary. Per-frame phash → lag over
@@ -459,14 +439,28 @@ GROUP BY doc_id ORDER BY doc_id
     * per-row map.
     */
   def sceneCuts(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
-    framePhashSigs(s, dir)
-      .withColumn("prev", lag("fhash", 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("doc_id"), col("frame_idx"),
-        bit_count(col("fhash").bitwiseXOR(col("prev"))).cast("long")
-          .as("hamming"))
+    import s.implicits._
+    // the lag is doc-local and the signature pass already walks a doc's
+    // frames in order — computing the adjacent Hamming inline removes the
+    // doc-keyed exchange the window form needed (the same
+    // document-local-work escalation as chunk_semantic_boundaries); only
+    // the presentation sort remains
+    val ds: Dataset[(Long, Array[Byte])] = media(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      val L = bytes.length
+      val nf = if (L == 0) 0 else (L - 1) / 256 + 1
+      var prev = 0L
+      (0 until nf).iterator.flatMap { f =>
+        val lo = f * 256
+        val cur = sig60(bytes, lo, math.min(lo + 256, L))
+        val out = if (f == 0) Iterator.empty else Iterator.single(
+          (id, f.toLong, java.lang.Long.bitCount(prev ^ cur).toLong))
+        prev = cur
+        out
+      }
+    }).toDF("doc_id", "frame_idx", "hamming")
       .withColumn("is_cut", col("hamming") >= CutHamming)
       .orderBy("doc_id", "frame_idx")
   }
