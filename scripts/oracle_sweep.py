@@ -20,16 +20,19 @@ check.py run (/tmp/graft_verify/oracle_sql.json — run check.py first, or
 point at any Verify outDir's oracle_sql.json). Exit 0 iff no oracle is
 flaky. Expect minutes at sf0.1: every oracle runs 6x.
 """
+import glob
 import hashlib
 import json
+import os
 import sys
 
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
-SQLS = sys.argv[2] if len(sys.argv) > 2 else '/tmp/graft_verify/oracle_sql.json'
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+# same default outDir contract as check.py (GRAFT_VERIFY_OUT), so running
+# check.py then the sweep with no args always agrees on the dump location
+OUT = os.environ.get('GRAFT_VERIFY_OUT', '/tmp/graft_verify')
+SQLS = sys.argv[2] if len(sys.argv) > 2 else f'{OUT}/oracle_sql.json'
 # threads=1 forces the serial window/aggregate paths; repeated threads=32
 # runs shake out parallel-only tie resolution
 THREAD_PLAN = (1, 32, 32, 32, 32, 4)
@@ -38,12 +41,11 @@ THREAD_PLAN = (1, 32, 32, 32, 32, 4)
 def mkcon(threads):
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
-    for t in TABLES:
-        try:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-        except Exception:
-            pass  # a missing table only matters if an oracle reads it
+    # view every parquet in the sfdir (check.py's setup): a table added to
+    # the dataset later is picked up without editing a hardcoded list
+    for p in glob.glob(f"{SF}/*.parquet"):
+        name = os.path.basename(p)[:-len('.parquet')]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     return con
 
 

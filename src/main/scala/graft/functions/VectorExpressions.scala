@@ -124,19 +124,23 @@ case class BlockCosines(child: Expression, width: Int)
     if (nb < 2)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.empty[Double])
-    def tf(b: Int): java.util.HashMap[String, java.lang.Long] = {
-      val m = new java.util.HashMap[String, java.lang.Long]()
+    // UTF8String keys: hashCode/equals are defined on the bytes and the
+    // map lives only within this eval, so no per-token String decode
+    type Tf = java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      java.lang.Long]
+    def tf(b: Int): Tf = {
+      val m = new Tf()
       var i = b * width
       val hi = math.min(i + width, n)
       while (i < hi) {
-        val k = arr.getUTF8String(i).toString
+        val k = arr.getUTF8String(i)
         val c = m.get(k)
         m.put(k, if (c == null) 1L else c + 1L)
         i += 1
       }
       m
     }
-    def n2(m: java.util.HashMap[String, java.lang.Long]): Long = {
+    def n2(m: Tf): Long = {
       var s = 0L
       val i2 = m.values().iterator()
       while (i2.hasNext) { val c = i2.next().longValue(); s += c * c }
@@ -144,9 +148,11 @@ case class BlockCosines(child: Expression, width: Int)
     }
     val out = new Array[Double](nb - 1)
     var prev = tf(0)
+    var prevN2 = n2(prev) // each block's norm computed once, carried over
     var b = 1
     while (b < nb) {
       val cur = tf(b)
+      val curN2 = n2(cur)
       var dot = 0L
       val it = prev.entrySet().iterator()
       while (it.hasNext) {
@@ -154,9 +160,10 @@ case class BlockCosines(child: Expression, width: Int)
         val c = cur.get(e.getKey)
         if (c != null) dot += e.getValue.longValue() * c.longValue()
       }
-      out(b - 1) = dot.toDouble / (math.sqrt(n2(prev).toDouble) *
-        math.sqrt(n2(cur).toDouble))
+      out(b - 1) = dot.toDouble / (math.sqrt(prevN2.toDouble) *
+        math.sqrt(curN2.toDouble))
       prev = cur
+      prevN2 = curN2
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

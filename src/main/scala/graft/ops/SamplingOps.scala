@@ -414,88 +414,80 @@ FROM ranked ORDER BY stratum
     * boundary is tie-free at sf0.1). Scale: TakeOrdered top-k, no global
     * sort, no shuffle beyond the k winners.
     */
-  def priorityPps(s: SparkSession, dir: String): DataFrame = {
-    val cents = (col("o_totalprice")
+  /** The ONE definition of the priority arithmetic, shared by both batch
+    * queries AND the streaming twin (`EventStream.prioritySampleTws`
+    * projects these columns BEFORE its stateful operator, so stream/batch
+    * parity holds by construction instead of by a hand-maintained JVM
+    * reproduction of Spark's double→decimal cast semantics).
+    * Input: any frame with `keyCol` + `weightCol`; output columns:
+    * keyCol (verbatim), w_cents, priority_key.
+    */
+  private[graft] def withPriorityKey(df: DataFrame, keyCol: String,
+      weightCol: String): DataFrame = {
+    val cents = (col(weightCol)
       .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
       .cast("long")
-    val u = (conv(substring(md5(col("o_orderkey").cast("string")), 1, 12),
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 12),
       16, 10).cast("long") + 1).as("u")
-    val keyed = Registry.table(s, dir, "orders")
-      .select(col("o_orderkey"), cents.as("w_cents"), u)
+    df.select(col(keyCol), cents.as("w_cents"), u)
       .withColumn("priority_key", expr("w_cents * 10000000000L div u"))
-      .orderBy(col("priority_key").desc, col("o_orderkey").asc)
-      .limit(PriorityK)
-    // rank resolves on the k winners only (bounded global window)
-    keyed
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("priority_key").desc, col("o_orderkey").asc))
-        .cast("long"))
-      .select("rank", "o_orderkey", "w_cents", "priority_key")
-      .orderBy("rank")
+      .drop("u")
   }
 
-  private val priorityPpsOracle = s"""
+  /** Shared top-k + rank presentation over [[withPriorityKey]] output. */
+  private def priorityTopK(keyed: DataFrame, keyCol: String): DataFrame =
+    keyed
+      .orderBy(col("priority_key").desc, col(keyCol).asc)
+      .limit(PriorityK)
+      // rank resolves on the k winners only (bounded global window)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("priority_key").desc, col(keyCol).asc))
+        .cast("long"))
+      .select("rank", keyCol, "w_cents", "priority_key")
+      .orderBy("rank")
+
+  /** Shared oracle template — table/key/weight are the only variation. */
+  private def priorityOracleSql(table: String, keyCol: String,
+      weightExpr: String): String = s"""
 WITH base AS (
-  SELECT o_orderkey,
-    CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT) AS w_cents,
-    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)
+  SELECT $keyCol,
+    CAST(CAST($weightExpr AS DECIMAL(25,2)) * 100 AS BIGINT) AS w_cents,
+    CAST('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 12) AS BIGINT)
       + 1 AS u
-  FROM orders),
+  FROM $table),
 keyed AS (
-  SELECT o_orderkey, w_cents,
+  SELECT $keyCol, w_cents,
     CAST((w_cents * 10000000000) // u AS BIGINT) AS priority_key
   FROM base)
-SELECT CAST(row_number() OVER (ORDER BY priority_key DESC, o_orderkey ASC)
+SELECT CAST(row_number() OVER (ORDER BY priority_key DESC, $keyCol ASC)
     AS BIGINT) AS rank,
-  o_orderkey, w_cents, priority_key
+  $keyCol, w_cents, priority_key
 FROM keyed
-ORDER BY priority_key DESC, o_orderkey ASC
+ORDER BY priority_key DESC, $keyCol ASC
 LIMIT $PriorityK
 """
+
+  def priorityPps(s: SparkSession, dir: String): DataFrame =
+    priorityTopK(withPriorityKey(Registry.table(s, dir, "orders"),
+      "o_orderkey", "o_totalprice"), "o_orderkey")
+
+  private val priorityPpsOracle =
+    priorityOracleSql("orders", "o_orderkey", "o_totalprice")
 
   /** [[priorityPps]] over the events stream's weights (value cents) —
     * the batch twin of `EventStream.prioritySampleTws`, which maintains
     * the same top-k as sharded bounded state while events arrive
-    * (StreamingSpec asserts parity). Same exact-integer key discipline;
-    * event values are ≤ ~5·10⁴ cents so the scaled product is far inside
-    * long range.
+    * (StreamingSpec asserts parity — and the stream projects its entries
+    * through the SAME [[withPriorityKey]] columns, so the arithmetic
+    * cannot diverge). Event values are ≤ ~5·10⁴ cents so the scaled
+    * product is far inside long range.
     */
-  def priorityEvents(s: SparkSession, dir: String): DataFrame = {
-    val cents = (col("value")
-      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
-      .cast("long")
-    val u = (conv(substring(md5(col("event_id").cast("string")), 1, 12),
-      16, 10).cast("long") + 1).as("u")
-    Registry.events(s, dir)
-      .select(col("event_id"), cents.as("w_cents"), u)
-      .withColumn("priority_key", expr("w_cents * 10000000000L div u"))
-      .orderBy(col("priority_key").desc, col("event_id").asc)
-      .limit(PriorityK)
-      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("priority_key").desc, col("event_id").asc))
-        .cast("long"))
-      .select("rank", "event_id", "w_cents", "priority_key")
-      .orderBy("rank")
-  }
+  def priorityEvents(s: SparkSession, dir: String): DataFrame =
+    priorityTopK(withPriorityKey(Registry.events(s, dir),
+      "event_id", "value"), "event_id")
 
-  private val priorityEventsOracle = s"""
-WITH base AS (
-  SELECT event_id,
-    CAST(CAST(value AS DECIMAL(25,2)) * 100 AS BIGINT) AS w_cents,
-    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT)
-      + 1 AS u
-  FROM events),
-keyed AS (
-  SELECT event_id, w_cents,
-    CAST((w_cents * 10000000000) // u AS BIGINT) AS priority_key
-  FROM base)
-SELECT CAST(row_number() OVER (ORDER BY priority_key DESC, event_id ASC)
-    AS BIGINT) AS rank,
-  event_id, w_cents, priority_key
-FROM keyed
-ORDER BY priority_key DESC, event_id ASC
-LIMIT $PriorityK
-"""
+  private val priorityEventsOracle =
+    priorityOracleSql("events", "event_id", "value")
 
   val queries: Map[String, QueryDef] = Map(
     "sample_priority_events" ->

@@ -380,41 +380,31 @@ object EventStream {
     * could all land in one shard, so per-shard k = global k), and the
     * reader unions shards and takes the global top-k — the same
     * local-then-merge shape as every distributed top-k here. The priority
-    * arithmetic reproduces the batch closed form bit-for-bit in JVM code:
-    * w = value as DECIMAL(·,2)·100 (HALF_UP, Spark's double→decimal cast
-    * rule), u = first-12-hex-chars of md5(event_id) + 1, key =
-    * w·10¹⁰ div u. Emission is the full per-shard snapshot each batch
-    * with a monotone `n_seen`, so the latest emission is identifiable in
-    * an Update-mode sink.
+    * arithmetic is NOT reimplemented: the stream projects through the
+    * batch queries' own `SamplingOps.withPriorityKey` Column expressions
+    * before the stateful operator, so parity holds by construction.
+    * Emission is the full per-shard snapshot each batch with a monotone
+    * `n_seen`, so the latest emission is identifiable in an Update-mode
+    * sink.
     */
   def prioritySampleTws(events: Dataset[StreamEvent],
       k: Int = 200): Dataset[ShardTopK] = {
     import events.sparkSession.implicits._
-    events
+    // the priority arithmetic is the BATCH queries' Column expressions
+    // (SamplingOps.withPriorityKey), projected before the stateful
+    // operator — parity by construction; the processor only keeps top-k
+    graft.ops.SamplingOps.withPriorityKey(events.toDF(), "event_id", "value")
+      .select(col("event_id"), col("w_cents"), col("priority_key"))
+      .as[PriorityEntry]
       .groupByKey(_.event_id % 8)
       .transformWithState(new PrioritySampleProcessor(k),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
 
-  private[streaming] def priorityEntry(e: StreamEvent): PriorityEntry = {
-    // valueOf (Double.toString shortest-repr), NOT new BigDecimal(double):
-    // Spark's double→decimal cast goes through scala BigDecimal(d) which
-    // wraps valueOf — the exact-binary constructor would round 0.615-style
-    // values the other way and break batch parity
-    val w = java.math.BigDecimal.valueOf(e.value)
-      .setScale(2, java.math.RoundingMode.HALF_UP)
-      .movePointRight(2).longValueExact()
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(e.event_id.toString.getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
-    val u = java.lang.Long.parseLong(hex, 16) + 1
-    PriorityEntry(e.event_id, w, w * 10000000000L / u)
-  }
-
   final class PrioritySampleProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, StreamEvent, ShardTopK] {
+        Long, PriorityEntry, ShardTopK] {
     @transient private var topk:
         org.apache.spark.sql.streaming.ValueState[ShardTopK] = _
 
@@ -424,11 +414,11 @@ object EventStream {
         org.apache.spark.sql.Encoders.product[ShardTopK],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
-    override def handleInputRows(shard: Long, rows: Iterator[StreamEvent],
+    override def handleInputRows(shard: Long, rows: Iterator[PriorityEntry],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[ShardTopK] = {
       val prev = if (topk.exists()) topk.get() else ShardTopK(shard, 0L, Nil)
-      val incoming = rows.map(priorityEntry).toVector
+      val incoming = rows.toVector
       val merged = (prev.entries ++ incoming)
         .sortBy(en => (-en.priority_key, en.event_id)).take(k)
       val next = ShardTopK(shard, prev.n_seen + incoming.size, merged)

@@ -191,13 +191,24 @@ class StreamingSpec extends SparkSpec {
     assert(expected("3_purchase_after_click") > 0, "test vacuous")
   }
 
-  test("transformWithState funnel (Spark 4 API) matches the classic-API funnel") {
-    import spark.implicits._
+  // the transformWithState operators require RocksDB; set-and-restore the
+  // provider around the body so the suite's other streams keep the default
+  private def withRocksDBProvider(body: => Unit): Unit = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try body finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("transformWithState funnel (Spark 4 API) matches the classic-API funnel") {
+    import spark.implicits._
+    withRocksDBProvider {
       val stream = EventStream.readEvents(spark, eventsPath)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[StreamEvent]
@@ -211,11 +222,6 @@ class StreamingSpec extends SparkSpec {
       assert(got.values.count(_ >= 1) == expected("1_view"))
       assert(got.values.count(_ >= 2) == expected("2_click_after_view"))
       assert(got.values.count(_ >= 3) == expected("3_purchase_after_click"))
-    } finally {
-      prevProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
     }
   }
 
@@ -404,13 +410,10 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming priority sample equals the batch (oracle-checked) top-k") {
     // bounded per-shard top-k state + union-and-merge at read must equal
-    // sample_priority_events exactly — including the HALF_UP cents rule
-    // and the md5-derived priority arithmetic reproduced in JVM code
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    // sample_priority_events exactly; the stream projects through the batch
+    // queries' own withPriorityKey columns, so this certifies the sharded
+    // top-k MERGE (the only stream-side logic), not a re-derivation
+    withRocksDBProvider {
       import org.apache.spark.sql.expressions.Window
       val stream = EventStream.readEvents(spark, eventsPath)
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -433,20 +436,11 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(got.nonEmpty && got == expected,
         "sharded streaming top-k diverged from the batch priority sample")
-    } finally {
-      prevProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
     }
   }
 
   test("transformWithState latest-snapshot matches the classic-API upsert") {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBProvider {
       val stream = EventStream.readEvents(spark, eventsPath)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
@@ -469,11 +463,6 @@ class StreamingSpec extends SparkSpec {
         .orderBy("user_id").collect().map(_.toSeq).toSeq
       assert(got.nonEmpty && got == expected,
         "TWS upsert must emit the same snapshot as the classic API")
-    } finally {
-      prevProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
     }
   }
 
