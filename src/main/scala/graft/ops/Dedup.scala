@@ -235,6 +235,100 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
 ORDER BY i, j
 """
 
+  // ------------------------------------------- prefix-filtered exact Jaccard
+  /** Exact full-universe Jaccard ≥ 0.8 pairs via PREFIX FILTERING (the
+    * SSJoin/All-Pairs/PPJoin family): rank each doc's shingles under ONE
+    * global order — document frequency ascending, hash tiebreak — and
+    * self-join ONLY each doc's prefix, the first |x| − ⌈t·|x|⌉ + 1 rarest
+    * shingles. Pigeonhole: any pair with J ≥ t must share a token inside
+    * both prefixes (if every common token missed x's prefix, the overlap
+    * is ≤ ⌈t·|x|⌉ − 1 < the t·max(|x|,|y|) floor J ≥ t forces — and the
+    * same bound applies to the globally-smallest common token on y's
+    * side), so the candidate set is provably COMPLETE while the index
+    * carries ~(1−t) of the postings.
+    *
+    * This is the exact-algorithm complement to the df-capped posting join
+    * ([[jaccardPairs]]) and the probabilistic LSH ([[minhashLsh]]):
+    * frequency-ordering puts boilerplate shingles at the END of every
+    * doc's ranking — outside the prefix — so the Σ C(df,2) blow-up never
+    * materializes, WITHOUT truncating the similarity universe (the df cap
+    * trades a bounded universe change for its guarantee; the prefix filter
+    * pays instead one extra df aggregate + doc-keyed rank window). The
+    * Round9PropertySpec boilerplate law pins exactly that: 1200 docs
+    * sharing a header shingle yield ONE candidate here, uncapped.
+    * Verification joins the (tiny) candidate set back to the full shingle
+    * arrays — `array_intersect` per pair, exact integer ratio. The DuckDB
+    * oracle is the NAIVE uncapped posting join, a genuinely different
+    * algorithm, so the hash gate certifies completeness on real data.
+    */
+  def prefixJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), shingles(s).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint() // read by the candidate index AND both verify sides
+    val cand = prefixCandidates(d)
+    cand.join(d.as("da"), col("i") === col("da.doc_id"))
+      .join(d.as("db"), col("j") === col("db.doc_id"))
+      .select(col("i"), col("j"),
+        size(array_intersect(col("da.sh"), col("db.sh"))).cast("long")
+          .as("inter"),
+        size(col("da.sh")).cast("long").as("na"),
+        size(col("db.sh")).cast("long").as("nb"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("i", "j")
+  }
+
+  /** Distinct candidate pairs sharing a shingle inside BOTH prefixes.
+    * Package-visible as the Round9PropertySpec hook for the boilerplate
+    * law (candidate completeness + boilerplate immunity, uncapped).
+    */
+  private[graft] def prefixCandidates(d: DataFrame): DataFrame = {
+    // n rides along from the array, so the only window is the rank
+    val ex = d.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("s"))
+      .localCheckpoint() // df aggregate + ranked join both read it
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val pre = ex.join(dfreq, "s")
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
+      // prefix length |x| − ⌈4|x|/5⌉ + 1, exact integers (t = 4/5)
+      .filter(col("r") <= col("n") - expr("(n * 4 + 4) div 5") + 1)
+      .select("doc_id", "s")
+    pre.as("a").join(pre.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  private[graft] def prefixCandidatesAt(s: SparkSession, dir: String): DataFrame =
+    prefixCandidates(docs(s, dir)
+      .select(col("doc_id"), shingles(s).as("sh"))
+      .filter(size(col("sh")) > 0))
+
+  /** Naive uncapped exact-Jaccard oracle — deliberately NOT the prefix
+    * algorithm, so the gate certifies candidate completeness.
+    */
+  private val prefixJaccardOracle = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(toks[i:i+4], ' ')
+                   for i in range(1, len(toks) - 3)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 5),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
+SELECT i, j, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+ORDER BY i, j
+"""
+
   // ------------------------------------------------------------ MinHash LSH
   private val NumHashes = 32
   private val NumBands = 16 // 2 rows per band
@@ -839,6 +933,8 @@ FROM nt JOIN cov USING (doc_id) ORDER BY nt.doc_id
     "dedup_exact" -> QueryDef(exactDedup, Some(exactDedupOracle)),
     "dedup_normalized_tokens" -> QueryDef(normalizedDedup, Some(normalizedDedupOracle)),
     "dedup_ngram_jaccard" -> QueryDef(jaccardPairs, Some(jaccardPairsOracle)),
+    "dedup_prefix_jaccard" ->
+      QueryDef(prefixJaccardPairs, Some(prefixJaccardOracle)),
     "dedup_minhash_lsh" -> QueryDef(minhashLsh, Some(jaccardPairsOracle)),
     "dedup_simhash" -> QueryDef(simhash, Some(simhashOracle)),
     "dedup_embedding_cosine" -> QueryDef(embeddingPairs, Some(embeddingPairsOracle)),

@@ -519,7 +519,64 @@ WHERE n_ab * n_orders > ma.n_b * mb.n_b
 ORDER BY brand_a, brand_b
 """
 
+  // ------------------------------------------------------- skyline operator
+  /** 2-D skyline (Pareto frontier) of parts: the price/size points not
+    * dominated by any other (cheaper-or-equal AND bigger-or-equal, one
+    * strict). The classic OLAP operator, in its DISTRIBUTIVE form —
+    * skyline(S) ⊆ ∪ᵢ skyline(partitionᵢ) for ANY partitioning — so phase 1
+    * computes a local skyline per hash bucket (sort by price asc / size
+    * desc, keep rows whose size exceeds the running max of all
+    * strictly-preceding rows: over DISTINCT points that predicate is
+    * exactly non-dominance) and only the few local survivors reach the
+    * single-partition final pass. The global sort a naive skyline needs
+    * never happens; the one unpartitioned window runs on the
+    * bucket-skyline union, bounded by #buckets × local-frontier size (on
+    * anti-correlated data a frontier can approach the input, at which
+    * point the output itself is that large — the information floor, not
+    * an implementation artifact). The DuckDB oracle is the quadratic
+    * NOT-EXISTS dominance definition — an independent algorithm, so the
+    * hash gate certifies the sort-based evaluation against the
+    * definitional one. Output keyed by price alone (two frontier points
+    * cannot share a price — the larger size would dominate), so every
+    * ORDER BY is total: no tie class for a parallel engine to flap on.
+    */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    val pts = Registry.table(s, dir, "part")
+      .groupBy(col("p_retailprice"), col("p_size"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("bucket", pmod(hash(col("p_retailprice")), lit(32)))
+    def frontier(w: org.apache.spark.sql.expressions.WindowSpec,
+        df: DataFrame): DataFrame = {
+      val mx = max(col("p_size")).over(
+        w.orderBy(col("p_retailprice").asc, col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1))
+      df.withColumn("mx", mx)
+        .filter(col("mx").isNull || col("p_size") > col("mx"))
+        .drop("mx")
+    }
+    val local = frontier(Window.partitionBy("bucket"), pts).drop("bucket")
+    frontier(Window.partitionBy(), local)
+      .select("p_retailprice", "p_size", "n_parts")
+      .orderBy("p_retailprice")
+  }
+
+  /** Definitional dominance oracle — quadratic NOT EXISTS, deliberately
+    * NOT the sort-based algorithm the engine runs.
+    */
+  private val skylineOracle = """
+WITH pts AS (
+  SELECT p_retailprice AS pr, p_size AS sz, count(*) AS n_parts
+  FROM part GROUP BY 1, 2)
+SELECT pr AS p_retailprice, sz AS p_size, n_parts
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.pr <= a.pr AND b.sz >= a.sz AND (b.pr < a.pr OR b.sz > a.sz))
+ORDER BY p_retailprice
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "skyline_price_size" -> QueryDef(skylineParts, Some(skylineOracle)),
     "basket_brand_lift" -> QueryDef(basketBrandLift, Some(basketLiftOracle)),
     "rfm_customer_segments" -> QueryDef(rfmSegments, Some(rfmOracle)),
     "q19_disjunctive_join" ->

@@ -621,4 +621,32 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"coverage picked up an all-pairs term:\n${plan.take(2000)}")
   }
+
+  test("prefix jaccard: candidates are a shingle equi-join, never corpus×corpus") {
+    // the prefix index must meet itself through a hash equi-join on the
+    // shingle key; an all-pairs fallback here defeats the entire filter
+    val plan = executedPlan(ops.Dedup.prefixJaccardPairs(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix candidates degraded to an all-pairs join:\n${plan.take(2000)}")
+    // the rank that defines the prefix is a doc-keyed window, not global
+    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[doc_id".r
+      .findFirstIn(plan).isDefined,
+      s"prefix rank window lost its doc_id partitioning:\n${plan.take(2000)}")
+  }
+
+  test("skyline: bucketed local frontier feeds the single final window") {
+    // phase 1 must run partitioned by bucket (the distributive reduction);
+    // exactly one window may be unpartitioned, and it reads only the
+    // bucket survivors — any join means the quadratic definitional form
+    val plan = executedPlan(ops.RelationalExtras.skylineParts(spark, sfDir))
+    assert(!plan.contains("Join"),
+      s"skyline picked up a join (definitional quadratic?):\n${plan.take(2000)}")
+    assert("Window \\[max\\([^\\]]*\\], \\[bucket".r.findFirstIn(plan).isDefined,
+      s"local frontier window lost its bucket partitioning:\n${plan.take(2000)}")
+    val unpartitioned = "Window \\[[^\\]]*\\], \\[\\]".r
+      .findAllIn(plan).length
+    assert(unpartitioned <= 1,
+      s"more than one global window in the skyline plan:\n${plan.take(2000)}")
+  }
 }

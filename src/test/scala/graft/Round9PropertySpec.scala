@@ -298,4 +298,61 @@ class Round9PropertySpec extends SparkSpec {
         "entry must remain visible through the soft path after unpin")
     }
   }
+
+  test("prefix filter is boilerplate-immune WITHOUT a df cap, and complete") {
+    // frequency-ordering must put the shared header shingle outside every
+    // doc's prefix, so 1200 boilerplate docs yield ONLY the planted
+    // near-dup candidate — the df-cap law's guarantee, achieved on the
+    // UNCAPPED universe (the whole point of the prefix algorithm); and
+    // the pigeonhole completeness must keep the true pair in the
+    // candidate set, scored by exact full-universe Jaccard
+    val dir = mkBoilerplateCorpus(ops.Dedup.PostingDfCap + 176)
+    val cand = ops.Dedup.prefixCandidatesAt(spark, dir).collect()
+    assert(cand.length == 1,
+      s"expected only the planted candidate, got ${cand.length} pairs — " +
+        "boilerplate shingles are reaching the prefixes")
+    val j = ops.Dedup.prefixJaccardPairs(spark, dir).collect()
+    assert(j.length == 1 && j(0).getLong(0) == 900000L &&
+      j(0).getLong(1) == 900001L &&
+      math.abs(j(0).getDouble(2) - 6.0 / 7.0) < 1e-12,
+      s"planted pair lost or mis-scored: ${j.mkString(",")}")
+  }
+
+  test("prefix filter strictly out-prunes the posting join below the df cap") {
+    // at df = 8 the stop-shingle cap cannot engage, so the posting join
+    // carries the header's C(8,2) = 28 false candidates (pinned by the
+    // below-cap law above); the prefix index must skip them ALL — its
+    // pruning comes from per-doc ordering, not a global threshold —
+    // while both algorithms agree on the one true pair
+    val dir = mkBoilerplateCorpus(8)
+    assert(ops.Dedup.prefixCandidatesAt(spark, dir).count() == 1,
+      "prefix candidates should be exactly the planted pair at df=8")
+    val j = ops.Dedup.prefixJaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(j == Seq((900000L, 900001L)), s"result drifted: $j")
+  }
+
+  test("skyline: distributive two-phase equals the dominance definition") {
+    import spark.implicits._
+    // hand-built frontier with every interesting case: duplicate points
+    // (multiplicity, not dominance), an equal-price pair (larger size
+    // wins), a point dominated only by a point likely hashed to another
+    // bucket (phase 2 must still remove it), and an undominated diagonal
+    val parts = Seq(
+      (1L, "a", "B", "T", 10, 100.0), // frontier: cheapest
+      (2L, "a", "B", "T", 10, 100.0), // duplicate -> n_parts = 2
+      (3L, "a", "B", "T", 30, 200.0), // frontier: bigger, pricier
+      (4L, "a", "B", "T", 20, 200.0), // dominated by (200, 30)
+      (5L, "a", "B", "T", 5, 150.0),  // dominated by (100, 10)
+      (6L, "a", "B", "T", 50, 300.0), // frontier
+      (7L, "a", "B", "T", 40, 300.0)  // equal price, smaller -> dominated
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+    val dir = java.nio.file.Files.createTempDirectory("skyline")
+    parts.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = ops.RelationalExtras.skylineParts(spark, dir.toString)
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((100.0, 10, 2L), (200.0, 30, 1L), (300.0, 50, 1L)),
+      s"skyline drifted from the dominance definition: $got")
+  }
 }
