@@ -209,6 +209,69 @@ ORDER BY e.event_id
       .orderBy("event_id")
   }
 
+  // ------------------------------------------------ as-of with tolerance
+  /** [[asofPrevClose]] under the `merge_asof(tolerance=)` semantic every
+    * trading asof API carries: a prior close older than
+    * [[AsofToleranceDays]] days is too stale to use (2 days: the driver
+    * corpus is near-daily per user, so lags 3+ exist and the cutoff is
+    * exercised — a 7-day tolerance would be vacuously true on this data) and the match is
+    * NULLed (the raw staleness ships as `lag_days` so the cutoff is
+    * auditable). Same scalable union+window encoding — the window now
+    * propagates the matched close's DAY alongside its value (two
+    * `last(ignoreNulls)` over ONE window spec: both columns are set on
+    * exactly the same state rows, so the pair can never mix two different
+    * closes), and the tolerance is a post-filter on their distance. One
+    * shuffle on user_id, unchanged. Oracle: DuckDB ASOF LEFT JOIN with
+    * the same CASE cutoff — the engine-native asof operator, a different
+    * evaluation strategy than the union+window encoding.
+    */
+  private val AsofToleranceDays = 2
+
+  def asofToleranceClose(s: SparkSession, dir: String): DataFrame = {
+    val ev = Registry.events(s, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("value"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max_by(col("value"), col("ts")).as("close_value"))
+    val state = daily.select(col("user_id"), col("day"), lit(1).as("kind"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"),
+      col("close_value"), col("day").as("close_day"))
+    val probe = ev.select(col("user_id"), col("day"), lit(0).as("kind"),
+      col("event_id"), col("value"),
+      lit(null).cast("double").as("close_value"),
+      lit(null).cast("date").as("close_day"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("day"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    state.unionByName(probe)
+      .withColumn("prev_close_raw",
+        last(col("close_value"), ignoreNulls = true).over(w))
+      .withColumn("prev_day", last(col("close_day"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("event_id"), col("user_id"), col("day"), col("value"),
+        datediff(col("day"), col("prev_day")).cast("long").as("lag_days"),
+        when(datediff(col("day"), col("prev_day")) <= AsofToleranceDays,
+          col("prev_close_raw")).as("prev_close"))
+      .orderBy("event_id")
+  }
+
+  private val asofToleranceOracle = s"""
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS day, ts, value FROM events),
+daily AS (
+  SELECT user_id, day, max_by(value, ts) AS close_value
+  FROM ev GROUP BY user_id, day)
+SELECT e.event_id, e.user_id, e.day, e.value,
+  CAST(e.day - d.day AS BIGINT) AS lag_days,
+  CASE WHEN e.day - d.day <= $AsofToleranceDays THEN d.close_value END
+    AS prev_close
+FROM ev e
+ASOF LEFT JOIN daily d
+  ON e.user_id = d.user_id AND d.day < e.day
+ORDER BY e.event_id
+"""
+
   // ------------------------------------------- keyless interval join (bins)
   /** Point-in-interval join WITHOUT an equi key, by time-bucket expansion —
     * the range-join bin technique: intervals explode to every 6h bucket
@@ -545,6 +608,8 @@ ORDER BY n DESC, path ASC LIMIT 20
     "sessionize_30m" -> QueryDef(sessionize, Some(sessionizeOracle)),
     "json_props_agg" -> QueryDef(jsonProps, Some(jsonPropsOracle)),
     "asof_prev_close" -> QueryDef(asofPrevClose, Some(asofPrevCloseOracle)),
-    "asof_custom_strategy" -> QueryDef(asofCustom, Some(asofPrevCloseOracle))
+    "asof_custom_strategy" -> QueryDef(asofCustom, Some(asofPrevCloseOracle)),
+    "asof_tolerance_close" ->
+      QueryDef(asofToleranceClose, Some(asofToleranceOracle))
   )
 }

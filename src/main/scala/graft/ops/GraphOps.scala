@@ -630,8 +630,92 @@ FROM nation na LEFT JOIN dist d ON d.n = na.n_nationkey
 ORDER BY n_name
 """
 
+  /** Closeness centrality (Bavelas) per nation over the same thresholded
+    * trade graph: C(u) = (r_u − 1) / Σ_v d(u, v) over u's reachable set —
+    * all-sources BFS on the [[collectedTradeEdges]] adjacency (≤|nation|²
+    * work on ≤625 integer edges at ANY fact scale; the O(fact) edge build
+    * stays distributed and memo-shared with the rest of the family). The
+    * cross-engine discipline is the usual one: reachable count and
+    * distance sum stay exact integers, closeness is ONE final double
+    * division (0.0 for isolated nations — r = 1, Σd = 0). Oracle: the
+    * bfs walk generalized to every source, min-hops aggregated per
+    * (src, node) — independent evaluation, hash-certified.
+    */
+  def closenessCentrality(s: SparkSession, dir: String): DataFrame = {
+    val adj = collectedTradeEdges(s, dir)
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val perSource = adj.keys.toSeq.map { src =>
+      val dist = scala.collection.mutable.Map(src -> 0L)
+      var frontier = List(src)
+      var h = 0L
+      while (frontier.nonEmpty) {
+        h += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Int]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = h)
+      }
+      (src.toLong, dist.size.toLong, dist.values.sum)
+    }
+    import s.implicits._
+    val d = perSource.toDF("n", "n_reachable", "total_dist")
+    Registry.table(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .join(broadcast(d), col("n_nationkey") === col("n"), "left_outer")
+      .select(col("n_name"),
+        coalesce(col("n_reachable"), lit(1L)).as("n_reachable"),
+        coalesce(col("total_dist"), lit(0L)).as("total_dist"),
+        when(coalesce(col("total_dist"), lit(0L)) > 0,
+          (coalesce(col("n_reachable"), lit(1L)) - 1).cast("double") /
+            col("total_dist")).otherwise(lit(0.0)).as("closeness"))
+      .orderBy("n_name")
+  }
+
+  private val closenessOracle = """
+WITH RECURSIVE e AS (
+  SELECT s.s_nationkey AS u, cu.c_nationkey AS v,
+    CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  WHERE s.s_nationkey <> cu.c_nationkey),
+und AS MATERIALIZED (
+  SELECT least(u, v) AS a, greatest(u, v) AS b, CAST(sum(c) AS BIGINT) AS w
+  FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ne, CAST(sum(w) AS BIGINT) AS tw
+  FROM und),
+edges AS MATERIALIZED (SELECT a, b FROM und CROSS JOIN tot WHERE w * ne >= tw),
+adj AS MATERIALIZED (
+  SELECT a AS n, b AS nb FROM edges
+  UNION ALL SELECT b, a FROM edges),
+walk(src, n, hops) AS (
+  SELECT DISTINCT n, n, 0 FROM adj
+  UNION
+  SELECT w.src, a.nb, w.hops + 1
+  FROM walk w JOIN adj a ON a.n = w.n
+  WHERE w.hops < 25),
+dist AS (
+  SELECT src, n, min(hops) AS hops FROM walk GROUP BY src, n),
+cl AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_reachable,
+    CAST(sum(hops) AS BIGINT) AS total_dist
+  FROM dist GROUP BY src)
+SELECT na.n_name,
+  coalesce(c.n_reachable, 1) AS n_reachable,
+  coalesce(c.total_dist, 0) AS total_dist,
+  CASE WHEN coalesce(c.total_dist, 0) > 0
+    THEN CAST(coalesce(c.n_reachable, 1) - 1 AS DOUBLE) / c.total_dist
+    ELSE 0.0 END AS closeness
+FROM nation na LEFT JOIN cl c ON c.src = na.n_nationkey
+ORDER BY n_name
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "graph_bfs_hops" -> QueryDef(bfsHops, Some(bfsOracle)),
+    "graph_closeness_centrality" ->
+      QueryDef(closenessCentrality, Some(closenessOracle)),
     "graph_kcore" -> QueryDef(kcore, Some(kcoreOracle)),
     "graph_pagerank_nations" -> QueryDef(pagerankNations, Some(pagerankOracle)),
     "graph_triangle_clustering" ->
