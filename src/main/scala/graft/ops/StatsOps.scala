@@ -1253,7 +1253,89 @@ WHERE cum_ge >= CAST(ceil(n * 0.01) AS BIGINT)
   AND cum_ge - c < CAST(ceil(n * 0.01) AS BIGINT)
 """
 
+  // ------------------------------------------------- Poisson bootstrap CI
+  /** Bootstrap distribution of the mean order price by POISSON bootstrap —
+    * the distributed-data form of the bootstrap (each row draws an
+    * independent Poisson(1) multiplicity per replicate instead of a global
+    * n-out-of-n resample, to which it converges), so all B replicates
+    * reduce in ONE scan with map-side combine: the shuffle carries B
+    * partial rows per task, never resampled data — the property that makes
+    * bootstrap inference feasible at 100 TB. Derandomized per the repo
+    * discipline: the per-(row, replicate) uniform is the 60-bit md5 hash,
+    * the Poisson(1) draw is a shared inverse-CDF ladder of double literals
+    * (identical digit strings in both engines → identical IEEE values →
+    * identical weights), capped at 8 (P ≈ 1e-8 per draw; the cap is part
+    * of the definition, mirrored in the oracle). Weighted sums stay exact
+    * int64; each replicate mean is ONE double division. The replicate
+    * spread IS the sampling distribution of the mean — CI endpoints are
+    * order statistics of these rows.
+    */
+  private val BootstrapReps = 32
+
+  def poissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val x = table(s, dir, "orders").select(col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(25, 2)) * 100).cast("long")
+        .as("cents"))
+    val u = (SamplingOps.hash60(concat(col("o_orderkey").cast("string"),
+      lit(":"), col("replicate").cast("string"))).cast("double") /
+      lit(1152921504606846976L).cast("double"))
+    val pois = when(col("u") < 0.36787944117144233, 0L)
+      .when(col("u") < 0.7357588823428847, 1L)
+      .when(col("u") < 0.9196986029286058, 2L)
+      .when(col("u") < 0.9810118431238463, 3L)
+      .when(col("u") < 0.9963401531726563, 4L)
+      .when(col("u") < 0.9994058151824183, 5L)
+      .when(col("u") < 0.999916758850712, 6L)
+      .when(col("u") < 0.9999897508033254, 7L)
+      .otherwise(8L)
+    x.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(BootstrapReps - 1))).as("replicate"))
+      .withColumn("u", u)
+      .withColumn("w", pois)
+      .groupBy("replicate")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("sum_cents"))
+      .select(col("replicate").cast("long").as("replicate"),
+        col("n_eff"), col("sum_cents"),
+        (col("sum_cents").cast("double") / (col("n_eff") * 100))
+          .as("mean_price"))
+      .orderBy("replicate")
+  }
+
+  private val poissonBootstrapOracle = s"""
+WITH x AS (
+  SELECT o_orderkey,
+    CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+draws AS (
+  SELECT r.replicate, x.cents,
+    CAST(CAST('0x' || substr(md5(CAST(x.o_orderkey AS VARCHAR) || ':' ||
+      CAST(r.replicate AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+      / CAST(1152921504606846976 AS DOUBLE) AS u
+  FROM x CROSS JOIN (SELECT unnest(range(0, $BootstrapReps)) AS replicate) r),
+wt AS (
+  SELECT replicate, cents,
+    CASE WHEN u < 0.36787944117144233 THEN 0
+         WHEN u < 0.7357588823428847 THEN 1
+         WHEN u < 0.9196986029286058 THEN 2
+         WHEN u < 0.9810118431238463 THEN 3
+         WHEN u < 0.9963401531726563 THEN 4
+         WHEN u < 0.9994058151824183 THEN 5
+         WHEN u < 0.999916758850712 THEN 6
+         WHEN u < 0.9999897508033254 THEN 7
+         ELSE 8 END AS w
+  FROM draws)
+SELECT CAST(replicate AS BIGINT) AS replicate,
+  CAST(sum(w) AS BIGINT) AS n_eff,
+  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+  CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE) /
+    (CAST(sum(w) AS BIGINT) * 100) AS mean_price
+FROM wt GROUP BY replicate ORDER BY replicate
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_poisson_bootstrap" ->
+      QueryDef(poissonBootstrap, Some(poissonBootstrapOracle)),
     "stats_pareto_share" -> QueryDef(paretoShare, Some(paretoShareOracle)),
     "stats_trimmed_mean" -> QueryDef(trimmedMean, Some(trimmedMeanOracle)),
     "stats_chi2_independence" ->

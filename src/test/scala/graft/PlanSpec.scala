@@ -622,6 +622,19 @@ class PlanSpec extends SparkSpec {
       s"coverage picked up an all-pairs term:\n${plan.take(2000)}")
   }
 
+  test("poisson bootstrap: replicates reduce map-side, the shuffle carries partials") {
+    // the whole point of the Poisson form is that B replicates fold into
+    // partial aggregates before the exchange — if partial aggregation
+    // disappears, the shuffle ships the 32×-exploded fact table
+    val plan = executedPlan(ops.StatsOps.poissonBootstrap(spark, sfDir))
+    assert(plan.contains("partial_sum"),
+      s"replicate aggregation lost its partial phase:\n${plan.take(2000)}")
+    assert("Exchange hashpartitioning\\(replicate".r.findFirstIn(plan).isDefined,
+      s"aggregate exchange is not keyed on replicate:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"bootstrap picked up a join:\n${plan.take(2000)}")
+  }
+
   test("prefix jaccard: candidates are a shingle equi-join, never corpus×corpus") {
     // the prefix index must meet itself through a hash equi-join on the
     // shingle key; an all-pairs fallback here defeats the entire filter
