@@ -88,7 +88,23 @@ object StreamBench {
         OutputMode.Update())),
       "funnel_stages" -> (() => EventStream.runToMemory(spark,
         EventStream.funnelStages(typed()).toDF(), "sb_funnel",
-        OutputMode.Update())))
+        OutputMode.Update())),
+      // transformWithState requires RocksDB regardless of the suite-wide
+      // provider choice — set-and-restore around this one case
+      "priority_sample_tws" -> { () =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try EventStream.runToMemory(spark,
+          EventStream.prioritySampleTws(typed()).toDF(), "sb_priority",
+          OutputMode.Update())
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        ()
+      })
 
     // one untimed warmup of the cheapest case pays source-probe + codegen
     try cases.head._2() catch { case _: Throwable => }
