@@ -393,7 +393,88 @@ SELECT user_id, day,
 FROM j ORDER BY user_id, day
 """
 
+  // ------------------------------------------- seasonal decomposition
+  /** Classical additive seasonal decomposition (moving-average detrend →
+    * day-of-week seasonal means → residual; the STL-shaped pipeline every
+    * stats library ships) over the GLOBAL daily revenue series from
+    * `orders` — the one ts query here on the order fact rather than the
+    * event ticks, because its 2.4k-day span gives the weekly component
+    * ~340 observations per weekday. All state exact integers: trend is
+    * the centered 7-day window sum over daily cents (full windows only —
+    * edges keep null trend/residual rather than a biased partial mean),
+    * the detrended series is held as the numerator over the COMMON
+    * denominator 7 (`7·cents − sum7`), so the per-weekday seasonal mean
+    * is again one exact integer ratio, and residual = detr/700 −
+    * s_num/(s_n·700) — two exact-int divisions and one subtraction, the
+    * identical IEEE op sequence in the oracle. Day-of-week is computed
+    * ARITHMETICALLY (days since an anchor, mod 7) because DuckDB and
+    * Spark number weekdays differently. Scale: one partial-aggregated
+    * shuffle collapses the fact to ≤ one row per day; the unpartitioned
+    * 7-row window runs on that date grid (bounded-input class, like the
+    * other calendar spines).
+    */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val d = Registry.table(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(25, 2)) * 100)
+        .cast("long")).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val det = d
+      .withColumn("sum7", sum("cents").over(w))
+      .withColumn("cnt7", count(lit(1)).over(w))
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1995-01-01"))), lit(7))
+          .cast("long"))
+      .withColumn("detr_num",
+        when(col("cnt7") === 7, col("cents") * 7 - col("sum7")))
+    val seas = det.filter(col("cnt7") === 7)
+      .groupBy("dow")
+      .agg(sum("detr_num").as("s_num"), count(lit(1)).as("s_n"))
+    det.join(broadcast(seas), Seq("dow"), "left_outer")
+      .select(col("day"),
+        (col("cents").cast("double") / 100).as("revenue"),
+        when(col("cnt7") === 7, col("sum7").cast("double") / 700).as("trend"),
+        (col("s_num").cast("double") / (col("s_n") * 700)).as("seasonal"),
+        when(col("cnt7") === 7,
+          col("detr_num").cast("double") / 700 -
+            col("s_num").cast("double") / (col("s_n") * 700)).as("residual"))
+      .orderBy("day")
+  }
+
+  private val seasonalDecomposeOracle = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT))
+      AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT day, cents,
+    CAST(sum(cents) OVER w AS BIGINT) AS sum7,
+    CAST(count(*) OVER w AS BIGINT) AS cnt7,
+    CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS dow
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+det AS (
+  SELECT t.*, CASE WHEN cnt7 = 7 THEN cents * 7 - sum7 END AS detr_num
+  FROM t),
+seas AS (
+  SELECT dow, CAST(sum(detr_num) AS BIGINT) AS s_num,
+    CAST(count(detr_num) AS BIGINT) AS s_n
+  FROM det WHERE cnt7 = 7 GROUP BY dow)
+SELECT det.day,
+  CAST(det.cents AS DOUBLE) / 100 AS revenue,
+  CASE WHEN det.cnt7 = 7 THEN CAST(det.sum7 AS DOUBLE) / 700 END AS trend,
+  CAST(s.s_num AS DOUBLE) / (s.s_n * 700) AS seasonal,
+  CASE WHEN det.cnt7 = 7 THEN
+    CAST(det.detr_num AS DOUBLE) / 700 -
+      CAST(s.s_num AS DOUBLE) / (s.s_n * 700) END AS residual
+FROM det LEFT JOIN seas s ON s.dow = det.dow
+ORDER BY det.day
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "ts_seasonal_decompose" ->
+      QueryDef(seasonalDecompose, Some(seasonalDecomposeOracle)),
     "ts_vwap_daily" -> QueryDef(vwapDaily, Some(vwapDailyOracle)),
     "ts_rolling_volatility" ->
       QueryDef(rollingVolatility, Some(rollingVolatilityOracle)),
