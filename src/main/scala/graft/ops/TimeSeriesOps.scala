@@ -393,6 +393,49 @@ SELECT user_id, day,
 FROM j ORDER BY user_id, day
 """
 
+  // ------------------------------------------- sequential pattern match
+  /** MATCH_RECOGNIZE-style sequential pattern detection, composed from
+    * lag/lead (Spark has no row-pattern clause): a strict V-bottom in a
+    * user's daily close series — two strictly-falling closes into day t,
+    * two strictly-rising closes out of it. Pure comparison logic over the
+    * five aligned rows, NO arithmetic on the double closes (comparisons
+    * are total and engine-identical; derived depths would invite
+    * float-ordering questions for no analytic gain — the five closes ship
+    * instead). One window spec serves all four shifts, so the plan is a
+    * single user-keyed sort; the pattern filter is a plain conjunctive
+    * predicate above it. At 100 TB the bars relation is tiny relative to
+    * ticks (see object scaladoc) and the pattern pass adds no exchange
+    * beyond the bars build.
+    */
+  def patternVBottom(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    daily(s, dir)
+      .select(col("user_id"), col("day"), col("close"),
+        lag("close", 2).over(w).as("prev2"),
+        lag("close", 1).over(w).as("prev1"),
+        lead("close", 1).over(w).as("next1"),
+        lead("close", 2).over(w).as("next2"))
+      .filter(col("prev2") > col("prev1") && col("prev1") > col("close") &&
+        col("next1") > col("close") && col("next2") > col("next1"))
+      .orderBy("user_id", "day")
+  }
+
+  private val patternVBottomOracle = s"""
+WITH $DailyCte,
+shifted AS (
+  SELECT user_id, day, close,
+    lag(close, 2) OVER w AS prev2,
+    lag(close, 1) OVER w AS prev1,
+    lead(close, 1) OVER w AS next1,
+    lead(close, 2) OVER w AS next2
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day))
+SELECT user_id, day, close, prev2, prev1, next1, next2
+FROM shifted
+WHERE prev2 > prev1 AND prev1 > close AND next1 > close AND next2 > next1
+ORDER BY user_id, day
+"""
+
   // ------------------------------------------- seasonal decomposition
   /** Classical additive seasonal decomposition (moving-average detrend →
     * day-of-week seasonal means → residual; the STL-shaped pipeline every
@@ -475,6 +518,8 @@ ORDER BY det.day
   val queries: Map[String, QueryDef] = Map(
     "ts_seasonal_decompose" ->
       QueryDef(seasonalDecompose, Some(seasonalDecomposeOracle)),
+    "ts_pattern_vbottom" ->
+      QueryDef(patternVBottom, Some(patternVBottomOracle)),
     "ts_vwap_daily" -> QueryDef(vwapDaily, Some(vwapDailyOracle)),
     "ts_rolling_volatility" ->
       QueryDef(rollingVolatility, Some(rollingVolatilityOracle)),
