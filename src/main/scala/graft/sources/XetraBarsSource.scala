@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -167,7 +167,36 @@ class XetraBarsScanBuilder(path: String, trustLayout: Boolean)
 
 class XetraBarsScan(path: String, pushed: Array[Filter],
     required: StructType, aggs: Option[Seq[PushedAgg]] = None)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime (dynamic-partition-pruning) date filters, delivered by Spark
+    * AFTER planning when this scan joins a selective build side on `Date`:
+    * the DPP subquery collects the build side's actual date set and
+    * [[filter]] receives it as an `In` — `planInputPartitions` then
+    * re-lists with the runtime set intersected, so directories for dates
+    * the join can never match are not even opened. This is the 100 TB
+    * star-join path: the static pushdown prunes by WHERE clauses, the
+    * runtime filter prunes by the dimension's surviving keys.
+    */
+  @volatile private[graft] var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Partition count of the most recent [[planInputPartitions]] — test
+    * observability for the runtime re-plan (6 static → N filtered).
+    */
+  @volatile private[graft] var lastPlannedPartitions: Int = -1
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // aggregate pushdown scans produce pre-aggregated rows — declining
+    // runtime filtering keeps their complete/partial contracts exact
+    if (aggs.isEmpty)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("Date"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
 
   /** Positional schema of the pushed-aggregate rows (partial or final) —
     * Spark matches scan output to the pushed `aggregateExpressions` by
@@ -192,15 +221,18 @@ class XetraBarsScan(path: String, pushed: Array[Filter],
     * predicate (names are ISO dates, so lexicographic compare is order-
     * correct — the same property the reference's string filter relies on).
     */
-  private def dateAdmitted(date: String): Boolean = pushed.forall {
-    case EqualTo("Date", v: String) => date == v
-    case GreaterThan("Date", v: String) => date > v
-    case GreaterThanOrEqual("Date", v: String) => date >= v
-    case LessThan("Date", v: String) => date < v
-    case LessThanOrEqual("Date", v: String) => date <= v
-    case StringStartsWith("Date", v) => date.startsWith(v)
-    case _ => true
-  }
+  private def dateAdmitted(date: String): Boolean =
+    (pushed ++ runtimeFilters).forall {
+      case EqualTo("Date", v: String) => date == v
+      case GreaterThan("Date", v: String) => date > v
+      case GreaterThanOrEqual("Date", v: String) => date >= v
+      case LessThan("Date", v: String) => date < v
+      case LessThanOrEqual("Date", v: String) => date <= v
+      case StringStartsWith("Date", v) => date.startsWith(v)
+      // the DPP shape: the build side's collected date set
+      case In("Date", vs) => vs.exists(v => String.valueOf(v) == date)
+      case _ => true
+    }
 
   /** Admitted (dateDir, csvFile) pairs from one listing pass. */
   private def listFiles(): Seq[(String, String)] = {
@@ -215,7 +247,13 @@ class XetraBarsScan(path: String, pushed: Array[Filter],
       .toSeq
   }
 
-  override def planInputPartitions(): Array[InputPartition] = aggs match {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = planPartitions()
+    lastPlannedPartitions = parts.length
+    parts
+  }
+
+  private def planPartitions(): Array[InputPartition] = aggs match {
     case None =>
       listFiles().map { case (_, f) => XetraBarsPartition(f) }.toArray
     case Some(fns) if fns.contains(PushedAgg.CountAll) =>

@@ -200,4 +200,44 @@ class SourcesSpec extends SparkSpec {
     assert(!planOf(fc).contains("PushedAggregates"))
     assert(fc.collect().head.getLong(0) == 4L)
   }
+
+  test("runtime (DPP) filtering prunes date directories at execution") {
+    import spark.implicits._
+    // a selective dimension joined on Date: Spark's dynamic partition
+    // pruning collects the build side's surviving dates and delivers them
+    // to the scan AFTER planning (SupportsRuntimeFiltering.filter) — the
+    // re-planned scan must open only the matching date's files
+    // two traps this test must dodge: the dim must live on disk (a
+    // filtered LocalRelation constant-folds away, leaving no selective
+    // predicate for DPP to key on), and the dim filter must be on a
+    // NON-join column — filtering `d` itself constant-propagates across
+    // the equi-join into a STATIC Date pushdown, which is correct but
+    // exercises the compile-time path, not the runtime one
+    val dimDir = Files.createTempDirectory("xetra_dpp_dim")
+    Seq(("2021-04-15", 0), ("2021-04-16", 0), ("2021-04-17", 1),
+      ("2021-04-18", 0))
+      .toDF("d", "keep").write.mode("overwrite").parquet(dimDir.toString)
+    val dim = spark.read.parquet(dimDir.toString).filter(col("keep") === 1)
+    val joined = dsv2.join(broadcast(dim), col("Date") === col("d"))
+    val rows = joined.collect()
+    assert(rows.length == 2, s"wrong join result: ${rows.length}")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery planted on the scan:\n${plan.take(2000)}")
+    // the Scan instance is shared between the pre-AQE sparkPlan and the
+    // adaptively-executed stages (AdaptiveSparkPlanExec is a leaf to
+    // collect), so read the runtime-filter state through the former
+    val scan = joined.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[graft.sources.XetraBarsScan] =>
+        b.scan.asInstanceOf[graft.sources.XetraBarsScan]
+    }.head
+    assert(scan.runtimeFilters.nonEmpty,
+      "the runtime date filter never reached the scan")
+    // 2021-04-17 has exactly two files; the static layout has six — the
+    // final partition plan must reflect the runtime pruning
+    assert(scan.lastPlannedPartitions == 2,
+      s"expected 2 runtime-pruned partitions, planned " +
+        s"${scan.lastPlannedPartitions}")
+  }
 }
