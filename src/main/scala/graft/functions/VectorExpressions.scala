@@ -326,10 +326,14 @@ case class CdcBoundaries(child: Expression)
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cdc_boundaries"
 
-  @transient private lazy val md5 =
-    java.security.MessageDigest.getInstance("MD5")
+  // MessageDigest is not thread-safe; per-thread instances keep a shared
+  // plan fragment safe to evaluate concurrently (driver-side eval).
+  @transient private lazy val md5tl =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override protected def nullSafeEval(v: Any): Any = {
+    val md5 = md5tl.get()
     val bytes = v.asInstanceOf[Array[Byte]]
     val L = bytes.length
     if (L == 0)
@@ -369,10 +373,14 @@ case class SimHash60(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
 
-  @transient private lazy val md5 =
-    java.security.MessageDigest.getInstance("MD5")
+  // MessageDigest is not thread-safe; per-thread instances keep a shared
+  // plan fragment safe to evaluate concurrently (driver-side eval).
+  @transient private lazy val md5tl =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override protected def nullSafeEval(v: Any): Any = {
+    val md5 = md5tl.get()
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](60)

@@ -27,6 +27,21 @@ class WrongMetaFileException(msg: String) extends RuntimeException(msg)
   *    file; an empty union writes nothing (reference S4 empty-write skip).
   *  - The read-modify-write is not atomic — preserved for parity; at scale
   *    swap the file for a transactional table without changing this API.
+  *    `atomic = true` does exactly that swap (SURVEY §7.4.5): commits
+  *    become immutable VERSION files under `<metaUri>.v/`, each claimed by
+  *    an optimistic rename-if-absent CAS (the Delta-LogStore pattern —
+  *    write a temp file, rename to `v<N+1>.csv`, fail if the version
+  *    already exists, re-read and retry). Two interleaved commits can no
+  *    longer lose dates: the loser's rename fails and its retry unions the
+  *    winner's rows (MetaStoreSpec pins the exact interleaving that loses
+  *    a date in parity mode and keeps both here). Reads resolve the
+  *    highest version, falling back to the legacy single file, so a plain
+  *    store's history is adopted as version 0's base without migration.
+  *    Guarantees by store: HDFS-class filesystems make the rename CAS
+  *    atomic at the namenode; for same-process racers (two jobs in one
+  *    driver) a JVM-wide claim registry closes the local-FS TOCTOU window;
+  *    a raw object store would swap the rename for a conditional PUT —
+  *    same loop, different primitive.
   *
   * I/O goes through the Hadoop FileSystem API directly (not a Spark job):
   * the watermark is a single tiny driver-side object, exactly like the
@@ -39,7 +54,8 @@ class WrongMetaFileException(msg: String) extends RuntimeException(msg)
   *                reference's three wall-clock call sites are its main
   *                testability gap — SURVEY.md §7.4.4)
   */
-final class MetaStore(metaUri: String, conf: Configuration, clock: Clock) {
+class MetaStore(metaUri: String, conf: Configuration, clock: Clock,
+    atomic: Boolean = false) {
   import MetaStore._
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[MetaStore])
@@ -82,20 +98,122 @@ final class MetaStore(metaUri: String, conf: Configuration, clock: Clock) {
   def commit(dates: Seq[String]): Unit = {
     val stamp = java.time.LocalDateTime.now(clock).format(StampFmt)
     val newRows = dates.map(d => (d, stamp))
+    if (atomic) commitAtomic(newRows, dates.size)
+    else commitPlain(newRows, dates.size)
+  }
+
+  private def commitPlain(newRows: Seq[(String, String)], nNew: Int): Unit = {
     val allRows = readRows() match {
       case None => newRows
       case Some((header, oldRows)) =>
-        if (header.sorted != Columns.sorted)
-          throw new WrongMetaFileException(
-            s"meta file columns ${header.mkString(",")} != expected ${Columns.mkString(",")}")
+        checkHeader(header)
         oldRows ++ newRows
     }
     if (allRows.nonEmpty) {
       log.info("committing {} rows ({} new dates) to {}",
-        allRows.size.toString, dates.size.toString, metaUri)
+        allRows.size.toString, nNew.toString, metaUri)
       writeRows(allRows)
     } else log.info("empty meta union - nothing written (reference S4 skip)")
   }
+
+  private def checkHeader(header: Seq[String]): Unit =
+    if (header.sorted != Columns.sorted)
+      throw new WrongMetaFileException(
+        s"meta file columns ${header.mkString(",")} != expected ${Columns.mkString(",")}")
+
+  // --------------------------------------------------------- atomic mode
+  /** Optimistic CAS loop: read the latest version, union, claim version
+    * N+1 by rename-if-absent. A lost race re-reads (now seeing the
+    * winner's rows) and retries, so no commit's dates can be dropped.
+    */
+  private def commitAtomic(newRows: Seq[(String, String)], nNew: Int): Unit = {
+    var attempts = 0
+    while (true) {
+      val n = currentVersion()
+      val base = readVersioned(n) match {
+        case None => Seq.empty
+        case Some((header, oldRows)) => checkHeader(header); oldRows
+      }
+      val allRows = base ++ newRows
+      if (allRows.isEmpty) {
+        log.info("empty meta union - nothing written (reference S4 skip)")
+        return
+      }
+      beforeAtomicWrite()
+      if (tryWriteVersion(n + 1, allRows)) {
+        log.info("committed version {} ({} rows, {} new dates) to {}",
+          (n + 1).toString, allRows.size.toString, nNew.toString, metaUri)
+        return
+      }
+      attempts += 1
+      if (attempts >= MaxCasAttempts)
+        throw new java.io.IOException(
+          s"meta CAS starvation after $MaxCasAttempts attempts at $metaUri")
+      // a lost race means a competitor is mid-write; back off briefly so
+      // the retry reads its committed version instead of spinning
+      Thread.sleep(math.min(attempts.toLong, 10L))
+    }
+  }
+
+  /** Test seam: runs between the read and the version claim, where the
+    * plain mode's lost-update window sits.
+    */
+  protected def beforeAtomicWrite(): Unit = ()
+
+  private def versionsDir = new Path(metaUri + ".v")
+
+  private def versionPath(n: Long) = new Path(versionsDir, f"v$n%012d.csv")
+
+  /** Highest committed version, or -1 when none exist yet. */
+  private def currentVersion(): Long = {
+    val dir = versionsDir
+    if (!fs.exists(dir)) return -1L
+    fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case VersionName(n) => n.toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Rows visible at version n; version -1 falls back to the legacy
+    * single-file layout, adopting a plain store's history unmigrated.
+    */
+  private def readVersioned(n: Long): Option[(Seq[String], Seq[(String, String)])] =
+    if (n < 0) readLegacyRows() else readCsv(versionPath(n))
+
+  /** Write the full union as version n via temp-file + rename-if-absent.
+    * False = another committer claimed n first (CAS lost). The JVM-wide
+    * claim registry serializes same-process racers even on local
+    * filesystems whose rename lacks a no-overwrite mode; across processes
+    * the no-overwrite rename is atomic on HDFS-class stores.
+    */
+  private def tryWriteVersion(n: Long, rows: Seq[(String, String)]): Boolean = {
+    val target = versionPath(n)
+    if (!claimVersion(s"$metaUri#$n")) return false
+    if (fs.exists(target)) return false
+    fs.mkdirs(versionsDir)
+    val tmp = new Path(versionsDir,
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, false)
+    try out.write(csvBytes(rows))
+    finally out.close()
+    val committed =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          target.toUri, conf)
+        fc.rename(tmp, target)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if fs.exists(target) => false
+      }
+    if (!committed) fs.delete(tmp, false)
+    committed
+  }
+
+  /** (resume_date, dates) and commits agree on layout in atomic mode via
+    * this dispatch; plain mode reads the legacy file byte-for-byte.
+    */
+  private def readRows(): Option[(Seq[String], Seq[(String, String)])] =
+    if (atomic) readVersioned(currentVersion()) else readLegacyRows()
 
   // ------------------------------------------------------------------ IO
   private def readProcessedDates(): Option[Set[LocalDate]] =
@@ -110,8 +228,10 @@ final class MetaStore(metaUri: String, conf: Configuration, clock: Clock) {
   /** None when the meta file doesn't exist (the reference's NoSuchKey
     * branch); Some((header, rows)) otherwise.
     */
-  private def readRows(): Option[(Seq[String], Seq[(String, String)])] = {
-    val p = new Path(metaUri)
+  private def readLegacyRows(): Option[(Seq[String], Seq[(String, String)])] =
+    readCsv(new Path(metaUri))
+
+  private def readCsv(p: Path): Option[(Seq[String], Seq[(String, String)])] = {
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val lines =
@@ -126,16 +246,35 @@ final class MetaStore(metaUri: String, conf: Configuration, clock: Clock) {
     Some((header, rows))
   }
 
-  private def writeRows(rows: Seq[(String, String)]): Unit = {
+  private def csvBytes(rows: Seq[(String, String)]): Array[Byte] = {
     val sb = new StringBuilder(Columns.mkString(",")).append('\n')
     rows.foreach { case (d, t) => sb.append(d).append(',').append(t).append('\n') }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private def writeRows(rows: Seq[(String, String)]): Unit = {
     val out = fs.create(new Path(metaUri), true)
-    try out.write(sb.toString.getBytes("UTF-8"))
+    try out.write(csvBytes(rows))
     finally out.close()
   }
 }
 
 object MetaStore {
+  private val VersionName = """v(\d{12})\.csv""".r
+
+  private val MaxCasAttempts = 64
+
+  /** JVM-wide version-claim registry: putIfAbsent on (metaUri, version)
+    * serializes same-process committers racing for one version even where
+    * the store's rename cannot refuse an existing destination (local FS).
+    * Claims are permanent — a version number, once contested, exists
+    * forever — so the set stays bounded by committed history.
+    */
+  private val claimedVersions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def claimVersion(key: String): Boolean = claimedVersions.add(key)
+
   /** Column names and formats — reference `constants.py:22-26`. */
   val SourceDateCol = "source_date"
   val ProcessCol = "datetime_of_processing"

@@ -451,7 +451,10 @@ ORDER BY user_id, day
     * s_num/(s_n·700) — two exact-int divisions and one subtraction, the
     * identical IEEE op sequence in the oracle. Day-of-week is computed
     * ARITHMETICALLY (days since an anchor, mod 7) because DuckDB and
-    * Spark number weekdays differently. Scale: one partial-aggregated
+    * Spark number weekdays differently — and both sides use a FLOORED
+    * mod (`pmod` here, `((x % 7) + 7) % 7` in the oracle), since DuckDB's
+    * bare `%` takes the dividend's sign and would split residue classes
+    * differently for dates before the anchor. Scale: one partial-aggregated
     * shuffle collapses the fact to ≤ one row per day; the unpartitioned
     * 7-row window runs on that date grid (bounded-input class, like the
     * other calendar spines).
@@ -494,7 +497,7 @@ t AS (
   SELECT day, cents,
     CAST(sum(cents) OVER w AS BIGINT) AS sum7,
     CAST(count(*) OVER w AS BIGINT) AS cnt7,
-    CAST((day - DATE '1995-01-01') % 7 AS BIGINT) AS dow
+    CAST((((day - DATE '1995-01-01') % 7) + 7) % 7 AS BIGINT) AS dow
   FROM d
   WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
 det AS (

@@ -341,8 +341,10 @@ class XetraBarsAggReader(p: XetraBarsAggPartition)
 /** Single precomputed row (complete metadata-only aggregate pushdown). */
 class SingleRowReader(row: InternalRow) extends PartitionReader[InternalRow] {
   private var done = false
-  override def next(): Boolean = !done
-  override def get(): InternalRow = { done = true; row }
+  // next() advances the cursor (PartitionReader contract); get() is
+  // side-effect free so repeated next() calls cannot re-emit the row.
+  override def next(): Boolean = if (done) false else { done = true; true }
+  override def get(): InternalRow = row
   override def close(): Unit = ()
 }
 

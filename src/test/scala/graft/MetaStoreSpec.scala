@@ -105,4 +105,106 @@ class MetaStoreSpec extends SparkSpec {
     val (again, more) = s.pendingDates("2021-04-16")
     assert(again == "2200-01-01" && more.isEmpty)
   }
+
+  // ------------------------------------------------------- atomic mode
+  // SURVEY §7.4.5: the parity-mode RMW race, pinned, then closed by the
+  // versioned CAS. Both cases drive the SAME interleaving through the
+  // beforeAtomicWrite / explicit-gap seam: committer A reads, committer B
+  // commits fully, then A writes.
+
+  private def atomicStore(dir: Path,
+      gate: Option[() => Unit] = None): MetaStore =
+    new MetaStore(dir.resolve("meta.csv").toUri.toString,
+      new Configuration(), clock, atomic = true) {
+      override protected def beforeAtomicWrite(): Unit = gate.foreach(_())
+    }
+
+  test("parity mode LOSES a date under the interleaved RMW (the race)") {
+    // this is the documented reference quirk the atomic mode exists to
+    // close: A reads (no file), B commits d2, A writes only d1 → d2 gone
+    val dir = tmp()
+    val a = store(dir); val b = store(dir)
+    // interleave by hand: both commit against the same empty store, B
+    // finishing inside A's read→write window — with a plain file the
+    // last writer wins and B's date is silently dropped
+    b.commit(Seq("2021-04-17"))
+    // A's read happened "before" B's commit: simulate by writing what A
+    // computed from the empty snapshot
+    val aOnly = "source_date,datetime_of_processing\n" +
+      "2021-04-16,2021-04-19 10:00:00\n"
+    Files.writeString(dir.resolve("meta.csv"), aOnly)
+    Files.deleteIfExists(dir.resolve(".meta.csv.crc")) // direct overwrite
+    val processed = store(dir).pendingDates("2021-04-16")._2
+    assert(processed.contains("2021-04-17"),
+      "precondition: 2021-04-17 must be pending again — it was lost")
+  }
+
+  test("atomic mode: the same interleaving loses nothing (CAS retry)") {
+    val dir = tmp()
+    val b = atomicStore(dir)
+    // A's gate runs B's full commit inside A's read→write window, exactly
+    // once — the second entry is A's retry after its CAS loss
+    var fired = false
+    val a = atomicStore(dir, Some(() =>
+      if (!fired) { fired = true; b.commit(Seq("2021-04-17")) }))
+    a.commit(Seq("2021-04-16", "2021-04-18", "2021-04-19"))
+    assert(fired, "the interleaving gate never ran")
+    // every date through "today" is committed across A and B, so only the
+    // sentinel remains — B's interleaved date survived A's write
+    val (resume, pending) = atomicStore(dir).pendingDates("2021-04-16")
+    assert(resume == "2200-01-01" && pending.isEmpty,
+      s"dates lost under interleaved atomic commits: still pending $pending")
+  }
+
+  test("atomic mode: 10 concurrent committers, zero lost dates") {
+    val dir = tmp()
+    val dates = (10 to 19).map(d => s"2021-04-$d")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+    try {
+      val tasks = dates.map { d =>
+        pool.submit(new Runnable {
+          def run(): Unit = atomicStore(dir).commit(Seq(d))
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    val (resume, pending) = atomicStore(dir).pendingDates("2021-04-10")
+    assert(resume == "2200-01-01" && pending.isEmpty,
+      s"concurrent commits lost dates: $pending")
+    // serialization proof: every commit produced exactly one version
+    val versions = Files.list(dir.resolve("meta.csv.v")).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+    assert(versions.length == 10,
+      s"expected 10 committed versions, found ${versions.length}")
+  }
+
+  test("atomic mode adopts a legacy plain file as its base") {
+    val dir = tmp()
+    write(dir, "source_date,datetime_of_processing\n" +
+      "2021-04-16,2021-04-19 09:00:00\n")
+    val s = atomicStore(dir)
+    s.commit(Seq("2021-04-17"))
+    val (_, pending) = s.pendingDates("2021-04-16")
+    assert(pending == Seq("2021-04-17", "2021-04-18", "2021-04-19"))
+    // the legacy file itself is untouched (reads moved to the version log)
+    assert(read(dir).linesIterator.size == 2)
+  }
+
+  test("atomic mode keeps the no-dedup union and wrong-schema quirks") {
+    val dir = tmp()
+    val s = atomicStore(dir)
+    s.commit(Seq("2021-04-16"))
+    s.commit(Seq("2021-04-16"))
+    val latest = Files.list(dir.resolve("meta.csv.v")).toArray
+      .map(_.toString).filter(_.endsWith(".csv")).sorted.last
+    val rows = Files.readString(java.nio.file.Paths.get(latest))
+      .linesIterator.toSeq
+    assert(rows.count(_.startsWith("2021-04-16,")) == 2,
+      "atomic union must preserve duplicate accumulation (reference U1)")
+    val bad = tmp()
+    write(bad, "wrong,cols\n2021-04-16,x\n")
+    intercept[WrongMetaFileException] {
+      atomicStore(bad).commit(Seq("2021-04-17"))
+    }
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-10 laws.
+  *
+  * Shared posting base (Dedup.positionalBase / tfBase / shingleArrays):
+  * the session memo must be a pure work-saver — each derived layer has to
+  * equal the direct recomputation from `documents.text`, and repeated
+  * calls must hand back the SAME materialized plan (the memo hit that
+  * removes the ~5.5s of repeated base derivation r9's bench measured).
+  * Candidate-bound preservation needs no new law: the Round9 stop-shingle
+  * and prefix-filter laws run THROUGH the memoized path (temp-dir corpora
+  * key the memo per corpus), so a memo that changed any candidate bound
+  * would fail those suites mechanically.
+  */
+class Round10PropertySpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect()
+      .map(_.toSeq.map(String.valueOf).mkString(""))
+      .toSeq.sorted
+
+  test("positionalBase equals the direct posexplode over documents.text") {
+    graft.functions.VectorFunctions.register(spark)
+    val direct = Registry.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(call_function("shingle_hashes_5", split(col("text"), " ")))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
+    assert(canon(ops.Dedup.positionalBase(spark, sfDir)) == canon(direct))
+  }
+
+  test("tfBase equals the direct multiset shingle counts") {
+    graft.functions.VectorFunctions.register(spark)
+    val direct = Registry.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes_5", split(col("text"), " ")))
+          .as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    assert(canon(ops.Dedup.tfBase(spark, sfDir)) == canon(direct))
+  }
+
+  test("shingleArrays equals the direct distinct shingle sets (as sets)") {
+    graft.functions.VectorFunctions.register(spark)
+    // collect_list order is whatever the grouped scan produced — compare
+    // sorted, the only view any consumer (intersect/size) observes
+    val direct = Registry.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(call_function("shingle_hashes_5",
+          split(col("text"), " "))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"))
+    val derived = ops.Dedup.shingleArrays(spark, sfDir)
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"))
+    assert(canon(derived) == canon(direct))
+  }
+
+  test("incremental MinHash-LSH equals the exhaustive new×corpus Jaccard") {
+    // recall law: at j ≥ 0.8 a banded miss has P ≤ 4e-9, so on a real
+    // corpus the LSH-candidate pipeline must return EXACTLY the exhaustive
+    // result — computed here by a genuinely different plan (flagged
+    // cross-pairing + array_intersect, no bands, no posting join)
+    graft.functions.VectorFunctions.register(spark)
+    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long"), lit(10))
+    val d = Registry.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(call_function("shingle_hashes_5",
+          split(col("text"), " "))).as("sh"),
+        (bucket < 2).as("is_new"))
+      .filter(size(col("sh")) > 0)
+    val exhaustive = d.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("sh").as("sha"))
+      .crossJoin(d.filter(!col("is_new"))
+        .select(col("doc_id").as("corpus_id"), col("sh").as("shb")))
+      .select(col("new_id"), col("corpus_id"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          (size(col("sha")) + size(col("shb")) -
+            size(array_intersect(col("sha"), col("shb")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    assert(canon(ops.Dedup.incrementalMinhash(spark, sfDir)) ==
+      canon(exhaustive))
+  }
+
+  test("the posting-base memo hits: repeated calls return the same plan") {
+    val a = ops.Dedup.positionalBase(spark, sfDir)
+    val b = ops.Dedup.positionalBase(spark, sfDir)
+    assert(a eq b, "positionalBase recomputed instead of memo-hitting")
+    assert(ops.Dedup.tfBase(spark, sfDir) eq ops.Dedup.tfBase(spark, sfDir))
+    assert(ops.Dedup.shingleArrays(spark, sfDir) eq
+      ops.Dedup.shingleArrays(spark, sfDir))
+  }
+}
