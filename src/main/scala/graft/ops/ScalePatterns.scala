@@ -125,18 +125,19 @@ ORDER BY event_id
     graft.functions.VectorFunctions.register(s)
     val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
       16, 10).cast("long"), lit(10))
-    val d = Registry.table(s, dir, "documents").select(col("doc_id"),
-      array_distinct(call_function("shingle_hashes_5",
-        split(col("text"), " "))).as("sh"),
-      (bucket < 2).as("is_new"))
-    val ex = d.select(col("doc_id"), col("is_new"), explode(col("sh")).as("ss"))
+    // distinct-shingle postings from the session-memoized base
+    // (Dedup.tfBase is one row per (doc, shingle)); the new/corpus flag is
+    // pure doc_id arithmetic, so it rides along without a docs join
+    val ex = Dedup.tfBase(s, dir)
+      .select(col("doc_id"), col("sh").as("ss"), (bucket < 2).as("is_new"))
     val newEx = ex.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("ss"))
     val corpusEx = ex.filter(!col("is_new"))
       .select(col("doc_id").as("corpus_id"), col("ss"))
     val cand = newEx.join(corpusEx, "ss")
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("inter"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
+      .select(col("doc_id"), col("n"))
     cand
       .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), "new_id")
       .join(sizes.select(col("doc_id").as("corpus_id"), col("n").as("nb")),

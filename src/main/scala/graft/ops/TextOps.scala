@@ -283,11 +283,12 @@ FROM bl ORDER BY doc_id
   def decontamination(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val bucket = pmod(SamplingOps.hash60(col("doc_id")), lit(100))
-    val d = docs(s, dir).select(col("doc_id"),
-      array_distinct(call_function("shingle_hashes_5", WS_TOKENS)).as("sh"),
-      (bucket >= 90).as("is_test"), (bucket < 80).as("is_train"))
-    val ex = d.select(col("doc_id"), col("is_test"), col("is_train"),
-      explode(col("sh")).as("ss"))
+    // distinct-shingle postings from the session-memoized base
+    // (Dedup.tfBase is one row per (doc, shingle)); the split flags are
+    // pure doc_id arithmetic, so they ride along without a docs join
+    val ex = Dedup.tfBase(s, dir)
+      .select(col("doc_id"), col("sh").as("ss"),
+        (bucket >= 90).as("is_test"), (bucket < 80).as("is_train"))
     val test = ex.filter(col("is_test"))
       .select(col("doc_id").as("test_id"), col("ss"))
     val train = ex.filter(col("is_train"))
@@ -746,11 +747,8 @@ FROM agg ORDER BY source
     * ≈ 0 without any pairwise comparison.
     */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val ex = docs(s, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          call_function("shingle_hashes_5", WS_TOKENS))).as("sh"))
+    // distinct-shingle postings from the session-memoized base
+    val ex = Dedup.tfBase(s, dir).select(col("doc_id"), col("sh"))
     val firstSeen = ex.groupBy("sh").agg(min("doc_id").as("first_doc"))
     ex.join(firstSeen, "sh")
       .groupBy("doc_id")

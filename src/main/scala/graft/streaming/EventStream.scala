@@ -139,8 +139,17 @@ object EventStream {
       .flatMap(p => Option(p.eventTime.get("watermark")))
       .map(ts => java.time.Instant.parse(ts).toEpochMilli)
       .getOrElse(0L)
+    lastProgressEvents = q.recentProgress.toSeq
     (spark.table(name), wm)
   }
+
+  /** Progress events of the most recent [[runToMemoryWithWatermark]] run —
+    * observability for StreamBench's `durationMs` decomposition (where a
+    * stateful query's wall-clock actually goes: batch execution vs trigger
+    * planning vs offset/commit log writes vs state-store commits).
+    */
+  @volatile private[graft] var lastProgressEvents:
+      Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
 
   /** The incremental report job in native Structured Streaming form: the
     * file source + checkpoint replaces the reference's hand-rolled meta

@@ -111,12 +111,30 @@ object StreamBench {
     // a failed case must not masquerade as a fast one: its time is emitted
     // as null, its name lands in "errors", and the process exits non-zero,
     // so a diff of bench JSONs can never read a new failure as a speedup
+    // SPARK_GRAFT_STREAM_PROFILE=1: decompose each case's wall-clock into
+    // the engine's own durationMs buckets (summed over micro-batches) plus
+    // state-store commit time — the "where does the fixed cost sit" answer
+    // (round-9 verdict #3). stderr only; the stdout contract stays one line.
+    val profile = sys.env.get("SPARK_GRAFT_STREAM_PROFILE").contains("1")
+    def printProfile(name: String): Unit = if (profile) {
+      val evs = EventStream.lastProgressEvents
+      val buckets = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var stateCommit = 0L
+      evs.foreach { p =>
+        p.durationMs.forEach((k, v) => buckets(k) = buckets.getOrElse(k, 0L) + v)
+        p.stateOperators.foreach(so => stateCommit += so.commitTimeMs)
+      }
+      val parts = buckets.map { case (k, v) => s"$k=${v}ms" }.mkString(" ")
+      System.err.println(s"[streamprof] $name batches=${evs.size} $parts " +
+        s"stateCommit=${stateCommit}ms")
+    }
     val results: Seq[(String, Option[Double])] = cases.map { case (name, run) =>
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch { case e: Throwable =>
         System.err.println(s"[streambench] $name failed: ${e.getMessage}")
         false
       }
+      if (ok) printProfile(name)
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     def sec3(v: Double): String =

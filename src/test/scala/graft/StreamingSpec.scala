@@ -51,6 +51,34 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(EventStream.StreamShufflePartitionsConf)
   }
 
+  test("stateful sessionize is stream-partition invariant (2 vs 5)") {
+    // the streaming twin of DeterminismSpec: a fully stateful
+    // flatMapGroupsWithState pipeline re-run at two state partition
+    // counts must produce the identical session multiset — state
+    // partitioning decides WHERE keys live, never what they emit
+    import spark.implicits._
+    def run(parts: String, name: String): Seq[Seq[Any]] = {
+      spark.conf.set(EventStream.StreamShufflePartitionsConf, parts)
+      try {
+        val stream = EventStream.readEvents(spark, eventsPath)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[StreamEvent]
+        EventStream.runToMemory(spark,
+            EventStream.sessionize(stream).toDF(), name,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("user_id", "session_start_epoch")
+          .collect().map(_.toSeq).toSeq
+      } finally spark.conf.unset(EventStream.StreamShufflePartitionsConf)
+    }
+    val at2 = run("2", "det_sessions_p2")
+    val at5 = run("5", "det_sessions_p5")
+    assert(at2.nonEmpty, "sessionize produced no sessions at 2 partitions")
+    assert(at2 == at5,
+      s"sessionize changed under a different stream partition count; " +
+        s"first diff: ${at2.zip(at5).find(p => p._1 != p._2)
+          .orElse(Some((s"sizes ${at2.size}", s"${at5.size}")))}")
+  }
+
   test("watermark drops late data beyond the delay in update mode") {
     // structural check: the plan carries the 30-minute watermark
     val agg = EventStream.tumblingDaily(EventStream.readEvents(spark, eventsPath))
