@@ -836,7 +836,191 @@ WHERE rk <= 3
 ORDER BY doc_id, rk
 """
 
+  // -------------------------------------------- unigram-LM tokenizer twin
+  /** SentencePiece-style UNIGRAM tokenizer — the scoring twin of the BPE
+    * chain (merge-rule training vs piece-vocabulary selection + greedy
+    * longest-match inference, the two tokenizer families every LLM
+    * pipeline chooses between).
+    *
+    * Vocabulary: every single character seen in the corpus (totality — any
+    * word segments) plus the top-40 substrings of length 2–4 ranked by
+    * corpus-weighted occurrence count (count desc, piece asc — a total
+    * order, so the vocab is deterministic across engines). Substring
+    * counting runs over DISTINCT words weighted by word frequency — the
+    * 100 TB shape: segmentation work scales with the dictionary, not the
+    * token stream, and the token-level consumers join back through the
+    * word key.
+    *
+    * Inference: greedy longest-match (SentencePiece's deterministic
+    * non-Viterbi mode) — at each position consume the longest vocab piece
+    * (4→3→2→1); single chars guarantee progress. Implemented as ONE
+    * `aggregate` walk over each distinct word's character positions with
+    * the vocabulary embedded as a literal array: the vocab is a bounded
+    * model artifact BY CONSTRUCTION (≤ 26 + 40 entries — the K cap is the
+    * bound, not the corpus), so collecting it to the driver is the same
+    * bounded-collect class as the calendar/nation spines, guarded by a
+    * `require`. Everything is exact strings/integers; the only double is
+    * the final pieces-per-word ratio, one division in both engines.
+    *
+    * The DuckDB oracle re-derives the vocab in SQL and segments via a
+    * recursive CTE — a genuinely different evaluation strategy, so the
+    * hash gate certifies the greedy-match semantics, and
+    * Round10PropertySpec pins the lossless law (pieces re-concatenate to
+    * the word) plus vocab membership of every emitted piece.
+    */
+  private[graft] val UnigramTopK = 40
+
+  private val unigramCache = new graft.SessionMemo[DataFrame]
+
+  /** Distinct words with corpus counts. */
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** (word, c, n_pieces, segmentation) — memoized: the segment query and
+    * the doc-score query share it.
+    */
+  private[graft] def unigramSegments(s: SparkSession, dir: String): DataFrame =
+    unigramCache.getOrElseUpdate(s, dir) {
+      val words = wordCounts(s, dir).localCheckpoint()
+      // candidate pieces: all substrings of length 2..4, each occurrence
+      // weighted by the word's corpus count
+      val cand = words.select(col("c"), explode(flatten(
+        transform(sequence(lit(2), lit(4)), l =>
+          transform(filter(sequence(lit(1), length(col("w"))),
+            i => i + l - lit(1) <= length(col("w"))),
+            i => col("w").substr(i, l))))).as("p"))
+      val top = cand.groupBy("p").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("p").asc).limit(UnigramTopK)
+        .select("p")
+      val chars = words.select(explode(transform(
+          sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("p"))
+        .distinct()
+      val vocabArr = top.unionByName(chars).distinct()
+        .collect().map(_.getString(0)).sorted
+      require(vocabArr.length <= 26 + UnigramTopK,
+        s"unigram vocab ${vocabArr.length} exceeds its construction bound")
+      val vocab = array(vocabArr.map(lit(_)): _*)
+      // greedy longest-match walk: state = (next position, piece count,
+      // segmentation so far); positions before `pos` were consumed by an
+      // earlier multi-char piece and pass through
+      def matches(len: Column, pos: Column, l: Int): Column =
+        pos + lit(l - 1) <= len &&
+          array_contains(vocab, col("w").substr(pos, lit(l)))
+      val walk = aggregate(
+        sequence(lit(1), length(col("w"))),
+        struct(lit(1).cast("int").as("pos"), lit(0L).as("k"),
+          lit("").as("seg")),
+        (st, i) => {
+          val pos = st.getField("pos"); val len = length(col("w"))
+          val l = when(matches(len, pos, 4), 4)
+            .when(matches(len, pos, 3), 3)
+            .when(matches(len, pos, 2), 2)
+            .otherwise(1)
+          val piece = col("w").substr(pos, l)
+          when(i =!= pos, st).otherwise(struct(
+            (pos + l).cast("int").as("pos"),
+            (st.getField("k") + lit(1L)).as("k"),
+            concat(st.getField("seg"),
+              when(st.getField("k") > 0, lit("|")).otherwise(lit("")),
+              piece).as("seg")))
+        })
+      words
+        .select(col("w").as("word"), col("c"), walk.as("r"))
+        .select(col("word"), col("c"), col("r.k").as("n_pieces"),
+          col("r.seg").as("segmentation"))
+        .localCheckpoint()
+    }
+
+  def unigramSegment(s: SparkSession, dir: String): DataFrame =
+    unigramSegments(s, dir).orderBy("word")
+
+  /** Per-doc scoring under the learned tokenizer: token count, total
+    * pieces, and pieces-per-token — the budget number (how many unigram
+    * tokens a document costs) and the quality signal (high pieces-per-word
+    * = out-of-distribution text the vocab fragments).
+    */
+  def unigramScore(s: SparkSession, dir: String): DataFrame = {
+    val seg = unigramSegments(s, dir).select(col("word"), col("n_pieces"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(filter(split(lower(col("text")),
+        "[^a-z]+"), t => t =!= "")).as("word"))
+      .join(seg, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words"))
+          .as("pieces_per_word"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle CTEs: vocab selection + recursive greedy segmentation. */
+  private val unigramCtes = s"""
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  t -> t <> '')) AS w
+        FROM documents)
+  GROUP BY w),
+cand AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS p, c FROM words
+  UNION ALL
+  SELECT unnest([substr(w, i, 3) for i in range(1, len(w) - 1)]) AS p, c FROM words
+  UNION ALL
+  SELECT unnest([substr(w, i, 4) for i in range(1, len(w) - 2)]) AS p, c FROM words),
+top AS (
+  SELECT p FROM (SELECT p, CAST(sum(c) AS BIGINT) AS n FROM cand GROUP BY p)
+  ORDER BY n DESC, p ASC LIMIT $UnigramTopK),
+chars AS (
+  SELECT DISTINCT unnest([substr(w, i, 1) for i in range(1, len(w) + 1)]) AS p
+  FROM words),
+vocab AS (SELECT p FROM top UNION SELECT p FROM chars),
+seg(w, c, pos, k, s) AS (
+  SELECT w, c, 1, CAST(0 AS BIGINT), '' FROM words
+  UNION ALL
+  SELECT w, c, pos + l, k + 1,
+         s || CASE WHEN k = 0 THEN '' ELSE '|' END || substr(w, pos, l)
+  FROM (
+    SELECT w, c, pos, k, s,
+      CASE WHEN pos + 3 <= len(w)
+                AND substr(w, pos, 4) IN (SELECT p FROM vocab) THEN 4
+           WHEN pos + 2 <= len(w)
+                AND substr(w, pos, 3) IN (SELECT p FROM vocab) THEN 3
+           WHEN pos + 1 <= len(w)
+                AND substr(w, pos, 2) IN (SELECT p FROM vocab) THEN 2
+           ELSE 1 END AS l
+    FROM seg WHERE pos <= len(w))),
+segd AS (
+  SELECT w AS word, c, k AS n_pieces, s AS segmentation
+  FROM seg WHERE pos > len(w))"""
+
+  private val unigramSegmentOracle = s"""
+WITH RECURSIVE $unigramCtes
+SELECT word, c, n_pieces, segmentation FROM segd ORDER BY word
+"""
+
+  private val unigramScoreOracle = s"""
+WITH RECURSIVE $unigramCtes
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+  CAST(sum(n_pieces) AS DOUBLE) / count(*) AS pieces_per_word
+FROM (SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '')) AS word
+      FROM documents) tok
+JOIN segd USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "vocab_unigram_segment" ->
+      QueryDef(unigramSegment, Some(unigramSegmentOracle)),
+    "vocab_unigram_score" ->
+      QueryDef(unigramScore, Some(unigramScoreOracle)),
     "text_tfidf_keywords" ->
       QueryDef(tfidfKeywords, Some(tfidfKeywordsOracle)),
     "text_ngram_novelty" -> QueryDef(ngramNovelty, Some(ngramNoveltyOracle)),

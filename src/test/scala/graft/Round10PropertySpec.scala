@@ -85,6 +85,45 @@ class Round10PropertySpec extends SparkSpec {
       canon(exhaustive))
   }
 
+  test("unigram tokenizer: independent Scala re-derivation matches exactly") {
+    // third evaluation strategy (after the Spark aggregate walk and the
+    // DuckDB recursive-CTE oracle): plain-Scala vocab selection + greedy
+    // longest-match, compared segmentation-for-segmentation — which pins
+    // losslessness, vocab membership, AND greedy maximality at once
+    import scala.collection.mutable
+    val texts = Registry.table(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val wc = mutable.Map.empty[String, Long]
+    texts.foreach(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
+    val sub = mutable.Map.empty[String, Long]
+    for ((w, c) <- wc; l <- 2 to 4; i <- 0 to w.length - l) {
+      val p = w.substring(i, i + l); sub(p) = sub.getOrElse(p, 0L) + c
+    }
+    val top = sub.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(ops.TextOps.UnigramTopK).map(_._1)
+    val vocab = (top ++ wc.keys.flatMap(_.map(_.toString))).toSet
+    def seg(w: String): Seq[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val l = (4 to 2 by -1).find(l => i + l <= w.length &&
+          vocab(w.substring(i, i + l))).getOrElse(1)
+        out += w.substring(i, i + l); i += l
+      }
+      out.toSeq
+    }
+    val got = ops.TextOps.unigramSegment(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty && got.map(_._1).toSet == wc.keySet)
+    got.foreach { case (w, c, k, s) =>
+      val pieces = s.split("\\|").toSeq
+      assert(pieces == seg(w),
+        s"greedy mismatch for '$w': got $s exp ${seg(w).mkString("|")}")
+      assert(pieces.mkString("") == w && k == pieces.length && c == wc(w))
+    }
+  }
+
   test("the posting-base memo hits: repeated calls return the same plan") {
     val a = ops.Dedup.positionalBase(spark, sfDir)
     val b = ops.Dedup.positionalBase(spark, sfDir)
