@@ -124,6 +124,19 @@ class Round10PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantized embedding base equals the direct parse and memo-hits") {
+    graft.functions.VectorFunctions.register(spark)
+    val direct = Registry.table(spark, sfDir, "embeddings").select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+      .withColumn("nrm", call_function("vec_dot_long", col("qv"), col("qv")))
+    assert(canon(ops.Similarity.quantized(spark, sfDir)) == canon(direct))
+    assert(ops.Similarity.quantized(spark, sfDir) eq
+      ops.Similarity.quantized(spark, sfDir),
+      "quantized recomputed instead of memo-hitting")
+  }
+
   test("the posting-base memo hits: repeated calls return the same plan") {
     val a = ops.Dedup.positionalBase(spark, sfDir)
     val b = ops.Dedup.positionalBase(spark, sfDir)
