@@ -550,12 +550,9 @@ SELECT doc_id, simhash FROM sig ORDER BY doc_id
     */
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val q = Registry.table(s, dir, "embeddings").select(
-      col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
-      // squared norm once per row, not once per pair
-      .withColumn("nrm", call_function("vec_dot_long", col("qv"), col("qv")))
+    // memoized quantize+norm base (norm once per row, not once per pair);
+    // both self-join sides then read the same checkpointed blocks
+    val q = Similarity.quantized(s, dir).select("vec_id", "qv", "nrm")
     val a = q.as("a"); val b = q.as("b")
     // codegen'd int64 kernel (graft.functions.LongArrayDot): the interpreted
     // higher-order fold was 20x slower on the all-pairs scan
