@@ -22,6 +22,27 @@ object TextOps {
 
   private val WS_TOKENS: Column = split(col("text"), " ")
 
+  /** Word-level postings (doc_id, term, tf) under the `[^a-z]+` lowercase
+    * tokenizer — the base TF-IDF and the unigram tokenizer both start
+    * from. Session-memoized + `localCheckpoint`ed like the 5-gram posting
+    * base (Dedup) and the quantized embedding base (Similarity): one
+    * tokenize→explode→group pass per (session, corpus) instead of one per
+    * query. Unfiltered and column-complete, so no consumer's pruning or
+    * stop-term discipline changes; a Round10PropertySpec law pins
+    * derived == direct plus the memo hit.
+    */
+  private val termTfCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def termTf(s: SparkSession, dir: String): DataFrame =
+    termTfCache.getOrElseUpdate(s, dir) {
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z]+"),
+            t => t =!= "")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+    }
+
   /** Greedy ≤4-char chunking — a deterministic stand-in for BPE-style
     * subword tokenization (both engines' regex engines chunk greedily
     * left-to-right, so counts agree exactly).
@@ -796,10 +817,7 @@ GROUP BY ex.doc_id ORDER BY doc_id
     */
   def tfidfKeywords(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
-    val tf = docs(s, dir)
-      .select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = termTf(s, dir)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("n"))
     val score =
@@ -872,12 +890,12 @@ ORDER BY doc_id, rk
 
   private val unigramCache = new graft.SessionMemo[DataFrame]
 
-  /** Distinct words with corpus counts. */
+  /** Distinct words with corpus counts — one grouped sum over the memoized
+    * [[termTf]] postings (Σ tf over docs == the raw occurrence count).
+    */
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
-        t => t =!= "")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+    termTf(s, dir)
+      .groupBy(col("term").as("w")).agg(sum("tf").as("c"))
 
   /** (word, c, n_pieces, segmentation) — memoized: the segment query and
     * the doc-score query share it.
@@ -945,12 +963,14 @@ ORDER BY doc_id, rk
     */
   def unigramScore(s: SparkSession, dir: String): DataFrame = {
     val seg = unigramSegments(s, dir).select(col("word"), col("n_pieces"))
-    docs(s, dir)
-      .select(col("doc_id"), explode(filter(split(lower(col("text")),
-        "[^a-z]+"), t => t =!= "")).as("word"))
+    // per-doc token stream re-expressed through the memoized postings:
+    // tf occurrences of each (doc, word) contribute tf words and
+    // tf·n_pieces pieces — identical to joining the raw explode
+    termTf(s, dir).withColumnRenamed("term", "word")
       .join(seg, "word")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
+      .agg(sum("tf").as("n_words"),
+        sum(col("tf") * col("n_pieces")).as("n_pieces"))
       .select(col("doc_id"), col("n_words"), col("n_pieces"),
         (col("n_pieces").cast("double") / col("n_words"))
           .as("pieces_per_word"))

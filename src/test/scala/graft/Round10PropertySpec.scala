@@ -137,6 +137,18 @@ class Round10PropertySpec extends SparkSpec {
       "quantized recomputed instead of memo-hitting")
   }
 
+  test("termTf word postings equal the direct tokenize-explode-group") {
+    val direct = Registry.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => t =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    assert(canon(ops.TextOps.termTf(spark, sfDir)) == canon(direct))
+    assert(ops.TextOps.termTf(spark, sfDir) eq
+      ops.TextOps.termTf(spark, sfDir),
+      "termTf recomputed instead of memo-hitting")
+  }
+
   test("the posting-base memo hits: repeated calls return the same plan") {
     val a = ops.Dedup.positionalBase(spark, sfDir)
     val b = ops.Dedup.positionalBase(spark, sfDir)
