@@ -149,6 +149,30 @@ class Round10PropertySpec extends SparkSpec {
       "termTf recomputed instead of memo-hitting")
   }
 
+  test("directed trade weights equal the direct star-join reduction") {
+    val cents = (col("l_extendedprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
+      .cast("long")
+    val li = Registry.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), cents.as("c"))
+    val sup = Registry.table(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("u"))
+    val ord = Registry.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Registry.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("v"))
+    val direct = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("u", "v").agg(sum("c").as("wc"))
+    assert(canon(ops.GraphOps.directedTradeWeights(spark, sfDir)) ==
+      canon(direct))
+    assert(ops.GraphOps.directedTradeWeights(spark, sfDir) eq
+      ops.GraphOps.directedTradeWeights(spark, sfDir),
+      "directedTradeWeights recomputed instead of memo-hitting")
+  }
+
   test("the posting-base memo hits: repeated calls return the same plan") {
     val a = ops.Dedup.positionalBase(spark, sfDir)
     val b = ops.Dedup.positionalBase(spark, sfDir)
