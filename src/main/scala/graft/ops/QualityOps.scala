@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object QualityOps {
 
+  /** Per-(event_type, day) event counts — the time series all three
+    * anomaly monitors (z-score, MAD, seasonal) score against. One
+    * O(events) scan+group per (session, corpus) instead of one per
+    * monitor (the shared-base memo discipline; unfiltered, so each
+    * monitor's own statistics are untouched — the hash gate and a
+    * Round10PropertySpec law pin it).
+    */
+  private val dailyCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def dailyEventCounts(
+      s: SparkSession, dir: String): DataFrame =
+    dailyCache.getOrElseUpdate(s, dir) {
+      Registry.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .localCheckpoint()
+    }
+
   // ------------------------------------------------------- column profile
   /** One-pass profile of the `orders` columns: nulls and exact distinct
     * counts per column, computed in a single aggregation (the multi-
@@ -120,9 +138,7 @@ ORDER BY rule
     * cross-engine — a flagged day can't flap.
     */
   def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
-    val daily = Registry.events(s, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
+    val daily = dailyEventCounts(s, dir)
     val stats = daily.groupBy("event_type").agg(
       count(lit(1)).cast("double").as("nd"),
       sum("n_events").cast("double").as("s1"),
@@ -186,10 +202,7 @@ ORDER BY d.event_type, day
         .groupBy(col("event_type"))
         .agg(min(when(col("cum") >= ceil(col("n") * 0.5), col(v))).as(out))
     }
-    val daily = Registry.events(s, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
-      .localCheckpoint()
+    val daily = dailyEventCounts(s, dir)
     val med = medianByKey(daily, "n_events", "med")
     val withDev = daily.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("n_events") - col("med")))
@@ -256,11 +269,8 @@ ORDER BY dev.event_type, dev.day
         .groupBy(keys.map(col): _*)
         .agg(min(when(col("cum") >= ceil(col("n") * 0.5), col(v))).as(out))
     }
-    val daily = Registry.events(s, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
+    val daily = dailyEventCounts(s, dir)
       .withColumn("dow", dayofweek(col("day")).cast("long"))
-      .localCheckpoint()
     val seasonal = medianBy(daily, Seq("event_type", "dow"), "n_events", "smed")
     val withResid = daily.join(broadcast(seasonal), Seq("event_type", "dow"))
       .withColumn("resid", col("n_events") - col("smed"))

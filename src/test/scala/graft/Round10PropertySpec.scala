@@ -173,6 +173,17 @@ class Round10PropertySpec extends SparkSpec {
       "directedTradeWeights recomputed instead of memo-hitting")
   }
 
+  test("daily event counts equal the direct events scan-and-group") {
+    val direct = Registry.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(canon(ops.QualityOps.dailyEventCounts(spark, sfDir)) ==
+      canon(direct))
+    assert(ops.QualityOps.dailyEventCounts(spark, sfDir) eq
+      ops.QualityOps.dailyEventCounts(spark, sfDir),
+      "dailyEventCounts recomputed instead of memo-hitting")
+  }
+
   test("the posting-base memo hits: repeated calls return the same plan") {
     val a = ops.Dedup.positionalBase(spark, sfDir)
     val b = ops.Dedup.positionalBase(spark, sfDir)
