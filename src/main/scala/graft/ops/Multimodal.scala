@@ -208,15 +208,23 @@ FROM documents ORDER BY doc_id
     ph
   }
 
-  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ds: Dataset[(Long, Array[Byte])] = media(s, dir)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-    ds.mapPartitions(_.map { case (id, bytes) =>
-      (id, sig60(bytes, 0, bytes.length))
-    }).toDF("doc_id", "phash")
-  }
+  /** Per-payload 60-bit perceptual signatures — session-memoized (shared-
+    * base discipline): the signature listing and the near-dup banding both
+    * start from the same codec-seam pass, so it decodes once per
+    * (session, corpus). Tiny 2-column result, checkpointed.
+    */
+  private val phashCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def phashSigs(s: SparkSession, dir: String): DataFrame =
+    phashCache.getOrElseUpdate(s, dir) {
+      import s.implicits._
+      val ds: Dataset[(Long, Array[Byte])] = media(s, dir)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+      ds.mapPartitions(_.map { case (id, bytes) =>
+        (id, sig60(bytes, 0, bytes.length))
+      }).toDF("doc_id", "phash").localCheckpoint()
+    }
 
   def mediaPhash(s: SparkSession, dir: String): DataFrame =
     phashSigs(s, dir).orderBy("doc_id")
@@ -280,10 +288,10 @@ $sig AS (
     * because this corpus' band frequencies are single digits.
     */
   def phashNearDup(s: SparkSession, dir: String): DataFrame = {
-    // materialize the signatures once: the band explode and both verify
-    // sides read the (tiny, 2-column) sig table instead of re-running the
-    // mapPartitions decode 3x
-    val sigs = phashSigs(s, dir).localCheckpoint()
+    // the memoized signatures: the band explode and both verify sides read
+    // the (tiny, 2-column) checkpointed sig table instead of re-running
+    // the mapPartitions decode 3x
+    val sigs = phashSigs(s, dir)
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -184,6 +184,32 @@ class Round10PropertySpec extends SparkSpec {
       "dailyEventCounts recomputed instead of memo-hitting")
   }
 
+  test("phash signatures memo-hit") {
+    assert(ops.Multimodal.phashSigs(spark, sfDir) eq
+      ops.Multimodal.phashSigs(spark, sfDir),
+      "phashSigs recomputed instead of memo-hitting")
+  }
+
+  test("shared-base memos are keyed per corpus — no cross-dir bleed") {
+    // two real corpora of different content: a memo that ignored its dir
+    // key would hand sf0.001's base to an sf0.01 caller (or vice versa)
+    val dirB = "/root/testdata/sf0.01"
+    graft.functions.VectorFunctions.register(spark)
+    def distinctPlans(a: DataFrame, b: DataFrame): Unit = {
+      assert(!(a eq b), "same memoized plan returned for different corpora")
+      assert(canon(a) != canon(b),
+        "different corpora unexpectedly produced identical base content")
+    }
+    distinctPlans(ops.TextOps.termTf(spark, sfDir),
+      ops.TextOps.termTf(spark, dirB))
+    distinctPlans(ops.Similarity.quantized(spark, sfDir),
+      ops.Similarity.quantized(spark, dirB))
+    distinctPlans(ops.Dedup.tfBase(spark, sfDir),
+      ops.Dedup.tfBase(spark, dirB))
+    distinctPlans(ops.QualityOps.dailyEventCounts(spark, sfDir),
+      ops.QualityOps.dailyEventCounts(spark, dirB))
+  }
+
   test("the posting-base memo hits: repeated calls return the same plan") {
     val a = ops.Dedup.positionalBase(spark, sfDir)
     val b = ops.Dedup.positionalBase(spark, sfDir)
