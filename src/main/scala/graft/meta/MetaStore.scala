@@ -149,9 +149,11 @@ class MetaStore(metaUri: String, conf: Configuration, clock: Clock,
       if (attempts >= MaxCasAttempts)
         throw new java.io.IOException(
           s"meta CAS starvation after $MaxCasAttempts attempts at $metaUri")
-      // a lost race means a competitor is mid-write; back off briefly so
-      // the retry reads its committed version instead of spinning
-      Thread.sleep(math.min(attempts.toLong, 10L))
+      // a lost race means a competitor is mid-write; back off (growing,
+      // capped at 100ms — total budget ~5.5s over the 64 attempts) so the
+      // retry reads its committed version instead of spinning out the
+      // attempt budget while a slow-store writer is still mid-commit
+      Thread.sleep(math.min(5L * attempts, 100L))
     }
   }
 
@@ -159,6 +161,11 @@ class MetaStore(metaUri: String, conf: Configuration, clock: Clock,
     * plain mode's lost-update window sits.
     */
   protected def beforeAtomicWrite(): Unit = ()
+
+  /** Test seam: runs after the temp file is written, before the rename —
+    * where a transient I/O failure must release the version claim.
+    */
+  protected def beforeVersionRename(): Unit = ()
 
   private def versionsDir = new Path(metaUri + ".v")
 
@@ -187,26 +194,42 @@ class MetaStore(metaUri: String, conf: Configuration, clock: Clock,
     */
   private def tryWriteVersion(n: Long, rows: Seq[(String, String)]): Boolean = {
     val target = versionPath(n)
-    if (!claimVersion(s"$metaUri#$n")) return false
-    if (fs.exists(target)) return false
-    fs.mkdirs(versionsDir)
-    val tmp = new Path(versionsDir,
-      s".tmp-${java.util.UUID.randomUUID().toString}")
-    val out = fs.create(tmp, false)
-    try out.write(csvBytes(rows))
-    finally out.close()
-    val committed =
+    val claimKey = s"$metaUri#$n"
+    if (!claimVersion(claimKey)) return false
+    var committed = false
+    var tmp: Path = null
+    try {
+      if (fs.exists(target)) return false
+      fs.mkdirs(versionsDir)
+      tmp = new Path(versionsDir,
+        s".tmp-${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, false)
+      try out.write(csvBytes(rows))
+      finally out.close()
+      beforeVersionRename()
       try {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(
           target.toUri, conf)
         fc.rename(tmp, target)
-        true
+        committed = true
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if fs.exists(target) => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case e: java.io.IOException if fs.exists(target) => ()
       }
-    if (!committed) fs.delete(tmp, false)
-    committed
+      committed
+    } finally {
+      if (!committed) {
+        // a claim becomes permanent only once its version file exists: a
+        // writer that claimed n but failed to commit it (transient I/O,
+        // lost cross-process rename, exception mid-write) must release
+        // the claim, or every future commit to this store in this JVM
+        // would starve on an unwritable version number — and its temp
+        // file must not leak
+        if (tmp != null) { try fs.delete(tmp, false) catch
+          { case _: java.io.IOException => () } }
+        releaseVersion(claimKey)
+      }
+    }
   }
 
   /** (resume_date, dates) and commits agree on layout in atomic mode via
@@ -267,13 +290,17 @@ object MetaStore {
   /** JVM-wide version-claim registry: putIfAbsent on (metaUri, version)
     * serializes same-process committers racing for one version even where
     * the store's rename cannot refuse an existing destination (local FS).
-    * Claims are permanent — a version number, once contested, exists
-    * forever — so the set stays bounded by committed history.
+    * A claim is permanent once its version file is committed — so the set
+    * stays bounded by committed history — but a FAILED writer releases its
+    * claim (see tryWriteVersion), or the unwritten version number would
+    * starve every later commit in this JVM.
     */
   private val claimedVersions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def claimVersion(key: String): Boolean = claimedVersions.add(key)
+
+  private def releaseVersion(key: String): Unit = claimedVersions.remove(key)
 
   /** Column names and formats — reference `constants.py:22-26`. */
   val SourceDateCol = "source_date"

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * key; Jaccard candidates come from an inverted shingle index (pairs only
   * materialize for co-bucketed docs, never all-pairs); MinHash/LSH bounds
   * candidate generation to band-bucket collisions (16 bands × 2 rows →
-  * P[miss | j ≥ 0.8] = (1 − 0.8²)¹⁶ ≈ 4e-9); SimHash is a pure per-doc map.
+  * P[miss | j ≥ 0.8] = (1 − 0.8²)¹⁶ ≈ 8e-8); SimHash is a pure per-doc map.
   */
 object Dedup {
 
@@ -381,7 +381,7 @@ ORDER BY i, j
   /** MinHash + LSH near-dup pairs, then *exact* Jaccard verification of the
     * (tiny) candidate set. The final filter equals the exhaustive
     * `jaccardPairs` result whenever LSH recall holds — at j ≥ 0.8 recall is
-    * 1 − (1 − j²)¹⁶ ≥ 1 − 4e-9, so the exhaustive oracle doubles as the
+    * 1 − (1 − j²)¹⁶ ≥ 1 − 8e-8, so the exhaustive oracle doubles as the
     * correctness check for the whole LSH pipeline.
     */
   /** Per-doc LSH band keys (doc_id, band, key): the whole 32-hash MinHash
@@ -391,20 +391,29 @@ ORDER BY i, j
     * (m_{2b}, m_{2b+1}) row pair. Shared by the self-join LSH and the
     * incremental (new×corpus) variant.
     */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val sig = docs(s, dir)
-      .select(col("doc_id"),
-        call_function("minhash_sig_5_32", split(col("text"), " ")).as("sig"))
-      .select(col("doc_id") +:
-        (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
-    sig.select(col("doc_id"),
-      explode(array((0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-  }
+  private val bandsCache = new graft.SessionMemo[DataFrame]
+
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    bandsCache.getOrElseUpdate(s, dir) {
+      graft.functions.VectorFunctions.register(s)
+      val sig = docs(s, dir)
+        .select(col("doc_id"),
+          call_function("minhash_sig_5_32", split(col("text"), " ")).as("sig"))
+        .select(col("doc_id") +:
+          (0 until NumHashes).map(i =>
+            element_at(col("sig"), i + 1).as(s"m$i")): _*)
+      sig.select(col("doc_id"),
+        explode(array((0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        // memoized + checkpointed (shared-base discipline): the self-join
+        // LSH puts this plan on BOTH join sides and the incremental
+        // variant on both of its sides too — without the cut the text
+        // scan + 32-hash signature pass runs twice per query
+        .localCheckpoint()
+    }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     // drop docs with empty shingle sets (<5 tokens): their all-MaxValue
@@ -450,14 +459,16 @@ ORDER BY i, j
     * 1000× the daily batch. Candidates verify by exact Jaccard over the
     * memoized shingle sets; the oracle is the NAIVE exhaustive new×corpus
     * Jaccard, so the hash gate certifies LSH recall on real data (at
-    * j ≥ 0.8, P[miss] = (1 − j²)¹⁶ ≤ 4e-9 per pair — same argument as
+    * j ≥ 0.8, P[miss] = (1 − j²)¹⁶ ≈ 8e-8 per pair — same argument as
     * [[minhashLsh]]).
     */
   def incrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    // the split flag is pure doc_id arithmetic — computed directly on the
+    // band rows, so it rides along without a docs join (same discipline
+    // as dedup_incremental_batch / decontamination)
     val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
       16, 10).cast("long"), lit(10))
-    val flags = docs(s, dir).select(col("doc_id"), (bucket < 2).as("is_new"))
-    val bands = minhashBands(s, dir).join(flags, "doc_id")
+    val bands = minhashBands(s, dir).withColumn("is_new", bucket < 2)
     val newBands = bands.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band"), col("key"))
     val corpusBands = bands.filter(!col("is_new"))

@@ -125,8 +125,15 @@ object StreamBench {
         p.stateOperators.foreach(so => stateCommit += so.commitTimeMs)
       }
       val parts = buckets.map { case (k, v) => s"$k=${v}ms" }.mkString(" ")
+      // recentProgress retains only the last N progress updates (default
+      // 100) — a case running more micro-batches than that would sum a
+      // truncated window; flag it so the decomposition can't silently
+      // under-report (bench volumes run 1-2 batches, far below the cap)
+      val cap = spark.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+      val trunc = if (evs.size >= cap) s" TRUNCATED(retention=$cap)" else ""
       System.err.println(s"[streamprof] $name batches=${evs.size} $parts " +
-        s"stateCommit=${stateCommit}ms")
+        s"stateCommit=${stateCommit}ms$trunc")
     }
     val results: Seq[(String, Option[Double])] = cases.map { case (name, run) =>
       val t0 = System.nanoTime()

@@ -156,6 +156,41 @@ class MetaStoreSpec extends SparkSpec {
       s"dates lost under interleaved atomic commits: still pending $pending")
   }
 
+  test("atomic mode: a failed write releases its version claim (no starvation)") {
+    // a writer that claims version n and then dies mid-commit (transient
+    // I/O between temp write and rename) must release the claim — before
+    // the fix the orphaned claim starved EVERY later commit to this store
+    // in the JVM with 'meta CAS starvation', even with zero concurrency
+    val dir = tmp()
+    var failures = 0
+    val flaky = new MetaStore(dir.resolve("meta.csv").toUri.toString,
+      new Configuration(), clock, atomic = true) {
+      override protected def beforeVersionRename(): Unit =
+        if (failures == 0) {
+          failures += 1
+          throw new java.io.IOException("injected transient write failure")
+        }
+    }
+    intercept[java.io.IOException] { flaky.commit(Seq("2021-04-16")) }
+    // the SAME store (and any other committer in this JVM) must succeed
+    // on retry at the same version number
+    flaky.commit(Seq("2021-04-16"))
+    atomicStore(dir).commit(Seq("2021-04-17"))
+    // U2's −1-day dance legitimately re-offers the day before the first
+    // gap (it feeds the lag), so only assert the committed dates' own
+    // absence of loss: resume advanced past both commits
+    val (resume, processed) = atomicStore(dir).pendingDates("2021-04-16")
+    assert(!processed.contains("2021-04-16") && resume == "2021-04-18",
+      s"commits after the failed write did not land (resume=$resume)")
+    // and the failed attempt's temp file did not leak into the log dir
+    val leftovers = Files.list(dir.resolve("meta.csv.v")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    // local-FS .crc sidecars are Hadoop's own; only tmp files are leaks
+    assert(!names.exists(_.contains(".tmp-")),
+      s"failed attempt's temp file leaked into the commit log: $names")
+  }
+
   test("atomic mode: 10 concurrent committers, zero lost dates") {
     val dir = tmp()
     val dates = (10 to 19).map(d => s"2021-04-$d")

@@ -58,7 +58,7 @@ class Round10PropertySpec extends SparkSpec {
   }
 
   test("incremental MinHash-LSH equals the exhaustive new×corpus Jaccard") {
-    // recall law: at j ≥ 0.8 a banded miss has P ≤ 4e-9, so on a real
+    // recall law: at j ≥ 0.8 a banded miss has P ≈ 8e-8, so on a real
     // corpus the LSH-candidate pipeline must return EXACTLY the exhaustive
     // result — computed here by a genuinely different plan (flagged
     // cross-pairing + array_intersect, no bands, no posting join)
