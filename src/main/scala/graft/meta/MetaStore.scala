@@ -128,8 +128,15 @@ class MetaStore(metaUri: String, conf: Configuration, clock: Clock,
     */
   private def commitAtomic(newRows: Seq[(String, String)], nNew: Int): Unit = {
     var attempts = 0
+    var lastSeen = -2L // below any real version, so the first read resets
     while (true) {
       val n = currentVersion()
+      // progress-bounded, not wall-clock-bounded: every time SOMEONE
+      // commits (the version advanced since our last attempt) the budget
+      // resets — under heavy contention the loser keeps retrying as long
+      // as the system is healthy, and starvation only triggers after
+      // MaxCasAttempts losses with NO global progress (a genuine fault)
+      if (n > lastSeen) { lastSeen = n; attempts = 0 }
       val base = readVersioned(n) match {
         case None => Seq.empty
         case Some((header, oldRows)) => checkHeader(header); oldRows
@@ -194,7 +201,12 @@ class MetaStore(metaUri: String, conf: Configuration, clock: Clock,
     */
   private def tryWriteVersion(n: Long, rows: Seq[(String, String)]): Boolean = {
     val target = versionPath(n)
-    val claimKey = s"$metaUri#$n"
+    // key the claim on the FULLY QUALIFIED version path, not the raw
+    // metaUri string: two same-JVM stores addressing one file through
+    // different spellings ('file:///x' vs '/x', qualified vs default-FS
+    // HDFS URIs) must contend for the same claim or the local-FS TOCTOU
+    // the registry exists to close reopens between them
+    val claimKey = fs.makeQualified(target).toString
     if (!claimVersion(claimKey)) return false
     var committed = false
     var tmp: Path = null

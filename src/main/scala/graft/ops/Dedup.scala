@@ -81,9 +81,10 @@ object Dedup {
     * per (session, corpus) and `localCheckpoint` it, so every consumer
     * reads materialized rows instead of replaying the text scan:
     *
-    *   positionalBase (doc_id, pos, g)  — raw positional occurrences
-    *     └─ tfBase    (doc_id, sh, tf) — multiset counts (grouped once)
-    *          └─ shingleArrays (doc_id, sh: array<long>) — per-doc sets
+    *   positionalBase (doc_id, pos, g) — raw positional occurrences
+    *                                     (substring-span family only)
+    *   tfBase (doc_id, sh, tf)         — multiset counts, own text scan
+    *     └─ shingleArrays (doc_id, sh: array<long>) — per-doc sets
     *
     * All three are UNFILTERED: each consumer applies its own stop-gram
     * discipline (df definitions differ — distinct docs for the positional
@@ -107,15 +108,28 @@ object Dedup {
         .localCheckpoint()
     }
 
-  /** Multiset 5-gram postings (doc_id, sh, tf): one grouped count over
-    * [[positionalBase]]. One row per (doc, shingle), so its per-shingle
-    * row count doubles as the document frequency for the set family.
+  /** Multiset 5-gram postings (doc_id, sh, tf). One row per (doc,
+    * shingle), so its per-shingle row count doubles as the document
+    * frequency for the set family.
+    *
+    * Derived from its OWN text scan rather than through [[positionalBase]]:
+    * the positional layer is the largest of the three (one row per token
+    * occurrence), and routing tfBase through it would materialize and
+    * session-pin that whole layer for consumers (jaccard / cosine /
+    * containment / incremental / decontamination) that never need
+    * positions — only the substring-span family pays for positions.
+    * Cost of the split: one extra text scan in a session that runs BOTH
+    * families; storage saved: the per-occurrence explode whenever the
+    * positional family is cold.
     */
   private[graft] def tfBase(s: SparkSession, dir: String): DataFrame =
     tfBaseCache.getOrElseUpdate(s, dir) {
-      positionalBase(s, dir)
-        .groupBy(col("doc_id"), col("g").as("sh"))
-        .agg(count(lit(1)).as("tf"))
+      graft.functions.VectorFunctions.register(s)
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(call_function("shingle_hashes_5", split(col("text"), " ")))
+            .as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
         .localCheckpoint()
     }
 
@@ -466,9 +480,8 @@ ORDER BY i, j
     // the split flag is pure doc_id arithmetic — computed directly on the
     // band rows, so it rides along without a docs join (same discipline
     // as dedup_incremental_batch / decontamination)
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-      16, 10).cast("long"), lit(10))
-    val bands = minhashBands(s, dir).withColumn("is_new", bucket < 2)
+    val bands = minhashBands(s, dir)
+      .withColumn("is_new", SamplingOps.bucket10(col("doc_id")) < 2)
     val newBands = bands.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band"), col("key"))
     val corpusBands = bands.filter(!col("is_new"))

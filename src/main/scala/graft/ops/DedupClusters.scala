@@ -402,9 +402,7 @@ ORDER BY e.vec_id
   def incrementalSemantic(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = Similarity.quantized(s, dir)
-      .withColumn("is_new",
-        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
-          16, 10).cast("long"), lit(10)) < 2)
+      .withColumn("is_new", SamplingOps.bucket10(col("vec_id")) < 2)
     val cents = corpus.filter(!col("is_new"))
       .orderBy("vec_id").limit(semCellCount(s, dir).toInt)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),

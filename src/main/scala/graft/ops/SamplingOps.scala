@@ -32,6 +32,13 @@ object SamplingOps {
   private[ops] def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** The shared decimal-bucket split (0-9) over [[hash60]]: `< 2` is the
+    * "new batch" population every incremental pipeline (posting join,
+    * MinHash index probe, semantic cells) and its laws must agree on —
+    * one definition, so the split cannot silently diverge across them.
+    */
+  private[graft] def bucket10(c: Column): Column = pmod(hash60(c), lit(10))
+
   // -------------------------------------------------- train/val/test split
   /** Reproducible 80/10/10 train/val/test split of the corpus keyed on
     * `hash(doc_id) mod 100` — membership is a pure function of the row key,

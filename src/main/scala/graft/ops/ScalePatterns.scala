@@ -123,8 +123,7 @@ ORDER BY event_id
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-      16, 10).cast("long"), lit(10))
+    val bucket = SamplingOps.bucket10(col("doc_id"))
     // distinct-shingle postings from the session-memoized base
     // (Dedup.tfBase is one row per (doc, shingle)); the new/corpus flag is
     // pure doc_id arithmetic, so it rides along without a docs join

@@ -63,8 +63,7 @@ class Round10PropertySpec extends SparkSpec {
     // result — computed here by a genuinely different plan (flagged
     // cross-pairing + array_intersect, no bands, no posting join)
     graft.functions.VectorFunctions.register(spark)
-    val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-      16, 10).cast("long"), lit(10))
+    val bucket = ops.SamplingOps.bucket10(col("doc_id"))
     val d = Registry.table(spark, sfDir, "documents")
       .select(col("doc_id"),
         array_distinct(call_function("shingle_hashes_5",
