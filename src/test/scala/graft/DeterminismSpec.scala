@@ -33,7 +33,7 @@ class DeterminismSpec extends SparkSpec {
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq.map(c => s"`$c`")
     df.selectExpr(cols: _*).collect()
-      .map(_.toSeq.map(v => String.valueOf(v)).mkString(""))
+      .map(_.toSeq.map(v => String.valueOf(v)).mkString("\u0001"))
       .toSeq.sorted
   }
 

@@ -19,7 +19,7 @@ class Round10PropertySpec extends SparkSpec {
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect()
-      .map(_.toSeq.map(String.valueOf).mkString(""))
+      .map(_.toSeq.map(String.valueOf).mkString("\u0001"))
       .toSeq.sorted
 
   test("positionalBase equals the direct posexplode over documents.text") {
