@@ -1333,7 +1333,44 @@ SELECT CAST(replicate AS BIGINT) AS replicate,
 FROM wt GROUP BY replicate ORDER BY replicate
 """
 
+  // ------------------------------------------------ mergeable HLL sketches
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * `hll_sketch_agg` / `hll_union_agg`) — the cross-segment accounting
+    * pattern at 100 TB: each segment (here order priority) builds its own
+    * sketch in one pass, and the GLOBAL distinct count is the lossless
+    * register-wise union of the per-segment sketches — no second scan, no
+    * re-shuffle of raw keys, and segments sketched on different days/
+    * clusters still merge. The output carries the per-segment exact twin
+    * and the global exact/approx pair, so the sketch's error is VISIBLE in
+    * the result (like `ann_*_recall`'s honesty numbers).
+    *
+    * No DuckDB oracle (sketch internals are engine-specific — same
+    * taxonomy as `approx_count_distinct`); instead Round10PropertySpec
+    * pins the two laws that matter: the union of per-segment sketches
+    * estimates EXACTLY what one global sketch estimates (merge
+    * losslessness), and the estimate is within the sketch's published
+    * error band of the exact count.
+    */
+  def hllMergeable(s: SparkSession, dir: String): DataFrame = {
+    val o = Registry.table(s, dir, "orders")
+    val per = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct("o_custkey").as("exact_customers"))
+    val merged = per.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_all"))
+    val exactAll = o.agg(countDistinct("o_custkey").as("exact_all"))
+    per.select(col("o_orderpriority"),
+        hll_sketch_estimate(col("sk")).as("approx_customers"),
+        col("exact_customers"))
+      .crossJoin(broadcast(merged))
+      .crossJoin(broadcast(exactAll))
+      .select(col("o_orderpriority"), col("approx_customers"),
+        col("exact_customers"), col("approx_all"), col("exact_all"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_hll_mergeable" -> QueryDef(hllMergeable, None),
     "stats_poisson_bootstrap" ->
       QueryDef(poissonBootstrap, Some(poissonBootstrapOracle)),
     "stats_pareto_share" -> QueryDef(paretoShare, Some(paretoShareOracle)),

@@ -10,9 +10,14 @@ class RegistrySpec extends SparkSpec {
   test("every query declares either an oracle or a documented rows-only check") {
     assert(Registry.all.nonEmpty)
     val noOracle = Registry.all.collect { case (n, QueryDef(_, None, _)) => n }
-    // keep the rows-only list deliberate and small
+    // keep the rows-only list deliberate and small: each entry is a
+    // sketch whose internals are engine-specific, gated instead by an
+    // error-bound law against its exact hash-checked twin
+    // (Round7PropertySpec for the two approx aggregates,
+    // Round10PropertySpec for the HLL union laws)
     assert(noOracle.forall(
-      Set("approx_count_distinct", "stats_approx_percentiles").contains),
+      Set("approx_count_distinct", "stats_approx_percentiles",
+        "stats_hll_mergeable").contains),
       s"unexpected oracle-less queries: $noOracle")
   }
 

@@ -209,6 +209,29 @@ class Round10PropertySpec extends SparkSpec {
       ops.QualityOps.dailyEventCounts(spark, dirB))
   }
 
+  test("HLL sketches: lossless union and the published error band") {
+    // law 1 (merge losslessness): the union of per-segment sketches must
+    // estimate EXACTLY what one global sketch over the same keys
+    // estimates — HLL union is register-wise max, so segmenting the scan
+    // cannot change the merged registers
+    val o = Registry.table(spark, sfDir, "orders")
+    val merged = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .collect()(0).getLong(0)
+    val global = o.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("e"))
+      .collect()(0).getLong(0)
+    assert(merged == global,
+      s"segment-union estimate $merged != global-sketch estimate $global")
+    // law 2 (error band): default lgK=12 gives ~1.6% RSE; 5 RSE is a
+    // p<1e-6 bound — a violation means the sketch, not luck
+    val exact = o.select(countDistinct(col("o_custkey"))).collect()(0)
+      .getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact <= 0.08,
+      s"HLL estimate $merged outside the error band around exact $exact")
+  }
+
   test("the posting-base memo hits: repeated calls return the same plan") {
     val a = ops.Dedup.positionalBase(spark, sfDir)
     val b = ops.Dedup.positionalBase(spark, sfDir)
