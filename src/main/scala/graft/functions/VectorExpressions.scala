@@ -93,6 +93,9 @@ object VectorFunctions {
     add("cdc_boundaries_8_64")(exprs => CdcBoundaries(exprs.head))
     add("nfc_normalize")(exprs => NfcNormalize(exprs.head))
     add("block_cosines_16")(exprs => BlockCosines(exprs.head, 16))
+    add("cms_sketch_2048")(exprs => CmsSketchAgg(exprs(0), exprs(1)))
+    add("cms_merge_2048")(exprs => CmsMergeAgg(exprs.head))
+    add("cms_estimate")(exprs => CmsEstimate(exprs(0), exprs(1)))
   }
 }
 
@@ -460,6 +463,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("block_cosines_16"),
       new ExpressionInfo(classOf[BlockCosines].getName, "block_cosines_16"),
       (exprs: Seq[Expression]) => BlockCosines(exprs.head, 16)))
+    e.injectFunction((FunctionIdentifier("cms_sketch_2048"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch_2048"),
+      (exprs: Seq[Expression]) => CmsSketchAgg(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("cms_merge_2048"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_2048"),
+      (exprs: Seq[Expression]) => CmsMergeAgg(exprs.head)))
+    e.injectFunction((FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
     // the custom operator's planner strategy + its pushdown rule (Catalyst
     // can't see through an opaque binary node without the rule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

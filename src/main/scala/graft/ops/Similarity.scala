@@ -1386,7 +1386,79 @@ FROM brute b LEFT JOIN approx a
 GROUP BY b.query_id ORDER BY b.query_id
 """
 
+  // ------------------------------------------------ hard negative mining
+  private val NegPoolSize = 64
+  private val NegK = 4
+
+  /** In-batch hard-negative mining for contrastive training: every anchor
+    * vector is paired with the [[NegK]] most-cosine-similar vectors of a
+    * DIFFERENT label drawn from a fixed candidate pool — the "hardest"
+    * negatives a contrastive loss learns most from. The pool is the
+    * [[NegPoolSize]] corpus vectors with the smallest deterministic
+    * 60-bit md5 key (a derandomized uniform batch, same construction as
+    * the sampling family), so membership is reproducible on any engine and
+    * any partitioning.
+    *
+    * 100 TB posture: the pool is a bounded model artifact (fixed size,
+    * TakeOrdered — no full sort) broadcast to every task; anchors stream
+    * through one broadcast nested-loop join of width `|pool|`, so total
+    * work is `n × 64` — linear in the corpus, zero corpus-side shuffle
+    * before the per-anchor top-k window (keyed on the anchor id). This is
+    * exactly the in-batch-negatives shape of large-scale contrastive
+    * pipelines: the batch is small and shared; the corpus scan is linear.
+    * Scores are the exact quantized int64 cosine, so the per-anchor
+    * ranking cannot flap on float noise across engines.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val pool = corpus
+      .orderBy(SamplingOps.hash60(col("vec_id")), col("vec_id"))
+      .limit(NegPoolSize)
+      .select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        col("qv").as("cq"), col("nrm").as("cnrm"))
+    val scored = corpus.join(broadcast(pool),
+        col("neg_label") =!= col("label"))
+      .select(col("vec_id").as("anchor_id"), col("neg_id"),
+        cosine(col("qv"), col("cq"), col("nrm"), col("cnrm")).as("cosine"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= NegK)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("cosine"))
+      .orderBy("anchor_id", "rank")
+  }
+
+  private val hardNegativesOracle = s"""
+WITH q AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+pool AS (
+  SELECT vec_id, label, qv FROM q
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+    vec_id
+  LIMIT $NegPoolSize),
+scored AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+    CAST(list_sum(list_transform(range(1, 65), k -> a.qv[k] * c.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))
+      AS cosine
+  FROM q a JOIN pool c ON c.label <> a.label),
+ranked AS (
+  SELECT anchor_id, neg_id, cosine,
+    row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY cosine DESC, neg_id ASC) AS rank
+  FROM scored)
+SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id, cosine
+FROM ranked WHERE rank <= $NegK ORDER BY anchor_id, rank
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "ann_hard_negatives" ->
+      QueryDef(hardNegatives, Some(hardNegativesOracle)),
     "ann_rp_rerank" -> QueryDef(rpRerank, Some(rpRerankOracle)),
     "ann_rp_recall" -> QueryDef(rpRecall, Some(rpRecallOracle)),
     "ann_ivf_recall" -> QueryDef(ivfRecall, Some(ivfRecallOracle)),

@@ -1369,7 +1369,47 @@ FROM wt GROUP BY replicate ORDER BY replicate
       .orderBy("o_orderpriority")
   }
 
+  // ------------------------------------- mergeable Count-Min heavy hitters
+  /** Heavy-hitter accounting by mergeable Count-Min sketches — the
+    * frequency twin of [[hllMergeable]]'s distinct-count pattern, over the
+    * word-postings base the text family shares. Per-source sketches ingest
+    * the (term, tf) postings through the weighted custom aggregate
+    * ([[graft.functions.CmsSketchAgg]] — state is a fixed 80 KiB counter
+    * table, so partial aggregation ships sketches, not rows), merge by
+    * lossless counter addition ([[graft.functions.CmsMergeAgg]]), and the
+    * top-20 exact heavy hitters read their estimates off the ONE broadcast
+    * merged sketch. `merged_equals_global` asserts IN THE OUTPUT that the
+    * segment-merge path produced byte-identical counters to a single
+    * global sketch — the mergeability guarantee, visible in the result.
+    *
+    * 100 TB posture: the raw token stream never shuffles — each segment
+    * reduces to an 80 KiB binary in one pass (map-side combine), the union
+    * shuffles 20 sketches, and point queries touch a top-k frame. No
+    * DuckDB oracle (sketch internals are engine-specific — same taxonomy
+    * as `stats_hll_mergeable`); Round11PropertySpec pins the CMS laws:
+    * never-underestimate, the ε·N overestimate band, and the
+    * merged == global flag.
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val base = TextOps.termTf(s, dir).join(
+      Registry.table(s, dir, "documents").select("doc_id", "source"), "doc_id")
+    val per = base.groupBy("source")
+      .agg(call_function("cms_sketch_2048", col("term"), col("tf")).as("sk"))
+    val merged = per.agg(call_function("cms_merge_2048", col("sk")).as("msk"))
+    val global = base
+      .agg(call_function("cms_sketch_2048", col("term"), col("tf")).as("gsk"))
+    val top = base.groupBy("term").agg(sum("tf").as("exact_occ"))
+      .orderBy(col("exact_occ").desc, col("term")).limit(20)
+    top.crossJoin(broadcast(merged)).crossJoin(broadcast(global))
+      .select(col("term"), col("exact_occ"),
+        call_function("cms_estimate", col("msk"), col("term")).as("est_occ"),
+        (col("msk") === col("gsk")).as("merged_equals_global"))
+      .orderBy(col("exact_occ").desc, col("term"))
+  }
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_cms_heavyhitters" -> QueryDef(cmsHeavyHitters, None),
     "stats_hll_mergeable" -> QueryDef(hllMergeable, None),
     "stats_poisson_bootstrap" ->
       QueryDef(poissonBootstrap, Some(poissonBootstrapOracle)),

@@ -14,10 +14,11 @@ class RegistrySpec extends SparkSpec {
     // sketch whose internals are engine-specific, gated instead by an
     // error-bound law against its exact hash-checked twin
     // (Round7PropertySpec for the two approx aggregates,
-    // Round10PropertySpec for the HLL union laws)
+    // Round10PropertySpec for the HLL union laws,
+    // Round11PropertySpec for the Count-Min laws)
     assert(noOracle.forall(
       Set("approx_count_distinct", "stats_approx_percentiles",
-        "stats_hll_mergeable").contains),
+        "stats_hll_mergeable", "stats_cms_heavyhitters").contains),
       s"unexpected oracle-less queries: $noOracle")
   }
 
