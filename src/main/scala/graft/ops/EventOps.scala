@@ -112,15 +112,21 @@ ORDER BY user_id, session_start_epoch
     * projection — schema declared, no inference scan — aggregated per type.
     */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
+    // string-extract then cast, NOT from_json with a typed schema: the
+    // oracle's json_extract_string + CAST coerces a quoted number
+    // ({"k": "7"}) that from_json(k BIGINT) nulls out — extraction
+    // semantics must match the oracle's lenient path or n_with_k/sum_k
+    // silently diverge the day the generator emits a string-typed k.
+    // get_json_object returns the unquoted scalar text exactly like
+    // json_extract_string; both engines' casts then agree (and both
+    // fail loudly on non-numeric text — ANSI cast ↔ DuckDB CAST).
     Registry.events(s, dir)
       .select(col("event_type"), col("user_id"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
-          .getField("k").as("k"))
+        get_json_object(col("props"), "$.k").as("ks"))
       .groupBy("event_type")
       .agg(
-        sum("k").as("sum_k"),
-        count(col("k")).as("n_with_k"),
+        sum(col("ks").cast("long")).as("sum_k"),
+        count(col("ks")).as("n_with_k"),
         countDistinct("user_id").as("n_users"))
       .orderBy("event_type")
 

@@ -12,6 +12,6 @@ package object ops {
     * money aggregate rests on — one definition, so a precision change can't
     * silently drift between modules.
     */
-  private[ops] def dsum(e: Column, scale: Int = 2): Column =
+  private[graft] def dsum(e: Column, scale: Int = 2): Column =
     sum(e.cast(DecimalType(30, scale))).cast("double")
 }

@@ -66,7 +66,9 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(25, 2))).cast("double").as("sum_value"))
+        // the batch family's shared exact-decimal sum (graft.ops.dsum,
+        // DECIMAL(30,2)) — one cents-discipline definition for both twins
+        graft.ops.dsum(col("value")).as("sum_value"))
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -211,8 +213,9 @@ object EventStream {
     * `EventOps.sessionize`. Values are exact cents (long) so stream/batch
     * parity is bit-exact.
     *
-    * Two modes, selected by `flushOpenTails`:
-    *  - `false` (the streaming default): each micro-batch merges the carried
+    * Two modes, selected by `flushOpenTails` (no default — the safe value
+    * depends on the trigger shape, so the caller must choose):
+    *  - `false` (the multi-batch mode): each micro-batch merges the carried
     *    open tail with the batch's events, emits only sessions *closed by
     *    observed data* (a newer event > gap after them exists), and keeps the
     *    still-open tail in state — so a session spanning micro-batch
@@ -224,9 +227,18 @@ object EventStream {
     *    ONLY correct when the source is fully drained in a single trigger
     *    (e.g. `Trigger.AvailableNow` over a static directory processed as
     *    one micro-batch); with multiple batches it would re-emit fragments.
+    *
+    * Ordering contract (same as [[funnelStages]]): WITHIN a batch,
+    * disorder is handled (events are sorted before folding); ACROSS
+    * batches, observed-gap emission assumes each user's events arrive in
+    * nondecreasing event-time order — an out-of-order event delivered
+    * after the session it belongs to was closed by observed data cannot
+    * be retrofitted. Sources with cross-batch disorder need
+    * [[sessionizeWithTimeout]], whose emissions are watermark-proven
+    * instead of observed-gap.
     */
   def sessionize(events: Dataset[StreamEvent],
-      flushOpenTails: Boolean = true): Dataset[UserSession] = {
+      flushOpenTails: Boolean): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -235,16 +247,20 @@ object EventStream {
         sessionFn(flushOpenTails))
   }
 
-  /** The production sessionization mode: like `sessionize(_, false)` —
-    * sessions closed by observed data are emitted exactly once across
-    * micro-batches — PLUS bounded emission latency for idle users: each
-    * open tail arms an event-time timeout at `last event + gap`, and when
-    * the WATERMARK passes that point the tail flushes as a finished
-    * session. That flush is *correct*, not heuristic: the watermark is the
-    * engine's proof that no event which could extend the session (i.e.
-    * within the gap) can still arrive; anything later would start a new
-    * session anyway. Late data beyond the watermark is dropped by the
-    * same contract as every watermarked operator.
+  /** The production sessionization mode: every emission is
+    * watermark-PROVEN, not observed-gap — a session leaves state only
+    * once the watermark passes `last event + gap`, the engine's proof
+    * that no event which could extend it can still arrive (anything
+    * later would start a new session anyway). Unlike
+    * `sessionize(_, false)`, this is correct under cross-batch disorder:
+    * an out-of-order event above the watermark arriving in a later
+    * micro-batch still merges into its (unproven, still-buffered)
+    * session instead of being orphaned. Idle users get the same proof
+    * through an event-time timeout armed at the earliest pending
+    * session's proof point. Late data beyond the watermark is dropped
+    * explicitly (flatMapGroupsWithState does not pre-filter late input
+    * the way windowed aggregations do). State per key is the events of
+    * the unproven sessions — bounded by the watermark horizon.
     */
   def sessionizeWithTimeout(events: Dataset[StreamEvent],
       watermarkDelay: String = "30 minutes"): Dataset[UserSession] = {
@@ -260,20 +276,44 @@ object EventStream {
   private def sessionTimeoutFn(
       userId: Long, it: Iterator[StreamEvent],
       state: GroupState[List[StreamEvent]]): Iterator[UserSession] = {
-    if (state.hasTimedOut) {
-      // watermark passed last-event + gap: the open tail is a finished
-      // session — emit and clear
-      val tail = state.getOption.getOrElse(Nil)
-      state.remove()
-      Iterator.single(toSession(userId, tail))
-    } else {
-      val out = sessionFn(flushOpenTails = false)(userId, it, state)
-      // sessionFn left the open tail in state; arm/refresh its flush point
-      state.getOption.filter(_.nonEmpty).foreach { tail =>
-        state.setTimeoutTimestamp(tail.last.ts.getTime + GapMs)
-      }
-      out
+    // Watermark-gated emission: a session is emitted ONLY once the
+    // watermark proves it closed (last event + gap strictly behind the
+    // watermark — any event that could still extend it would be at
+    // ts ≤ last + gap < watermark, i.e. dropped as late below). An
+    // observed in-batch gap is NOT proof: an out-of-order event ABOVE the
+    // watermark arriving in a later micro-batch may legally fall inside
+    // the gap, so observed-gap emission (what `sessionize(_, false)` does
+    // under its per-key ordering contract) would have emitted a wrong
+    // boundary. The cost of correctness under cross-batch disorder is
+    // state = every event of every unproven session, bounded by the
+    // watermark horizon per key — the standard trade of any
+    // watermark-correct session operator (it is what `session_window`'s
+    // own state store holds too).
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val prev = state.getOption.getOrElse(Nil)
+    // fMGWS does NOT pre-filter late input (unlike windowed aggs): enforce
+    // the documented contract ourselves — below-watermark stragglers drop
+    val fresh = it.filter(e => tsMicros(e) >= wmUs).toList
+    val all = (prev ++ fresh).sortBy(e => (tsMicros(e), e.event_id))
+    if (all.isEmpty) { state.remove(); return Iterator.empty }
+    val sessions = splitByGap(all)
+    // sessions are time-ordered and disjoint by > gap, so provenness is a
+    // prefix: session i's last precedes session i+1's first
+    val (closed, pending) =
+      sessions.span(s => tsMicros(s.last) + GapUs < wmUs)
+    if (pending.isEmpty) state.remove()
+    else {
+      state.update(pending.flatten)
+      // fire when the watermark passes the EARLIEST pending session's
+      // proof point (+1 ms: the API fires at watermark > timestamp and the
+      // proof needs strict <); on fire this same function re-partitions
+      // with the then-current watermark and re-arms for the rest.
+      // Always > current watermark (pending ⇒ last + gap ≥ wm), as the
+      // GroupState API requires.
+      state.setTimeoutTimestamp(
+        tsMicros(pending.head.last) / 1000L + GapMs + 1)
     }
+    closed.iterator.map(es => toSession(userId, es))
   }
 
   /** Per-user funnel progress carried across micro-batches. Timestamps are
@@ -436,11 +476,16 @@ object EventStream {
     }
   }
 
-  final case class FunnelProgress(viewMs: Option[Long], clickMs: Option[Long],
-      purchaseMs: Option[Long]) {
+  /** Stage timestamps on the MICROSECOND grid ([[tsMicros]]) — the batch
+    * `funnel_conversion` sequences stages by full timestamp precision
+    * (`e.ts > v_ts`), so an ms-truncated comparison would fail to advance
+    * on strictly-sequenced events within the same millisecond.
+    */
+  final case class FunnelProgress(viewUs: Option[Long], clickUs: Option[Long],
+      purchaseUs: Option[Long]) {
     def stage: Int =
-      if (purchaseMs.isDefined) 3 else if (clickMs.isDefined) 2
-      else if (viewMs.isDefined) 1 else 0
+      if (purchaseUs.isDefined) 3 else if (clickUs.isDefined) 2
+      else if (viewUs.isDefined) 1 else 0
   }
 
   /** One funnel-state row per user per micro-batch that changed it. */
@@ -482,17 +527,17 @@ object EventStream {
     */
   private def advanceFunnel(prev: FunnelProgress,
       events: Iterator[StreamEvent]): FunnelProgress =
-    events.toList.sortBy(e => (e.ts.getTime, e.event_id))
+    events.toList.sortBy(e => (tsMicros(e), e.event_id))
       .foldLeft(prev) { (st, e) =>
-        val t = e.ts.getTime
+        val t = tsMicros(e)
         e.event_type match {
-          case "view" if st.viewMs.isEmpty =>
-            st.copy(viewMs = Some(t))
-          case "click" if st.clickMs.isEmpty && st.viewMs.exists(_ < t) =>
-            st.copy(clickMs = Some(t))
-          case "purchase" if st.purchaseMs.isEmpty &&
-              st.clickMs.exists(_ < t) =>
-            st.copy(purchaseMs = Some(t))
+          case "view" if st.viewUs.isEmpty =>
+            st.copy(viewUs = Some(t))
+          case "click" if st.clickUs.isEmpty && st.viewUs.exists(_ < t) =>
+            st.copy(clickUs = Some(t))
+          case "purchase" if st.purchaseUs.isEmpty &&
+              st.clickUs.exists(_ < t) =>
+            st.copy(purchaseUs = Some(t))
           case _ => st
         }
       }
@@ -539,18 +584,37 @@ object EventStream {
     }
   }
 
+  /** Decimal-cast cents — the repo's money discipline (same as
+    * [[mergeLatest]]'s inline form). NOT `math.round(v * 100)`: that is
+    * `floor(x + 0.5)`, which disagrees with HALF_UP for negative values
+    * (math.round(-28.5) = -28 vs HALF_UP -29), and the double product
+    * `0.285 * 100 = 28.4999…` truncates where the decimal path
+    * (shortest-repr BigDecimal, like Spark's double→decimal cast) gives 29.
+    */
+  private def cents(v: Double): Long =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
   private def toSession(userId: Long, es: List[StreamEvent]): UserSession =
     UserSession(
       user_id = userId,
       session_start_epoch = es.head.ts.getTime / 1000,
       n_events = es.size.toLong,
-      sum_value_cents = es.map(e => math.round(e.value * 100)).sum)
+      sum_value_cents = es.map(e => cents(e.value)).sum)
 
   /** Strict `>`: `session_window` merges sessions whose windows touch
     * (next.start == prev.end), so an exact-threshold gap stays one
     * session — verified empirically against the batch operator.
     */
   private val GapMs = 30L * 60 * 1000
+
+  /** The gap on the microsecond grid: gap tests and sorts run on
+    * [[tsMicros]] (full parquet precision), matching the batch
+    * `session_window`, which splits at microsecond precision — an
+    * ms-truncated `getTime` comparison would merge a gap of
+    * 30:00 plus sub-millisecond that the batch operator splits.
+    */
+  private val GapUs = GapMs * 1000L
 
   /** Per-user session builder. State carries the open tail (the events of
     * the most recent, not-yet-closed session) between micro-batches.
@@ -559,19 +623,30 @@ object EventStream {
       userId: Long, it: Iterator[StreamEvent],
       state: GroupState[List[StreamEvent]]): Iterator[UserSession] = {
     val prev = state.getOption.getOrElse(Nil)
-    val all = (prev ++ it.toList).sortBy(_.ts.getTime)
+    val all = (prev ++ it.toList).sortBy(e => (tsMicros(e), e.event_id))
     if (all.isEmpty) return Iterator.empty
-    val sessions = scala.collection.mutable.ArrayBuffer.empty[List[StreamEvent]]
+    val sessions = splitByGap(all)
+    val closed =
+      if (flushOpenTails) { state.remove(); sessions }
+      else { state.update(sessions.last); sessions.init } // tail stays alive
+    closed.iterator.map(es => toSession(userId, es))
+  }
+
+  /** Split a (tsMicros, event_id)-sorted event list into gap-delimited
+    * sessions (strict `>` on the microsecond grid — see [[GapUs]]).
+    * Always returns at least one session for nonempty input; the LAST
+    * element is the open tail (nothing observed after it yet).
+    */
+  private def splitByGap(all: List[StreamEvent]): List[List[StreamEvent]] = {
+    val sessions = scala.collection.mutable.ListBuffer.empty[List[StreamEvent]]
     var cur = scala.collection.mutable.ListBuffer(all.head)
     for (e <- all.tail) {
-      if (e.ts.getTime - cur.last.ts.getTime > GapMs) {
+      if (tsMicros(e) - tsMicros(cur.last) > GapUs) {
         sessions += cur.toList
         cur = scala.collection.mutable.ListBuffer(e)
       } else cur += e
     }
-    val closed =
-      if (flushOpenTails) { state.remove(); sessions += cur.toList; sessions }
-      else { state.update(cur.toList); sessions } // tail stays alive
-    closed.iterator.map(es => toSession(userId, es))
+    sessions += cur.toList
+    sessions.toList
   }
 }

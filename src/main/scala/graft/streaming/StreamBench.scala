@@ -81,7 +81,9 @@ object StreamBench {
         EventStream.dedupById(events()).select("event_id"), "sb_dedup",
         OutputMode.Append())),
       "sessionize_fmgws" -> (() => EventStream.runToMemory(spark,
-        EventStream.sessionize(typed()).toDF(), "sb_sessions",
+        // AvailableNow over the static dir = one micro-batch: tail flush safe
+        EventStream.sessionize(typed(), flushOpenTails = true).toDF(),
+        "sb_sessions",
         OutputMode.Append())),
       "latest_snapshot_upsert" -> (() => EventStream.runToMemory(spark,
         EventStream.latestSnapshot(typed()).toDF(), "sb_latest",

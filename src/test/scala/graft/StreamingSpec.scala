@@ -64,7 +64,7 @@ class StreamingSpec extends SparkSpec {
           .select("event_id", "ts", "user_id", "event_type", "value")
           .as[StreamEvent]
         EventStream.runToMemory(spark,
-            EventStream.sessionize(stream).toDF(), name,
+            EventStream.sessionize(stream, flushOpenTails = true).toDF(), name,
             org.apache.spark.sql.streaming.OutputMode.Append())
           .orderBy("user_id", "session_start_epoch")
           .collect().map(_.toSeq).toSeq
@@ -184,7 +184,7 @@ class StreamingSpec extends SparkSpec {
     val stream = EventStream.readEvents(spark, eventsPath)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamEvent]
-    val sessions = EventStream.sessionize(stream).toDF()
+    val sessions = EventStream.sessionize(stream, flushOpenTails = true).toDF()
     val got = EventStream.runToMemory(spark, sessions, "stream_sessions",
         org.apache.spark.sql.streaming.OutputMode.Append())
       .orderBy("user_id", "session_start_epoch")
@@ -671,6 +671,95 @@ class StreamingSpec extends SparkSpec {
     // ONLY user 7 flushes (2 events, 250 cents each); users 8/9 stay open
     // because the watermark never passes their last-event+gap
     assert(got == Seq((7L, 1700000000L, 2L, 500L)))
+  }
+
+  test("watermark-gated sessionize merges an above-watermark out-of-order event") {
+    import spark.implicits._
+    // The cross-batch disorder case observed-gap emission gets WRONG:
+    // batch 0 delivers user 7 at minutes 0, 10, 50 (observed gap 40 min
+    // between 10 and 50 — an observed-gap sessionizer would emit [0,10]
+    // right here), then batch 1 delivers minute 25 — ABOVE the watermark
+    // (20 min after batch 0), and inside both gaps, welding all four
+    // events into ONE session. sessionizeWithTimeout must buffer until
+    // the watermark PROVES closure and emit the single 4-event session;
+    // the flush fires once later batches push the watermark past
+    // minute 50 + gap.
+    def ev(id: Long, minutes: Long, user: Long): (Long, Long, Long, String, Double) =
+      (id, (1700000000L + minutes * 60) * 1000000000L, user, "click", 2.5)
+    val batches = Seq(
+      Seq(ev(1, 0, 7), ev(2, 10, 7), ev(3, 50, 7)),
+      Seq(ev(4, 25, 7)), // out-of-order, above the 20-min watermark
+      Seq(ev(20, 600, 8)), // advance the watermark input far past 80 min
+      Seq(ev(21, 610, 9))) // runs WITH the advanced watermark → flush
+    val staged = java.nio.file.Files.createTempDirectory("events_ooo")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.parquet(s"$staged/b$i")
+      val f = new java.io.File(s"$staged/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$staged/b$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val stream = Registry.normalizeEventTs(spark.readStream
+        .schema(EventStream.eventsNanosSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/*.parquet"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent]
+    val got = EventStream.runToMemory(spark,
+        EventStream.sessionizeWithTimeout(stream).toDF(),
+        "stream_ooo_sessions",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // ONE session: all four of user 7's events (250 cents each); users
+    // 8/9 stay open (watermark never passes their proof points)
+    assert(got == Seq((7L, 1700000000L, 4L, 1000L)))
+  }
+
+  test("session gap and funnel sequencing resolve at microsecond precision") {
+    import spark.implicits._
+    // (a) a gap of exactly 30:00 plus 500 µs must SPLIT (the batch
+    // session_window splits at micros; an ms-truncated gap test would
+    // merge); (b) a view→click pair 300 µs apart INSIDE one millisecond
+    // must still advance the funnel (the batch funnel sequences at full
+    // precision).
+    val base = 1700000000L * 1000000000L
+    val rows = Seq(
+      (1L, base, 7L, "click", 1.0),
+      (2L, base + 30L * 60 * 1000000000L + 500000L, 7L, "click", 1.0),
+      (3L, base, 9L, "view", 1.0),
+      (4L, base + 300000L, 9L, "click", 1.0))
+    val staged = java.nio.file.Files.createTempDirectory("events_micros")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(s"$staged/b0")
+    val stream = Registry.normalizeEventTs(spark.readStream
+        .schema(EventStream.eventsNanosSchema)
+        .parquet(s"$staged/b0"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent]
+    val sessions = EventStream.runToMemory(spark,
+        EventStream.sessionize(stream, flushOpenTails = true).toDF(),
+        "stream_micros_sessions",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .filter(col("user_id") === 7).collect()
+    assert(sessions.length == 2,
+      s"30:00.0005 gap must split at micros precision, got ${sessions.length}")
+    val stream2 = Registry.normalizeEventTs(spark.readStream
+        .schema(EventStream.eventsNanosSchema)
+        .parquet(s"$staged/b0"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamEvent]
+    val funnel = EventStream.runToMemory(spark,
+        EventStream.funnelStages(stream2).toDF(), "stream_micros_funnel",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .filter(col("user_id") === 9).collect()
+    assert(funnel.map(_.getInt(1)).toSeq == Seq(2),
+      "same-millisecond view→click must advance the funnel at micros")
   }
 
   test("streaming simhash near-dup equals batch pairs across micro-batches + replay") {
