@@ -96,6 +96,12 @@ object VectorFunctions {
     add("cms_sketch_2048")(exprs => CmsSketchAgg(exprs(0), exprs(1)))
     add("cms_merge_2048")(exprs => CmsMergeAgg(exprs.head))
     add("cms_estimate")(exprs => CmsEstimate(exprs(0), exprs(1)))
+    add("kll_sketch_200")(exprs => KllSketchAgg(exprs(0), exprs(1)))
+    add("kll_merge_200")(exprs => KllMergeAgg(exprs.head))
+    add("kll_quantile")(exprs => KllQuantileQuery(exprs(0), exprs(1), "est"))
+    add("kll_quantile_lb")(exprs => KllQuantileQuery(exprs(0), exprs(1), "lb"))
+    add("kll_quantile_ub")(exprs => KllQuantileQuery(exprs(0), exprs(1), "ub"))
+    add("kll_n")(exprs => KllN(exprs.head))
   }
 }
 

@@ -1408,7 +1408,77 @@ FROM wt GROUP BY replicate ORDER BY replicate
       .orderBy(col("exact_occ").desc, col("term"))
   }
 
+  // ------------------------------------------- mergeable KLL quantiles
+  /** Percentile accounting by mergeable KLL quantile sketches — the third
+    * sketch next to HLL (distinct) and Count-Min (frequency), over order
+    * totals in integer cents. Each segment (order priority) reduces to a
+    * ~KiB sketch in one map-side-combined pass ([[graft.functions
+    * .KllSketchAgg]]); the global view is the UNION of the per-segment
+    * sketches ([[graft.functions.KllMergeAgg]]) — percentiles over a
+    * 100 TB stream with no sort and no second scan, the pattern
+    * `quantilesHistogram`'s scaladoc contrasts against.
+    *
+    * Honesty columns, same presentation as `stats_hll_mergeable`: each
+    * segment carries its EXACT disc quantiles (the bounded per-priority
+    * histogram walk `quantilesHistogram` uses) next to the sketch
+    * estimates and the sketch's own 99% quantile bounds; the merged
+    * sketch contributes global estimates plus the one component of KLL
+    * that IS exact and order-free — the stream length — as
+    * `merge_preserves_n`. Unlike HLL/CMS there is no byte-identity merge
+    * law: KLL is a sampling sketch (coin-flip compaction, merge-order
+    * dependent — see [[graft.functions.KllDims]]), which also makes this
+    * the registry's fifth deliberate rows-only entry, excluded from
+    * DeterminismSpec like `approx_percentile` and gated instead by
+    * Round11PropertySpec's published rank-error law against exact order
+    * statistics.
+    */
+  def kllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val centsCol = (col("o_totalprice")
+      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val o = table(s, dir, "orders")
+      .select(col("o_orderpriority"), centsCol.as("v"))
+    val per = o.groupBy("o_orderpriority")
+      .agg(call_function("kll_sketch_200", col("v"), lit(1L)).as("sk"),
+        count(lit(1)).as("seg_n"))
+    val merged = per.agg(
+      call_function("kll_merge_200", col("sk")).as("msk"),
+      sum("seg_n").as("sum_n"))
+    // exact disc (lower) quantiles per segment: cumulative walk over the
+    // per-priority value histogram — one row per DISTINCT value, windows
+    // partitioned by priority (the quantilesHistogram shape)
+    val hist = o.groupBy(col("o_orderpriority"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("o_orderpriority").orderBy("v")
+    val wAll = Window.partitionBy("o_orderpriority")
+    def pick(p: Double): Column =
+      min(when(col("cum") >= ceil(col("n") * p), col("v")))
+    val exact = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("o_orderpriority")
+      .agg(pick(0.5).as("exact_p50_cents"), pick(0.9).as("exact_p90_cents"))
+    def q(sk: String, mode: String, p: Double): Column =
+      call_function(s"kll_quantile$mode", col(sk), lit(p))
+    per.join(exact, "o_orderpriority")
+      .crossJoin(broadcast(merged))
+      .select(col("o_orderpriority"),
+        col("exact_p50_cents"), q("sk", "", 0.5).as("est_p50_cents"),
+        q("sk", "_lb", 0.5).as("lb_p50_cents"),
+        q("sk", "_ub", 0.5).as("ub_p50_cents"),
+        col("exact_p90_cents"), q("sk", "", 0.9).as("est_p90_cents"),
+        (call_function("kll_n", col("sk")) === col("seg_n")).as("seg_n_matches"),
+        q("msk", "", 0.5).as("merged_est_p50_cents"),
+        q("msk", "", 0.9).as("merged_est_p90_cents"),
+        (call_function("kll_n", col("msk")) === col("sum_n"))
+          .as("merge_preserves_n"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_kll_quantiles" -> QueryDef(kllQuantiles, None),
     "stats_cms_heavyhitters" -> QueryDef(cmsHeavyHitters, None),
     "stats_hll_mergeable" -> QueryDef(hllMergeable, None),
     "stats_poisson_bootstrap" ->

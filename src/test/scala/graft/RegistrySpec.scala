@@ -15,10 +15,11 @@ class RegistrySpec extends SparkSpec {
     // error-bound law against its exact hash-checked twin
     // (Round7PropertySpec for the two approx aggregates,
     // Round10PropertySpec for the HLL union laws,
-    // Round11PropertySpec for the Count-Min laws)
+    // Round11PropertySpec for the Count-Min and KLL laws)
     assert(noOracle.forall(
       Set("approx_count_distinct", "stats_approx_percentiles",
-        "stats_hll_mergeable", "stats_cms_heavyhitters").contains),
+        "stats_hll_mergeable", "stats_cms_heavyhitters",
+        "stats_kll_quantiles").contains),
       s"unexpected oracle-less queries: $noOracle")
   }
 

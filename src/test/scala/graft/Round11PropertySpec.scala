@@ -61,6 +61,65 @@ class Round11PropertySpec extends SparkSpec {
     }
   }
 
+  test("kll quantiles: rank-error band, bounds order, exact merge accounting") {
+    // KLL is a sampling sketch (unseeded compaction coins, merge-order
+    // dependence) — the gate is the published normalized-rank-error law
+    // against exact order statistics, at DOUBLE the k=200 band so the 99%
+    // confidence bound cannot flake the suite, plus the components that ARE
+    // exact: stream-length accounting and the independent disc-quantile twin.
+    val out = ops.StatsOps.kllQuantiles(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val rows = Registry.table(spark, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+          .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySeg = rows.groupBy(_._1).map { case (k, a) => k -> a.map(_._2).sorted }
+    val all = rows.map(_._2).sorted
+    val eps = 2 * functions.KllDims.rankError
+    def rankLaw(xs: Array[Long], p: Double, est: Long, what: String): Unit = {
+      val n = xs.length.toDouble
+      val less = xs.count(_ < est)
+      val leq = xs.count(_ <= est)
+      assert(less + 1 <= (p + eps) * n + 1 && leq >= (p - eps) * n - 1,
+        s"$what: $est has rank [${less + 1}, $leq] outside p=$p ±$eps of n=$n")
+    }
+    out.foreach { r =>
+      val seg = r.getString(0)
+      val xs = bySeg(seg)
+      rankLaw(xs, 0.5, r.getAs[Long]("est_p50_cents"), s"seg $seg p50")
+      rankLaw(xs, 0.9, r.getAs[Long]("est_p90_cents"), s"seg $seg p90")
+      rankLaw(all, 0.5, r.getAs[Long]("merged_est_p50_cents"), "merged p50")
+      rankLaw(all, 0.9, r.getAs[Long]("merged_est_p90_cents"), "merged p90")
+      assert(r.getAs[Boolean]("seg_n_matches"), s"seg $seg lost stream length")
+      assert(r.getAs[Boolean]("merge_preserves_n"), "merge lost stream length")
+      assert(r.getAs[Long]("lb_p50_cents") <= r.getAs[Long]("est_p50_cents") &&
+        r.getAs[Long]("est_p50_cents") <= r.getAs[Long]("ub_p50_cents"),
+        s"seg $seg: p50 estimate outside its own quantile bounds")
+      // the query's exact disc twin == an independent Scala order statistic
+      val exactP50 = xs(math.ceil(0.5 * xs.length).toInt - 1)
+      assert(r.getAs[Long]("exact_p50_cents") == exactP50,
+        s"seg $seg: exact disc p50 ${r.getAs[Long]("exact_p50_cents")} != $exactP50")
+    }
+  }
+
+  test("kll weighted update: pre-aggregated histogram feeds the identical stream") {
+    // the weight operand must mean 'this value, count times' — same contract
+    // as CmsSketchAgg — so the (value, count) histogram path carries the
+    // exact raw-row stream length
+    functions.VectorFunctions.register(spark)
+    val o = Registry.table(spark, sfDir, "orders").select(
+      (col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
+        .cast("long").as("v"))
+    val viaHist = o.groupBy("v").agg(count(lit(1)).as("c"))
+      .agg(call_function("kll_n",
+        call_function("kll_sketch_200", col("v"), col("c"))).as("n"))
+      .collect().head.getLong(0)
+    assert(viaHist == o.count(), "weighted updates dropped stream length")
+  }
+
   test("hard negatives: every negative comes from the fixed 64-row pool") {
     val out = ops.Similarity.hardNegatives(spark, sfDir)
     val poolIds = Registry.table(spark, sfDir, "embeddings")
