@@ -407,27 +407,93 @@ ORDER BY i, j
     */
   private val bandsCache = new graft.SessionMemo[DataFrame]
 
+  /** Band keys over an ARBITRARY (doc_id, text) frame — the signature
+    * construction itself, shared by the memoized corpus index below and by
+    * [[graft.streaming.DocStream.incrementalMinhashProbe]]'s per-micro-batch
+    * frames, so the streaming probe's signatures are the batch operator's
+    * by construction (not a re-implementation that could drift).
+    */
+  private[graft] def bandKeysOf(docsDf: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docsDf.sparkSession)
+    val sig = docsDf
+      .select(col("doc_id"),
+        call_function("minhash_sig_5_32", split(col("text"), " ")).as("sig"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i =>
+          element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    sig.select(col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
   private def minhashBands(s: SparkSession, dir: String): DataFrame =
     bandsCache.getOrElseUpdate(s, dir) {
-      graft.functions.VectorFunctions.register(s)
-      val sig = docs(s, dir)
-        .select(col("doc_id"),
-          call_function("minhash_sig_5_32", split(col("text"), " ")).as("sig"))
-        .select(col("doc_id") +:
-          (0 until NumHashes).map(i =>
-            element_at(col("sig"), i + 1).as(s"m$i")): _*)
-      sig.select(col("doc_id"),
-        explode(array((0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
-        }: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      bandKeysOf(docs(s, dir))
         // memoized + checkpointed (shared-base discipline): the self-join
         // LSH puts this plan on BOTH join sides and the incremental
         // variant on both of its sides too — without the cut the text
         // scan + 32-hash signature pass runs twice per query
         .localCheckpoint()
     }
+
+  /** Distinct shingle sets over an ARBITRARY (doc_id, text) frame — the
+    * per-batch form of [[shingleArrays]] for frames outside the memoized
+    * corpus (a stream's arriving micro-batch). Same absent-if-<5-tokens
+    * semantics; `collect_set` ≡ the tfBase→collect_list chain's distinct
+    * sets (every consumer is order-insensitive).
+    */
+  private[graft] def shingleSetsOf(docsDf: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(docsDf.sparkSession)
+    docsDf
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes_5", split(col("text"), " ")))
+          .as("sh"))
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("sh"))
+  }
+
+  /** The (new × corpus) probe pipeline: band-bucket collision candidates,
+    * then exact-Jaccard verification — never corpus × corpus, never
+    * new × new. Shared verbatim by [[incrementalMinhash]] (batch split) and
+    * the streaming probe (each micro-batch is the `new` side), which is
+    * what makes the streaming twin's parity structural.
+    */
+  private[graft] def probeIndex(newBands: DataFrame, newSets: DataFrame,
+      corpusBands: DataFrame, corpusSets: DataFrame): DataFrame = {
+    val cand = newBands
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+      .join(corpusBands
+        .select(col("doc_id").as("corpus_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("new_id", "corpus_id").distinct()
+    cand
+      .join(newSets.select(col("doc_id").as("new_id"), col("sh").as("sha")),
+        "new_id")
+      .join(corpusSets
+        .select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+        "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      .select(col("new_id"), col("corpus_id"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** The corpus side of the incremental probe (bands + verify sets for
+    * docs OUTSIDE the md5 new-batch split) — prebuilt and immutable, the
+    * index a daily-ingest pipeline builds once and probes forever.
+    */
+  private[graft] def corpusIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val corpusBands = minhashBands(s, dir)
+      .filter(SamplingOps.bucket10(col("doc_id")) >= 2)
+    (corpusBands, shingleArrays(s, dir))
+  }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     // drop docs with empty shingle sets (<5 tokens): their all-MaxValue
@@ -480,27 +546,12 @@ ORDER BY i, j
     // the split flag is pure doc_id arithmetic — computed directly on the
     // band rows, so it rides along without a docs join (same discipline
     // as dedup_incremental_batch / decontamination)
-    val bands = minhashBands(s, dir)
-      .withColumn("is_new", SamplingOps.bucket10(col("doc_id")) < 2)
-    val newBands = bands.filter(col("is_new"))
-      .select(col("doc_id").as("new_id"), col("band"), col("key"))
-    val corpusBands = bands.filter(!col("is_new"))
-      .select(col("doc_id").as("corpus_id"), col("band"), col("key"))
-    val cand = newBands.join(corpusBands, Seq("band", "key"))
-      .select("new_id", "corpus_id").distinct()
-    val d = shingleArrays(s, dir)
-    cand
-      .join(d.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
-      .join(d.select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
-        "corpus_id")
-      .select(col("new_id"), col("corpus_id"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
-        size(col("sha")).cast("long").as("na"),
-        size(col("shb")).cast("long").as("nb"))
-      .select(col("new_id"), col("corpus_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    val newBands = minhashBands(s, dir)
+      .filter(SamplingOps.bucket10(col("doc_id")) < 2)
+    val (corpusBands, sets) = corpusIndex(s, dir)
+    // `sets` serves both verify sides: the new_id/corpus_id join keys
+    // already restrict each side to its split
+    probeIndex(newBands, sets, corpusBands, sets)
       .orderBy("new_id", "corpus_id")
   }
 

@@ -81,6 +81,45 @@ object DocStream {
       ((sa >> (BandBits * b)) & BandMask) == ((sb >> (BandBits * b)) & BandMask)
     ).get // total for hamming ≤ 3: pigeonhole gives ≥1 equal band
 
+  /** Streaming incremental MinHash-LSH — `dedup_incremental_minhash` as a
+    * CONTINUOUS pipeline: new documents arrive over micro-batches and probe
+    * the prebuilt, IMMUTABLE corpus index (bands + verify sets, memoized
+    * once per session — the index a daily-ingest pipeline builds once and
+    * probes forever). Each micro-batch runs the batch operator's own
+    * pipeline ([[graft.ops.Dedup.probeIndex]] over
+    * [[graft.ops.Dedup.bandKeysOf]]/`shingleSetsOf` frames), so candidate
+    * bound (new × corpus band-bucket collisions only) and exact-Jaccard
+    * verification are inherited structurally — parity with the batch twin
+    * is by construction, and StreamingSpec asserts it across micro-batch
+    * splits.
+    *
+    * `foreachBatch` rather than a stream-static join: the probe is a
+    * multi-stage batch plan (band join → distinct → two verify joins), and
+    * foreachBatch runs it per arriving batch with full batch-planner
+    * freedom (AQE, broadcast of the small new side) — the documented
+    * production shape for static-index enrichment. Exactly-once delivery
+    * is the sink's contract via the (checkpointed) batchId the callback
+    * receives. Contrast [[nearDupPairs]], which maintains a GROWING index
+    * in state — here the index is fixed and the stream only probes it.
+    *
+    * 100 TB posture: per-trigger work is O(batch × collisions); the corpus
+    * index is partitioned on (band, key) — the daily batch (1000× smaller)
+    * shuffles to it, the corpus never re-shuffles.
+    */
+  def incrementalMinhashProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDocs: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val (corpusBands, corpusSets) = graft.ops.Dedup.corpusIndex(spark, dir)
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.ops.Dedup.probeIndex(
+          graft.ops.Dedup.bandKeysOf(batch.toDF()),
+          graft.ops.Dedup.shingleSetsOf(batch.toDF()),
+          corpusBands, corpusSets), id)
+      }
+  }
+
   private def bandDedupFn(key: (Int, Long), it: Iterator[BandedSig],
       state: GroupState[List[(Long, Long)]]): Iterator[SimPair] = {
     val members = scala.collection.mutable.ListBuffer.empty[(Long, Long)]

@@ -797,6 +797,52 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == expected.sorted)
   }
 
+  test("streaming incremental minhash probe equals the batch twin across micro-batches") {
+    // the daily-ingest dedup as a stream: the md5 new-batch split arrives
+    // over two micro-batches and probes the immutable corpus index; the
+    // union of per-batch probe results must equal dedup_incremental_minhash
+    // exactly (pairs AND jaccard values — the probe is the batch pipeline
+    // by construction, so the doubles are bit-identical)
+    val newDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .filter(ops.SamplingOps.bucket10(col("doc_id")) < 2)
+    val staged = java.nio.file.Files.createTempDirectory("docs_probe_stream")
+    Seq(newDocs.filter(col("doc_id") % 2 === 0),
+        newDocs.filter(col("doc_id") % 2 === 1)).zipWithIndex.foreach {
+      case (half, i) =>
+        half.coalesce(1).write.parquet(s"$staged/b$i")
+        val f = new java.io.File(s"$staged/b$i").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$staged/b$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/*.parquet")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.DocStream
+      .incrementalMinhashProbe(spark, sfDir, stream) { (out, id) =>
+        buf.synchronized {
+          buf ++= out.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          ids += id
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("probe_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    assert(ids.distinct.size >= 2, "expected one probe per micro-batch")
+    val expected = ops.Dedup.incrementalMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(buf.nonEmpty, "no probe hits in the stream — vacuous parity")
+    assert(buf.sorted.toSeq == expected.sorted)
+  }
+
   test("sessionization state survives a QUERY RESTART from the checkpoint") {
     import spark.implicits._
     // harder than cross-batch: the first query processes batch 0 and
