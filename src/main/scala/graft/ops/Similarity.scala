@@ -45,7 +45,14 @@ object Similarity {
       Registry.table(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
         transform(col("embedding"),
-          x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+          x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"),
+        // the SQ8 compressed domain rides on the same scan: q8 is NOT
+        // derivable from qv (both floor the RAW coordinate on different
+        // grids), so leaving it out forced sq8Rerank to replay the whole
+        // parse pass — one extra array column here is the cheaper trade
+        transform(col("embedding"), x => greatest(lit(-127L),
+          least(lit(127L), floor(x.cast("double") * 127.0).cast("long"))))
+          .as("q8"))
         .withColumn("nrm",
           call_function("vec_dot_long", col("qv"), col("qv")))
         .localCheckpoint()
@@ -256,21 +263,10 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
     * structure a 100 TB near-dup/ANN pass would shard by. Deterministic;
     * oracle reproduces the same signs.
     */
-  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
-    val corpus = quantized(s, dir)
-    val planes = corpus.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("plane_id"), col("qv").as("pv"))
-    val signs = corpus.join(broadcast(planes), col("vec_id") =!= col("plane_id"))
-      .select(col("vec_id"), col("plane_id"),
-        when(call_function("vec_dot_long", col("qv"), col("pv")) > 0, 1L)
-          .otherwise(0L).as("bit"))
-      .groupBy("vec_id")
-      .agg(sum(col("bit") * pow(lit(2.0), col("plane_id")).cast("long"))
-        .as("bucket"))
-    signs.groupBy("bucket")
+  def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    bucketed(s, dir).groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("bucket")
-  }
 
   private val lshBucketsOracle = """
 WITH q AS (
@@ -283,7 +279,7 @@ bits AS (
   SELECT c.vec_id, p.plane_id,
     CASE WHEN list_sum(list_transform(range(1, 65), k -> c.qv[k] * p.pv[k])) > 0
          THEN 1 ELSE 0 END AS bit
-  FROM q c JOIN planes p ON c.vec_id <> p.plane_id),
+  FROM q c CROSS JOIN planes p),
 buckets AS (
   SELECT vec_id,
     CAST(sum(bit * (CAST(1 AS BIGINT) << plane_id)) AS BIGINT) AS bucket
@@ -292,14 +288,23 @@ SELECT bucket, count(*) AS n_vectors FROM buckets
 GROUP BY bucket ORDER BY bucket
 """
 
-  /** Per-vector 8-bit hyperplane bucket (shared by `lshBuckets` and the
-    * end-to-end LSH top-k).
+  /** Per-vector 8-bit hyperplane bucket — the ONE bucket definition
+    * (`lshBuckets` aggregates it, `lshTopK` blocks on it). Every vector,
+    * including the 8 plane vectors themselves, takes all 8 sign bits: the
+    * bucket must be a function of the EMBEDDING alone, so that identical
+    * embeddings always share a bucket. (An earlier form excluded each
+    * plane vector's own-plane bit via a `vec_id =!= plane_id` join — that
+    * made the hash a function of the row id: a plane vector's self-dot is
+    * its norm, always positive, so its natural own bit is 1, and forcing
+    * it to 0 put plane rows in different buckets than identical non-plane
+    * rows, biasing 8 of the 10 recall-audit probes toward neighbors
+    * anti-correlated along their own direction.)
     */
   private def bucketed(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
     val planes = corpus.filter(col("vec_id") < 8)
       .select(col("vec_id").as("plane_id"), col("qv").as("pv"))
-    corpus.join(broadcast(planes), col("vec_id") =!= col("plane_id"))
+    corpus.crossJoin(broadcast(planes))
       .groupBy("vec_id")
       .agg(sum(
         when(call_function("vec_dot_long", col("qv"), col("pv")) > 0,
@@ -345,7 +350,7 @@ buckets AS (
     CAST(sum(CASE WHEN
         list_sum(list_transform(range(1, 65), k -> c.qv[k] * p.pv[k])) > 0
       THEN (CAST(1 AS BIGINT) << p.plane_id) ELSE 0 END) AS BIGINT) AS bucket
-  FROM q c JOIN planes p ON c.vec_id <> p.plane_id
+  FROM q c CROSS JOIN planes p
   GROUP BY c.vec_id),
 corpus AS (SELECT q.vec_id, qv, bucket FROM q JOIN buckets USING (vec_id)),
 scored AS (
@@ -372,19 +377,30 @@ FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank
     * oracle-exact; at scale the exact side runs on a small audit sample
     * while LSH serves everything.
     */
-  def lshRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
-    val lsh = lshTopK(s, dir)
-      .select(col("query_id").as("l_q"), col("neighbor_id").as("l_n"))
-    val perProbe = brute
-      .join(lsh, col("query_id") === col("l_q") &&
-        col("neighbor_id") === col("l_n"), "left_outer")
+  /** The one recall aggregation every audit in the family shares: per
+    * probe, the exact neighbor count and how many of them the approximate
+    * pipeline matched (left-outer join on (query, neighbor), count the
+    * hits). Returns (query_id, n_exact, n_common); presentation naming and
+    * the final division stay with each audit — their oracles pin the
+    * column names. (Was hand-copied five times; `ivfRecall`'s local def
+    * proved the shared signature.)
+    */
+  private def recallCounts(brute: DataFrame, approx: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id").as("a_q"),
+      col("neighbor_id").as("a_n"))
+    brute.join(a, col("query_id") === col("a_q") &&
+        col("neighbor_id") === col("a_n"), "left_outer")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"),
-        sum(when(col("l_n").isNotNull, 1L).otherwise(0L)).as("n_common"))
-    val lshCounts = lsh.groupBy(col("l_q").as("query_id"))
-      .agg(count(lit(1)).as("n_lsh"))
-    perProbe.join(lshCounts, Seq("query_id"), "left_outer")
+        sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("n_common"))
+  }
+
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
+    val lsh = lshTopK(s, dir).select("query_id", "neighbor_id")
+    val lshCounts = lsh.groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
+    recallCounts(brute, lsh)
+      .join(lshCounts, Seq("query_id"), "left_outer")
       .select(col("query_id"), col("n_exact"),
         coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_common"),
         (col("n_common").cast("double") / col("n_exact").cast("double"))
@@ -404,7 +420,7 @@ bkt AS (
     CAST(sum(CASE WHEN
         list_sum(list_transform(range(1, 65), k -> c.qv[k] * p.pv[k])) > 0
       THEN (CAST(1 AS BIGINT) << p.plane_id) ELSE 0 END) AS BIGINT) AS bucket
-  FROM q c JOIN planes p ON c.vec_id <> p.plane_id
+  FROM q c CROSS JOIN planes p
   GROUP BY c.vec_id),
 corpus AS (SELECT q.vec_id, qv, bucket FROM q JOIN bkt USING (vec_id)),
 brute AS (
@@ -462,15 +478,7 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
     * is *visible* as rank differences vs `ann_brute_topk`, not float noise.
     */
   def sq8Rerank(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val base = Registry.table(s, dir, "embeddings").select(
-      col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"),
-      transform(col("embedding"), x => greatest(lit(-127L),
-        least(lit(127L), floor(x.cast("double") * 127.0).cast("long"))))
-        .as("q8"))
-      .withColumn("nrm", call_function("vec_dot_long", col("qv"), col("qv")))
+    val base = quantized(s, dir)
     val corpus = base.select(col("vec_id"), col("qv"), col("nrm"), col("q8"))
     val probes = base.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("query_id"), col("qv").as("pq"),
@@ -703,21 +711,13 @@ WHERE rank <= $TopK ORDER BY query_id, rank
     * division; quantifies what 4-bit-per-subspace compression costs in
     * neighbor fidelity, and the measurement itself is oracle-exact.
     */
-  def pqRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
-    val pq = pqAdcRerank(s, dir)
-      .select(col("query_id").as("p_q"), col("neighbor_id").as("p_n"))
-    brute
-      .join(pq, col("query_id") === col("p_q") &&
-        col("neighbor_id") === col("p_n"), "left_outer")
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(when(col("p_n").isNotNull, 1L).otherwise(0L)).as("n_common"))
+  def pqRecall(s: SparkSession, dir: String): DataFrame =
+    recallCounts(bruteForceTopK(s, dir).select("query_id", "neighbor_id"),
+        pqAdcRerank(s, dir))
       .select(col("query_id"), col("n_exact"), col("n_common"),
         (col("n_common").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
       .orderBy("query_id")
-  }
 
   private val pqRecallOracle = s"""
 WITH $pqPipelineCtes,
@@ -906,21 +906,13 @@ WHERE rank <= $TopK ORDER BY query_id, rank
     * and in compressed-domain ranking (PQ miss); this row prices the
     * combination. Integer counts, one final division, oracle-exact.
     */
-  def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
-    val approx = ivfPq(s, dir)
-      .select(col("query_id").as("p_q"), col("neighbor_id").as("p_n"))
-    brute
-      .join(approx, col("query_id") === col("p_q") &&
-        col("neighbor_id") === col("p_n"), "left_outer")
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(when(col("p_n").isNotNull, 1L).otherwise(0L)).as("n_common"))
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame =
+    recallCounts(bruteForceTopK(s, dir).select("query_id", "neighbor_id"),
+        ivfPq(s, dir))
       .select(col("query_id"), col("n_exact"), col("n_common"),
         (col("n_common").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
       .orderBy("query_id")
-  }
 
   private val ivfPqRecallOracle = s"""
 WITH $ivfPqCtes,
@@ -1094,15 +1086,7 @@ FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank
     */
   def ivfRecall(s: SparkSession, dir: String): DataFrame = {
     val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
-    def recallOf(approx: DataFrame): DataFrame = {
-      val a = approx.select(col("query_id").as("a_q"),
-        col("neighbor_id").as("a_n"))
-      brute.join(a, col("query_id") === col("a_q") &&
-          col("neighbor_id") === col("a_n"), "left_outer")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("common"))
-    }
+    def recallOf(approx: DataFrame): DataFrame = recallCounts(brute, approx)
     recallOf(ivfTopK(s, dir)).toDF("query_id", "n_exact", "common_label")
       .join(recallOf(ivfMultiprobe(s, dir))
         .toDF("query_id", "ne2", "common_multi"), "query_id")
@@ -1323,20 +1307,14 @@ WHERE rank <= $TopK ORDER BY query_id, rank
     * the audit that makes the JL compression's cost measurable, same shape
     * as [[ivfRecall]]/[[pqRecall]].
     */
-  def rpRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = bruteForceTopK(s, dir).select("query_id", "neighbor_id")
-    val a = rpRerank(s, dir).select(col("query_id").as("a_q"),
-      col("neighbor_id").as("a_n"))
-    brute.join(a, col("query_id") === col("a_q") &&
-        col("neighbor_id") === col("a_n"), "left_outer")
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(when(col("a_n").isNotNull, 1L).otherwise(0L)).as("common"))
-      .select(col("query_id"), col("n_exact"), col("common"),
-        (col("common").cast("double") / col("n_exact").cast("double"))
+  def rpRecall(s: SparkSession, dir: String): DataFrame =
+    recallCounts(bruteForceTopK(s, dir).select("query_id", "neighbor_id"),
+        rpRerank(s, dir))
+      .select(col("query_id"), col("n_exact"),
+        col("n_common").as("common"),
+        (col("n_common").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
       .orderBy("query_id")
-  }
 
   private val rpRecallOracle = s"""
 $rpSketchCte,

@@ -20,8 +20,8 @@ object StatsOps {
   import Registry.table
 
   // -------------------------------------------------------- moments / corr
-  /** Mean, sample variance/stddev of order totals and quantity↔price
-    * correlation per order priority, all from exact power sums.
+  /** Mean, sample variance/stddev of extended price and quantity↔price
+    * correlation per lineitem return flag, all from exact power sums.
     */
   def moments(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
@@ -330,7 +330,6 @@ ORDER BY t.o_orderstatus
     * end to end, so the result is hash-exact.
     */
   def quantilesHistogram(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = (col("o_totalprice")
       .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
       .cast("long")
@@ -1075,12 +1074,16 @@ SELECT n1t, n2t, u1,
   CASE WHEN n1t > 0 AND n2t > 0 AND s2 > 0
     THEN abs((u1 - mu) / sqrt(s2)) > 1.959963984540054 END AS reject_95
 FROM (
+  -- u2x/tie are int128 sums: route through VARCHAR like the other hugeint
+  -- oracles (moments/welch/gini/autocorr) — DuckDB's direct hugeint→double
+  -- cast is not correctly rounded once the value needs int128, while
+  -- Spark's decimal(38,0)→double is
   SELECT n1t, n2t,
-    CAST(u2x AS DOUBLE) / 2.0 AS u1,
+    CAST(CAST(u2x AS VARCHAR) AS DOUBLE) / 2.0 AS u1,
     CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0 AS mu,
     (CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0)
       * ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0)
-        - CAST(tie AS DOUBLE)
+        - CAST(CAST(tie AS VARCHAR) AS DOUBLE)
           / ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE))
             * (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0))) AS s2
   FROM aggd)
@@ -1097,7 +1100,6 @@ FROM (
     * the oracle. `lo = n div 10` keeps even the band edges integral.
     */
   def trimmedMean(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = (col("o_totalprice")
       .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
       .cast("long")
@@ -1168,7 +1170,6 @@ FROM kept GROUP BY o_orderpriority ORDER BY o_orderpriority
     * both levels read the materialized reduction, not the fact table.
     */
   def paretoShare(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = (col("o_totalprice")
       .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
       .cast("long")
@@ -1353,9 +1354,14 @@ FROM wt GROUP BY replicate ORDER BY replicate
     */
   def hllMergeable(s: SparkSession, dir: String): DataFrame = {
     val o = Registry.table(s, dir, "orders")
+    // localCheckpoint the per-segment sketch rows (≤5): the merged-union
+    // branch and the final select both consume them — without the cut each
+    // branch replays the orders aggregation (the chi2Independence
+    // precedent), and re-building per-segment HLL state twice is pure waste
     val per = o.groupBy("o_orderpriority")
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
         countDistinct("o_custkey").as("exact_customers"))
+      .localCheckpoint()
     val merged = per.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_all"))
     val exactAll = o.agg(countDistinct("o_custkey").as("exact_all"))
@@ -1434,15 +1440,20 @@ FROM wt GROUP BY replicate ORDER BY replicate
     */
   def kllQuantiles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
     val centsCol = (col("o_totalprice")
       .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
       .cast("long")
     val o = table(s, dir, "orders")
       .select(col("o_orderpriority"), centsCol.as("v"))
+    // localCheckpoint the per-segment sketch rows (≤5): the merge branch,
+    // the final select and the exact join all consume them (the
+    // chi2Independence precedent) — and, KLL being a sampling sketch,
+    // evaluating the aggregation once also makes the sketch BYTES
+    // consistent across the query's branches instead of re-drawn per branch
     val per = o.groupBy("o_orderpriority")
       .agg(call_function("kll_sketch_200", col("v"), lit(1L)).as("sk"),
         count(lit(1)).as("seg_n"))
+      .localCheckpoint()
     val merged = per.agg(
       call_function("kll_merge_200", col("sk")).as("msk"),
       sum("seg_n").as("sum_n"))

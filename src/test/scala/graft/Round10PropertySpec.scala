@@ -128,7 +128,10 @@ class Round10PropertySpec extends SparkSpec {
     val direct = Registry.table(spark, sfDir, "embeddings").select(
       col("vec_id"), col("label"),
       transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
+        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"),
+      transform(col("embedding"), x => greatest(lit(-127L),
+        least(lit(127L), floor(x.cast("double") * 127.0).cast("long"))))
+        .as("q8"))
       .withColumn("nrm", call_function("vec_dot_long", col("qv"), col("qv")))
     assert(canon(ops.Similarity.quantized(spark, sfDir)) == canon(direct))
     assert(ops.Similarity.quantized(spark, sfDir) eq
