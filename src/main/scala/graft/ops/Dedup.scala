@@ -66,10 +66,10 @@ object Dedup {
     * broadcast, the df histogram — not the cap — would be the thing to
     * revisit.
     */
-  private def applyDfCap(ex: DataFrame): DataFrame = {
-    val stop = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > PostingDfCap).select("s")
-    ex.join(broadcast(stop), Seq("s"), "left_anti")
+  private def applyDfCap(ex: DataFrame, key: String = "s"): DataFrame = {
+    val stop = ex.groupBy(key).agg(count(lit(1)).as("df"))
+      .filter(col("df") > PostingDfCap).select(key)
+    ex.join(broadcast(stop), Seq(key), "left_anti")
   }
 
   // --------------------------------------------------- shared posting base
@@ -296,6 +296,30 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
 ORDER BY i, j
 """
 
+  /** Exact-Jaccard verification of a candidate frame against per-doc
+    * shingle arrays: join both sides' sets, `array_intersect`, exact
+    * integer counts, one final ratio, threshold 0.8. ONE definition for
+    * the three verify seams (prefix filter, self-join LSH, incremental
+    * probe — batch and streaming), so the cut and the na+nb−inter
+    * denominator cannot drift between pipelines.
+    */
+  private[graft] def verifyJaccard(cand: DataFrame,
+      leftSets: DataFrame, rightSets: DataFrame,
+      leftKey: String, rightKey: String): DataFrame =
+    cand
+      .join(leftSets.select(col("doc_id").as(leftKey), col("sh").as("sha")),
+        leftKey)
+      .join(rightSets.select(col("doc_id").as(rightKey), col("sh").as("shb")),
+        rightKey)
+      .select(col(leftKey), col(rightKey),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      .select(col(leftKey), col(rightKey),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+
   // ------------------------------------------- prefix-filtered exact Jaccard
   /** Exact full-universe Jaccard ≥ 0.8 pairs via PREFIX FILTERING (the
     * SSJoin/All-Pairs/PPJoin family): rank each doc's shingles under ONE
@@ -326,18 +350,7 @@ ORDER BY i, j
     // memoized per-doc sets: the candidate index AND both verify sides
     // read the same checkpointed arrays
     val d = shingleArrays(s, dir)
-    val cand = prefixCandidates(d)
-    cand.join(d.as("da"), col("i") === col("da.doc_id"))
-      .join(d.as("db"), col("j") === col("db.doc_id"))
-      .select(col("i"), col("j"),
-        size(array_intersect(col("da.sh"), col("db.sh"))).cast("long")
-          .as("inter"),
-        size(col("da.sh")).cast("long").as("na"),
-        size(col("db.sh")).cast("long").as("nb"))
-      .select(col("i"), col("j"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    verifyJaccard(prefixCandidatesAt(s, dir), d, d, "i", "j")
       .orderBy("i", "j")
   }
 
@@ -363,8 +376,18 @@ ORDER BY i, j
       .distinct()
   }
 
+  private val prefixCache = new graft.SessionMemo[DataFrame]
+
+  /** The (s, dir)-memoized candidate set — the prefix pipeline lacked the
+    * session-memo discipline every sibling base in this file has, so each
+    * bench pass re-ran the explode + df aggregate + ranked window and left
+    * a fresh checkpoint block set behind. `prefixCandidates` itself stays
+    * un-memoized: the Round9 laws drive it with ad-hoc corpora.
+    */
   private[graft] def prefixCandidatesAt(s: SparkSession, dir: String): DataFrame =
-    prefixCandidates(shingleArrays(s, dir))
+    prefixCache.getOrElseUpdate(s, dir) {
+      prefixCandidates(shingleArrays(s, dir)).localCheckpoint()
+    }
 
   /** Naive uncapped exact-Jaccard oracle — deliberately NOT the prefix
     * algorithm, so the gate certifies candidate completeness.
@@ -393,10 +416,20 @@ ORDER BY i, j
   private val NumBands = 16 // 2 rows per band
 
   /** MinHash + LSH near-dup pairs, then *exact* Jaccard verification of the
-    * (tiny) candidate set. The final filter equals the exhaustive
-    * `jaccardPairs` result whenever LSH recall holds — at j ≥ 0.8 recall is
+    * (tiny) candidate set. The final filter equals the exhaustive UNCAPPED
+    * Jaccard relation whenever LSH recall holds — at j ≥ 0.8 recall is
     * 1 − (1 − j²)¹⁶ ≥ 1 − 8e-8, so the exhaustive oracle doubles as the
     * correctness check for the whole LSH pipeline.
+    *
+    * The oracle is [[minhashLshOracle]], NOT the df-capped
+    * [[jaccardPairsOracle]]: MinHash signatures and the `array_intersect`
+    * verification run over the FULL shingle universe (a signature cannot
+    * exclude high-df shingles), while `jaccardPairs` measures capped-
+    * universe similarity — the two relations coincide only while the
+    * [[PostingDfCap]] is inert (true at every tested SF, max df 40, but
+    * not a law; on a boilerplate-heavy corpus a pair can clear 0.8 only
+    * via a > cap shingle). LSH needs no df cap for scale: candidates are
+    * bounded by band-bucket collisions, not shared-shingle df.
     */
   /** Per-doc LSH band keys (doc_id, band, key): the whole 32-hash MinHash
     * signature in one per-document pass ([[graft.functions
@@ -468,20 +501,7 @@ ORDER BY i, j
         .select(col("doc_id").as("corpus_id"), col("band"), col("key")),
         Seq("band", "key"))
       .select("new_id", "corpus_id").distinct()
-    cand
-      .join(newSets.select(col("doc_id").as("new_id"), col("sh").as("sha")),
-        "new_id")
-      .join(corpusSets
-        .select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
-        "corpus_id")
-      .select(col("new_id"), col("corpus_id"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
-        size(col("sha")).cast("long").as("na"),
-        size(col("shb")).cast("long").as("nb"))
-      .select(col("new_id"), col("corpus_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    verifyJaccard(cand, newSets, corpusSets, "new_id", "corpus_id")
   }
 
   /** The corpus side of the incremental probe (bands + verify sets for
@@ -510,20 +530,33 @@ ORDER BY i, j
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     // exact-Jaccard verification of candidates only
-    val withSets = cand
-      .join(d.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
-      .join(d.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
-      .select(col("i"), col("j"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
-        size(col("sha")).cast("long").as("na"),
-        size(col("shb")).cast("long").as("nb"))
-    withSets
-      .select(col("i"), col("j"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy("i", "j")
+    verifyJaccard(cand, d, d, "i", "j").orderBy("i", "j")
   }
+
+  /** Naive exhaustive UNCAPPED Jaccard — [[jaccardPairsOracle]] minus the
+    * QUALIFY df cut (and sizes counted from the full universe), matching
+    * what the LSH pipeline actually verifies. Same taxonomy as
+    * [[incrementalMinhashOracle]], which is likewise uncapped.
+    */
+  private val minhashLshOracle = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(toks[i:i+4], ' ')
+                   for i in range(1, len(toks) - 3)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 5),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT i, j,
+  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+ORDER BY i, j
+"""
 
   // ------------------------------------------------ incremental MinHash LSH
   /** Incremental MinHash-LSH — the streaming-shaped dedup a training
@@ -733,11 +766,8 @@ ORDER BY i, j
     // index before the pair join at any scale
     val tfAll = tfBase(s, dir)
     // stop-shingle cap (see PostingDfCap): one row per (doc, shingle) in
-    // tf, so its per-shingle row count IS the document frequency; the
-    // tiny boilerplate list broadcasts and the postings stay unshuffled
-    val stop = tfAll.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > PostingDfCap).select("sh")
-    val tf = tfAll.join(broadcast(stop), Seq("sh"), "left_anti")
+    // tf, so its per-shingle row count IS the document frequency
+    val tf = applyDfCap(tfAll, "sh")
     val norms = tf.groupBy("doc_id")
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val a = tf.as("a"); val b = tf.as("b")
@@ -1116,7 +1146,7 @@ FROM nt JOIN cov USING (doc_id) ORDER BY nt.doc_id
     "dedup_ngram_jaccard" -> QueryDef(jaccardPairs, Some(jaccardPairsOracle)),
     "dedup_prefix_jaccard" ->
       QueryDef(prefixJaccardPairs, Some(prefixJaccardOracle)),
-    "dedup_minhash_lsh" -> QueryDef(minhashLsh, Some(jaccardPairsOracle)),
+    "dedup_minhash_lsh" -> QueryDef(minhashLsh, Some(minhashLshOracle)),
     "dedup_incremental_minhash" ->
       QueryDef(incrementalMinhash, Some(incrementalMinhashOracle)),
     "dedup_simhash" -> QueryDef(simhash, Some(simhashOracle)),

@@ -107,27 +107,33 @@ object DedupClusters {
     var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      // each node adopts the min label among itself and its neighbours
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "j")
-          .withColumnRenamed("label", "nlabel"), Seq("j"))
-        .groupBy(col("i").as("doc_id"))
-        .agg(min("nlabel").as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      iter += 1
+    try {
+      while (changed > 0 && iter < 20) {
+        // each node adopts the min label among itself and its neighbours
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("doc_id", "j")
+            .withColumnRenamed("label", "nlabel"), Seq("j"))
+          .groupBy(col("i").as("doc_id"))
+          .agg(min("nlabel").as("nmin"))
+        val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      // wrong-but-silent is the worst failure mode for a dedup pass
+      require(changed == 0,
+        s"label propagation did not converge after $iter iterations " +
+          s"($changed labels still changing) - component diameter exceeds the cap")
+    } finally {
+      // also on the non-convergence throw: a leaked persist would pin the
+      // doubled edge list in the long-lived session (connectedComponents'
+      // finally discipline)
+      edges.unpersist()
     }
-    // wrong-but-silent is the worst failure mode for a dedup pass
-    require(changed == 0,
-      s"label propagation did not converge after $iter iterations " +
-        s"($changed labels still changing) - component diameter exceeds the cap")
-    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
   }
 
@@ -231,9 +237,16 @@ ORDER BY doc_id
     * bit-deterministic. n ≤ 2048 keeps the floor, so driver-SF results
     * are unchanged.
     */
+  private val cellCountCache = new graft.SessionMemo[Long]
+
   private[graft] def semCellCount(s: SparkSession, dir: String): Long =
-    math.max(SemCells.toLong,
-      Registry.table(s, dir, "embeddings").count() / SemCellTarget)
+    // memoized: the answer is constant per (session, corpus) and every
+    // semantic-dedup invocation (plus each bench rep) was paying a fresh
+    // count job for it
+    cellCountCache.getOrElseUpdate(s, dir) {
+      math.max(SemCells.toLong,
+        Registry.table(s, dir, "embeddings").count() / SemCellTarget)
+    }
 
   /** The bucketed candidate stage of [[semanticClusters]]: cell-restricted
     * cosine-threshold pairs. Exposed for the PlanSpec pin that pair

@@ -636,16 +636,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("prefix jaccard: candidates are a shingle equi-join, never corpus×corpus") {
+    // the candidate pipeline is session-memoized (r11), so inspect it
+    // directly — the memoized query plan would only show checkpointed rows
+    val candPlan = executedPlan(
+      ops.Dedup.prefixCandidates(ops.Dedup.shingleArrays(spark, sfDir)))
     // the prefix index must meet itself through a hash equi-join on the
     // shingle key; an all-pairs fallback here defeats the entire filter
+    assert(!candPlan.contains("CartesianProduct") &&
+      !candPlan.contains("BroadcastNestedLoopJoin"),
+      s"prefix candidates degraded to an all-pairs join:\n${candPlan.take(2000)}")
+    // the rank that defines the prefix is a doc-keyed window, not global
+    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[doc_id".r
+      .findFirstIn(candPlan).isDefined,
+      s"prefix rank window lost its doc_id partitioning:\n${candPlan.take(2000)}")
+    // and the full query (through the memo) must stay equi-join-only too
     val plan = executedPlan(ops.Dedup.prefixJaccardPairs(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
-      s"prefix candidates degraded to an all-pairs join:\n${plan.take(2000)}")
-    // the rank that defines the prefix is a doc-keyed window, not global
-    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[doc_id".r
-      .findFirstIn(plan).isDefined,
-      s"prefix rank window lost its doc_id partitioning:\n${plan.take(2000)}")
+      s"prefix verify degraded to an all-pairs join:\n${plan.take(2000)}")
   }
 
   test("skyline: bucketed local frontier feeds the single final window") {
