@@ -570,6 +570,32 @@ ORDER BY n_name
 """
   }
 
+  /** Undirected adjacency over [[collectedTradeEdges]] — shared by the two
+    * BFS consumers below.
+    */
+  private def undirectedAdj(s: SparkSession, dir: String): Map[Int, Array[Int]] =
+    collectedTradeEdges(s, dir)
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+
+  /** Hop distances from `src` — THE frontier loop, one definition for
+    * single-source ([[bfsHops]]) and all-sources ([[closenessCentrality]])
+    * traversals (was hand-copied in both).
+    */
+  private def bfsFrom(adj: Map[Int, Array[Int]], src: Int)
+      : scala.collection.mutable.Map[Int, Long] = {
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = List(src)
+    var h = 0L
+    while (frontier.nonEmpty) {
+      h += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Int]))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = h)
+    }
+    dist
+  }
+
   /** BFS hop distances from nation 0 over the thresholded trade graph —
     * the reachability/shortest-path primitive the family lacked. The
     * frontier rounds run on [[collectedTradeEdges]] (the adjudicated
@@ -581,18 +607,7 @@ ORDER BY n_name
     * anchoring the full nation list in the row set.
     */
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
-    val adj = collectedTradeEdges(s, dir)
-      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
-    val dist = scala.collection.mutable.Map(0 -> 0L)
-    var frontier = List(0)
-    var h = 0L
-    while (frontier.nonEmpty) {
-      h += 1
-      frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Int]))
-        .distinct.filterNot(dist.contains)
-      frontier.foreach(n => dist(n) = h)
-    }
+    val dist = bfsFrom(undirectedAdj(s, dir), 0)
     import s.implicits._
     val d = dist.toSeq.map { case (n, hh) => (n.toLong, hh) }
       .toDF("n", "hops")
@@ -646,19 +661,9 @@ ORDER BY n_name
     * (src, node) — independent evaluation, hash-certified.
     */
   def closenessCentrality(s: SparkSession, dir: String): DataFrame = {
-    val adj = collectedTradeEdges(s, dir)
-      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val adj = undirectedAdj(s, dir)
     val perSource = adj.keys.toSeq.map { src =>
-      val dist = scala.collection.mutable.Map(src -> 0L)
-      var frontier = List(src)
-      var h = 0L
-      while (frontier.nonEmpty) {
-        h += 1
-        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Int]))
-          .distinct.filterNot(dist.contains)
-        frontier.foreach(n => dist(n) = h)
-      }
+      val dist = bfsFrom(adj, src)
       (src.toLong, dist.size.toLong, dist.values.sum)
     }
     import s.implicits._

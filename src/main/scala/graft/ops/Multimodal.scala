@@ -132,6 +132,10 @@ SELECT doc_id,
   md5(substr(text, (f - 1) * 256 + 1, 256)) AS frame_md5
 FROM documents,
   LATERAL (SELECT unnest(range(1, (length(text) - 1) // 256 + 2)) AS f)
+-- empty payloads emit NO frames, same as the engine's guard: DuckDB //
+-- truncates toward zero, so without this (-1)//256 = 0 would yield one
+-- bogus md5('') frame
+WHERE length(text) > 0
 ORDER BY doc_id, frame_idx
 """
 

@@ -115,7 +115,11 @@ SELECT doc_id, lang, source FROM ranked WHERE rn <= 10 ORDER BY doc_id
   private val bernoulliSampleOracle = """
 SELECT o_orderstatus,
   CAST(count(*) AS BIGINT) AS n_orders,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+  -- VARCHAR hop (the neymanOracle discipline): DuckDB's direct
+  -- decimal→double cast double-rounds past 2^53 cents where Spark's
+  -- Decimal.toDouble is correctly rounded
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS VARCHAR) AS DOUBLE)
+    AS sum_price
 FROM orders
 WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
       % 100 < 5
@@ -186,11 +190,18 @@ LIMIT 50
     val cum = inBucket.join(broadcast(offsets), "bkt")
       .withColumn("cum", col("cum_in") + col("off"))
     val tot = cum.agg(max("cum").as("bigw"))
+    // decimal(38,0) for the 2k·cum product: at ~2.2e13 cents/SF the int64
+    // form overflows near sf 2000 (ANSI throw / silent wrap vs DuckDB's
+    // overflow error — engines could not even disagree gracefully);
+    // decimal keeps the closed form exact to any conceivable W and `div`
+    // still returns the integral long
     cum.crossJoin(broadcast(tot))
       .withColumn("f_hi", greatest(lit(0L), least(lit(PpsK),
-        expr(s"(2 * $PpsK * cum + bigw - 1) div (2 * bigw)"))))
+        expr(s"(2 * $PpsK * CAST(cum AS DECIMAL(38,0)) + bigw - 1)" +
+          " div (2 * bigw)"))))
       .withColumn("f_lo", greatest(lit(0L), least(lit(PpsK),
-        expr(s"(2 * $PpsK * (cum - wt) + bigw - 1) div (2 * bigw)"))))
+        expr(s"(2 * $PpsK * (CAST(cum AS DECIMAL(38,0)) - wt) + bigw - 1)" +
+          " div (2 * bigw)"))))
       .withColumn("hits", col("f_hi") - col("f_lo"))
       .filter(col("hits") > 0)
       .select(col("o_orderkey"), col("wt"), col("hits"))
@@ -208,11 +219,13 @@ WITH c AS (
   FROM orders),
 t AS (SELECT max(cum) AS bigw FROM c),
 h AS (
+  -- HUGEINT product, mirroring the engine's decimal(38,0) lift
   SELECT o_orderkey, wt,
+    CAST(greatest(0, least($PpsK,
+      (2 * $PpsK * CAST(cum AS HUGEINT) + bigw - 1) // (2 * bigw))) -
     greatest(0, least($PpsK,
-      (2 * $PpsK * cum + bigw - 1) // (2 * bigw))) -
-    greatest(0, least($PpsK,
-      (2 * $PpsK * (cum - wt) + bigw - 1) // (2 * bigw))) AS hits
+      (2 * $PpsK * (CAST(cum AS HUGEINT) - wt) + bigw - 1) // (2 * bigw)))
+      AS BIGINT) AS hits
   FROM c CROSS JOIN t)
 SELECT o_orderkey, wt, hits FROM h WHERE hits > 0 ORDER BY o_orderkey
 """
@@ -230,11 +243,17 @@ SELECT o_orderkey, wt, hits FROM h WHERE hits > 0 ORDER BY o_orderkey
     * no floats anywhere in this query), the seed is vec_id 0, and argmax
     * ties break on the smaller vec_id. Each of the [[CoresetPicks]]
     * unrolled rounds is one map over the corpus against the BROADCAST
-    * chosen set (≤ k+1 rows) + a global top-1 (TakeOrdered) — O(n·k)
-    * total work, no shuffle of the corpus, the same driver-unrolled
-    * fixed-point shape as [[GraphOps.pagerankNations]]. `sel_dist2` is
-    * each pick's distance to the set at selection time (the radius
-    * sequence, decreasing by construction); the seed reports 0.
+    * newest pick + a global top-1 (TakeOrdered): the standard incremental
+    * farthest-point traversal keeps a RUNNING (vec_id, d2) min-distance
+    * frame and folds in only the newest pick — min over exact int64
+    * distances is associative, so this is bit-identical to recomputing
+    * against the whole chosen set (which the oracle deliberately does:
+    * two different evaluation strategies, one hash) while doing n dots
+    * per round, O(n·k) total, instead of the recompute form's O(n·k²).
+    * No shuffle of the corpus; the same driver-unrolled fixed-point shape
+    * as [[GraphOps.pagerankNations]]. `sel_dist2` is each pick's distance
+    * to the set at selection time (the radius sequence, decreasing by
+    * construction); the seed reports 0.
     */
   def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
     val corpus = Similarity.quantized(s, dir)
@@ -244,21 +263,29 @@ SELECT o_orderkey, wt, hits FROM h WHERE hits > 0 ORDER BY o_orderkey
       .select(col("vec_id"), col("qv"), col("nrm"), lit(0L).as("sel_dist2"),
         lit(0L).as("pick"))
       .localCheckpoint()
-    for (k <- 1 to CoresetPicks) {
-      val minDist = corpus
-        .crossJoin(broadcast(chosen.select(col("vec_id").as("cid"),
-          col("qv").as("cqv"), col("nrm").as("cnrm"))))
-        .groupBy(col("vec_id"))
-        .agg(min(col("nrm") + col("cnrm") -
+    // exact squared-L2 of every corpus point to ONE broadcast pick
+    def distTo(pick: DataFrame): DataFrame = corpus
+      .crossJoin(broadcast(pick.select(col("qv").as("cqv"),
+        col("nrm").as("cnrm"))))
+      .select(col("vec_id"),
+        (col("nrm") + col("cnrm") -
           lit(2L) * call_function("vec_dot_long", col("qv"), col("cqv")))
           .as("d2"))
-      val next = minDist
+    var minD = distTo(chosen).localCheckpoint()
+    for (k <- 1 to CoresetPicks) {
+      val next = minD
         .orderBy(col("d2").desc, col("vec_id").asc).limit(1)
         .join(corpus.withColumnRenamed("vec_id", "nv"),
           col("vec_id") === col("nv"))
         .select(col("vec_id"), col("qv"), col("nrm"),
           col("d2").as("sel_dist2"), lit(k.toLong).as("pick"))
+        .localCheckpoint() // feeds both the union and the min-fold
       chosen = chosen.union(next).localCheckpoint()
+      if (k < CoresetPicks)
+        minD = minD.join(distTo(next).withColumnRenamed("d2", "nd2"),
+            "vec_id")
+          .select(col("vec_id"), least(col("d2"), col("nd2")).as("d2"))
+          .localCheckpoint()
     }
     chosen.select(col("pick"), col("vec_id"), col("sel_dist2"))
       .orderBy("pick")

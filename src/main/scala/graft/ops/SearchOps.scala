@@ -117,21 +117,36 @@ LIMIT 20
     * in TakeOrdered top-k; the fusion join touches 40 rows — the windows
     * that assign ranks see ONLY those top-k rows.
     */
+  private val denseTopCache = new graft.SessionMemo[DataFrame]
+
+  /** Exact-cosine top-20 candidates vs probe vector 0 — the dense arm
+    * [[hybridRrf]] and [[mmrRerank]] share (each hand-copied the scored
+    * scan + TakeOrdered-20 and the cosine expression; the kernel is
+    * [[Similarity.cosine]] now). Session-memoized + checkpointed: one
+    * corpus pass against the broadcast probe serves both queries and
+    * every MMR greedy round.
+    */
+  private def denseTop20(s: SparkSession, dir: String): DataFrame =
+    denseTopCache.getOrElseUpdate(s, dir) {
+      val corpus = Similarity.quantized(s, dir)
+      val probe = corpus.filter(col("vec_id") === 0)
+        .select(col("qv").as("pq"), col("nrm").as("pn"))
+      corpus.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("qv"), col("nrm"),
+          Similarity.cosine(col("qv"), col("pq"), col("nrm"), col("pn"))
+            .as("rel"))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+        .localCheckpoint()
+    }
+
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sparse = bm25TopK(s, dir)
       .select(col("doc_id"), row_number().over(
         Window.orderBy(col("score").desc, col("doc_id")))
         .cast("long").as("r_bm25"))
-    val corpus = Similarity.quantized(s, dir)
-    val probe = corpus.filter(col("vec_id") === 0)
-      .select(col("qv").as("pq"), col("nrm").as("pn"))
-    val dense = corpus.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
-      .select(col("vec_id").as("doc_id"),
-        (call_function("vec_dot_long", col("qv"), col("pq")).cast("double") /
-          (sqrt(col("nrm").cast("double")) * sqrt(col("pn").cast("double"))))
-          .as("cos"))
-      .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+    val dense = denseTop20(s, dir)
+      .select(col("vec_id").as("doc_id"), col("rel").as("cos"))
       .select(col("doc_id"), row_number().over(
         Window.orderBy(col("cos").desc, col("doc_id")))
         .cast("long").as("r_dense"))
@@ -228,17 +243,9 @@ ORDER BY rrf DESC, doc_id LIMIT 10
     * O(k²·|cand|) trivial work independent of corpus size.
     */
   def mmrRerank(s: SparkSession, dir: String): DataFrame = {
-    val corpus = Similarity.quantized(s, dir)
-    val probe = corpus.filter(col("vec_id") === 0)
-      .select(col("qv").as("pq"), col("nrm").as("pn"))
+    val cand = denseTop20(s, dir)
     def cos(qa: Column, qb: Column, na: Column, nb: Column): Column =
-      call_function("vec_dot_long", qa, qb).cast("double") /
-        (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-    val cand = corpus.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
-      .select(col("vec_id"), col("qv"), col("nrm"),
-        cos(col("qv"), col("pq"), col("nrm"), col("pn")).as("rel"))
-      .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
-      .localCheckpoint()
+      Similarity.cosine(qa, qb, na, nb)
     var chosen = cand
       .orderBy(col("rel").desc, col("vec_id").asc).limit(1)
       .select(col("vec_id"), col("qv"), col("nrm"), col("rel"),

@@ -62,7 +62,7 @@ object Similarity {
     * ([[graft.functions.LongArrayDot]]); `na`/`nb` are the precomputed
     * per-row norms. Bit-identical to the oracles' list arithmetic.
     */
-  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+  private[ops] def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     call_function("vec_dot_long", a, b).cast("double") /
       (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
