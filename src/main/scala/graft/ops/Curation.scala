@@ -16,42 +16,34 @@ object Curation {
 
   private val MinTokens = 40
   private val MinTtr = 0.35
+  /** Target-language allowlist — the language-filter stage of the
+    * documented pipeline (an English pre-training pass; the knob a
+    * multilingual run widens). The catalog `lang` label is authoritative
+    * here; `text_langid_confusion` is where the engine measures a
+    * classifier against it.
+    */
+  private val LangAllow = Seq("en")
 
-  /** Candidate docs passing the cheap per-document filters. */
+  /** Candidate docs passing the cheap per-document filters (quality AND
+    * target language).
+    */
   private def passing(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     Registry.table(s, dir, "documents")
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("ttr",
         size(array_distinct(toks)).cast("double") / size(toks))
-      .filter(col("n_tokens") >= MinTokens && col("ttr") >= MinTtr)
+      .filter(col("n_tokens") >= MinTokens && col("ttr") >= MinTtr &&
+        col("lang").isin(LangAllow: _*))
   }
 
-  /** Near-dup losers among passing docs: from each Jaccard ≥ 0.8 pair keep
-    * min(doc_id) → the larger id is dropped. (Pairs, not connected
-    * components: the driver corpus has no chains — pair i<j removal equals
-    * component-minimum retention here, and the oracle pins that.)
+  /** The shared dedup-losers SQL block (sh → ex → cand → sz → losers) —
+    * was hand-copied into all three oracles in this file; one definition
+    * so the shingle width, the 0.8 threshold, the df cap and the
+    * passing-pair restriction cannot drift between them. Expects a
+    * `passing` CTE exposing `doc_id` upstream; `losers(doc_id)` comes out.
     */
-  def curatedCorpus(s: SparkSession, dir: String): DataFrame = {
-    val losers = Dedup.jaccardPairs(s, dir).select(col("j").as("doc_id")).distinct()
-    passing(s, dir)
-      .join(losers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
-      .orderBy("doc_id")
-  }
-
-  private val curatedCorpusOracle = s"""
-WITH toks AS (
-  SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
-m AS (
-  SELECT doc_id, lang, source,
-    CAST(len(t) AS BIGINT) AS n_tokens,
-    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
-  FROM toks),
-passing AS (
-  SELECT doc_id, lang, source, n_tokens FROM m
-  WHERE n_tokens >= 40 AND ttr >= 0.35),
-sh AS (
+  private val LosersCte = s"""sh AS (
   SELECT doc_id,
     list_distinct([array_to_string(t[i:i+4], ' ')
                    for i in range(1, len(t) - 3)]) AS s
@@ -69,7 +61,45 @@ sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
 losers AS (
   SELECT DISTINCT j AS doc_id
   FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
-  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+    AND i IN (SELECT doc_id FROM passing)
+    AND j IN (SELECT doc_id FROM passing))"""
+
+  /** Near-dup losers among PASSING docs: from each Jaccard ≥ 0.8 pair
+    * whose members BOTH passed the per-doc filters, keep min(doc_id) —
+    * the larger id is dropped. The passing restriction is load-bearing:
+    * if a pair's smaller id already fell to the quality/language filters,
+    * its surviving partner is the cluster's only representative and must
+    * be KEPT (the unrestricted form dropped j whenever (i, j) paired,
+    * erasing the content entirely when i had failed). (Pairs, not
+    * connected components: the driver corpus has no chains — pair i<j
+    * removal equals component-minimum retention here, and the oracle pins
+    * that.)
+    */
+  def curatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val p = passing(s, dir)
+    val ids = p.select("doc_id")
+    val losers = Dedup.jaccardPairs(s, dir)
+      .join(ids.withColumnRenamed("doc_id", "i"), "i")
+      .join(ids.withColumnRenamed("doc_id", "j"), "j")
+      .select(col("j").as("doc_id")).distinct()
+    p.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val curatedCorpusOracle = s"""
+WITH toks AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id, lang, source,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+  FROM toks),
+passing AS (
+  SELECT doc_id, lang, source, n_tokens FROM m
+  WHERE n_tokens >= 40 AND ttr >= 0.35 AND lang IN ('en')),
+$LosersCte
 SELECT p.doc_id, p.lang, p.source, p.n_tokens
 FROM passing p
 WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = p.doc_id)
@@ -104,26 +134,9 @@ m AS (
     CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
   FROM toks),
 passing AS (
-  SELECT doc_id FROM m WHERE n_tokens >= 40 AND ttr >= 0.35),
-sh AS (
-  SELECT doc_id,
-    list_distinct([array_to_string(t[i:i+4], ' ')
-                   for i in range(1, len(t) - 3)]) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-  WHERE len(t) >= 5),
-ex AS (
-  SELECT doc_id, shingle
-  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
-  QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.PostingDfCap}),
-cand AS (
-  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
-losers AS (
-  SELECT DISTINCT j AS doc_id
-  FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
-  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+  SELECT doc_id FROM m
+  WHERE n_tokens >= 40 AND ttr >= 0.35 AND lang IN ('en')),
+$LosersCte,
 kept AS (
   SELECT doc_id FROM passing p
   WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = p.doc_id))
@@ -175,26 +188,8 @@ m AS (
   FROM toks),
 passing AS (
   SELECT doc_id, source, n_tokens FROM m
-  WHERE n_tokens >= 40 AND ttr >= 0.35),
-sh AS (
-  SELECT doc_id,
-    list_distinct([array_to_string(t[i:i+4], ' ')
-                   for i in range(1, len(t) - 3)]) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-  WHERE len(t) >= 5),
-ex AS (
-  SELECT doc_id, shingle
-  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
-  QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.PostingDfCap}),
-cand AS (
-  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
-losers AS (
-  SELECT DISTINCT j AS doc_id
-  FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
-  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+  WHERE n_tokens >= 40 AND ttr >= 0.35 AND lang IN ('en')),
+$LosersCte,
 kept AS (
   SELECT p.doc_id, p.source, p.n_tokens,
     CAST('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 15) AS BIGINT)

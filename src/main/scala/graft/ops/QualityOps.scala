@@ -182,6 +182,22 @@ ORDER BY d.event_type, day
 """
 
   // --------------------------------------------- robust (MAD) anomaly scan
+  /** Exact lower-median of `v` per key group by histogram selection — the
+    * kernel the MAD and seasonal monitors share (was hand-copied in both).
+    */
+  private def medianBy(df: DataFrame, keys: Seq[String], v: String,
+      out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy((keys :+ v).map(col): _*)
+      .agg(count(lit(1)).as("c_"))
+    val wC = Window.partitionBy(keys.map(col): _*).orderBy(v)
+    val wA = Window.partitionBy(keys.map(col): _*)
+    hist.withColumn("cum", sum("c_").over(wC))
+      .withColumn("n", sum("c_").over(wA))
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("cum") >= ceil(col("n") * 0.5), col(v))).as(out))
+  }
+
   /** Robust twin of [[anomalyZscore]]: daily volumes flagged by MEDIAN
     * absolute deviation instead of mean/stddev — a single wild day cannot
     * drag the baseline the way it inflates a standard deviation. Both
@@ -192,21 +208,11 @@ ORDER BY d.event_type, day
     * comparison |x − med|·10000 > MAD·44478 — no float anywhere.
     */
   def anomalyMad(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def medianByKey(df: DataFrame, v: String, out: String): DataFrame = {
-      val hist = df.groupBy(col("event_type"), col(v)).agg(count(lit(1)).as("c_"))
-      val wC = Window.partitionBy("event_type").orderBy(v)
-      val wA = Window.partitionBy("event_type")
-      hist.withColumn("cum", sum("c_").over(wC))
-        .withColumn("n", sum("c_").over(wA))
-        .groupBy(col("event_type"))
-        .agg(min(when(col("cum") >= ceil(col("n") * 0.5), col(v))).as(out))
-    }
     val daily = dailyEventCounts(s, dir)
-    val med = medianByKey(daily, "n_events", "med")
+    val med = medianBy(daily, Seq("event_type"), "n_events", "med")
     val withDev = daily.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("n_events") - col("med")))
-    val mad = medianByKey(withDev, "adev", "mad")
+    val mad = medianBy(withDev, Seq("event_type"), "adev", "mad")
     withDev.join(broadcast(mad), "event_type")
       .select(col("event_type"), col("day"), col("n_events"),
         col("med"), col("mad"),
@@ -251,35 +257,30 @@ ORDER BY dev.event_type, dev.day
     * day-of-week shape, and a raw-median monitor flags every quiet Sunday.
     * Baseline = per-(type, weekday) MEDIAN daily volume (the seasonal
     * profile); residual = day − its weekday median; flag
-    * |residual| > 3·1.4826·MAD(residuals). Same histogram-median kernel
-    * over the TINY (type, day) grid, one fact pass (checkpointed), and
-    * the cut is the exact integer compare |r|·10000 > MAD·44478 — no
-    * float anywhere, so the flag cannot flap cross-engine.
+    * |residual − median(residual)| > 3·1.4826·MAD(residuals) — the PROPER
+    * MAD about the per-type residual median, which is what the 1.4826
+    * σ-consistency constant is calibrated for. (An earlier form took
+    * median(|resid|) about zero; lower-median weekday baselines skew
+    * residuals positive, so that loosened the cut whenever the residual
+    * median was nonzero.) Same histogram-median kernel over the TINY
+    * (type, day) grid, one fact pass (checkpointed), and the cut is the
+    * exact integer compare |r − rmed|·10000 > MAD·44478 — no float
+    * anywhere, so the flag cannot flap cross-engine.
     */
   def anomalySeasonal(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def medianBy(df: DataFrame, keys: Seq[String], v: String,
-        out: String): DataFrame = {
-      val hist = df.groupBy((keys :+ v).map(col): _*)
-        .agg(count(lit(1)).as("c_"))
-      val wC = Window.partitionBy(keys.map(col): _*).orderBy(v)
-      val wA = Window.partitionBy(keys.map(col): _*)
-      hist.withColumn("cum", sum("c_").over(wC))
-        .withColumn("n", sum("c_").over(wA))
-        .groupBy(keys.map(col): _*)
-        .agg(min(when(col("cum") >= ceil(col("n") * 0.5), col(v))).as(out))
-    }
     val daily = dailyEventCounts(s, dir)
       .withColumn("dow", dayofweek(col("day")).cast("long"))
     val seasonal = medianBy(daily, Seq("event_type", "dow"), "n_events", "smed")
     val withResid = daily.join(broadcast(seasonal), Seq("event_type", "dow"))
       .withColumn("resid", col("n_events") - col("smed"))
-      .withColumn("aresid", abs(col("resid")))
-    val mad = medianBy(withResid, Seq("event_type"), "aresid", "mad")
-    withResid.join(broadcast(mad), "event_type")
+    val rmed = medianBy(withResid, Seq("event_type"), "resid", "rmed")
+    val centered = withResid.join(broadcast(rmed), "event_type")
+      .withColumn("cdev", abs(col("resid") - col("rmed")))
+    val mad = medianBy(centered, Seq("event_type"), "cdev", "mad")
+    centered.join(broadcast(mad), "event_type")
       .select(col("event_type"), col("day"), col("dow"), col("n_events"),
         col("smed"), col("resid"),
-        (col("aresid") * 10000 > col("mad") * 44478).as("is_anomaly"))
+        (col("cdev") * 10000 > col("mad") * 44478).as("is_anomaly"))
       .orderBy("event_type", "day")
   }
 
@@ -302,11 +303,24 @@ m1 AS (
   GROUP BY 1, 2),
 dev AS (
   SELECT d.event_type, d.day, d.dow, d.n_events, m1.smed,
-    d.n_events - m1.smed AS resid,
-    abs(d.n_events - m1.smed) AS aresid
+    d.n_events - m1.smed AS resid
   FROM daily d JOIN m1 USING (event_type, dow)),
+-- proper MAD: center residuals on their per-type median first (the
+-- 1.4826 constant's calibration), then take the median absolute deviation
+hr AS (
+  SELECT event_type, resid AS v, count(*) AS c_ FROM dev GROUP BY 1, 2),
+mr AS (
+  SELECT event_type, min(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS rmed
+  FROM (SELECT event_type, v,
+          sum(c_) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+          sum(c_) OVER (PARTITION BY event_type) AS n
+        FROM hr)
+  GROUP BY event_type),
+cdev AS (
+  SELECT dev.*, abs(dev.resid - mr.rmed) AS cd
+  FROM dev JOIN mr USING (event_type)),
 h2 AS (
-  SELECT event_type, aresid AS v, count(*) AS c_ FROM dev GROUP BY 1, 2),
+  SELECT event_type, cd AS v, count(*) AS c_ FROM cdev GROUP BY 1, 2),
 m2 AS (
   SELECT event_type, min(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS mad
   FROM (SELECT event_type, v,
@@ -314,10 +328,11 @@ m2 AS (
           sum(c_) OVER (PARTITION BY event_type) AS n
         FROM h2)
   GROUP BY event_type)
-SELECT dev.event_type, dev.day, dev.dow, dev.n_events, dev.smed, dev.resid,
-  dev.aresid * 10000 > m2.mad * 44478 AS is_anomaly
-FROM dev JOIN m2 USING (event_type)
-ORDER BY dev.event_type, dev.day
+SELECT cdev.event_type, cdev.day, cdev.dow, cdev.n_events, cdev.smed,
+  cdev.resid,
+  cdev.cd * 10000 > m2.mad * 44478 AS is_anomaly
+FROM cdev JOIN m2 USING (event_type)
+ORDER BY cdev.event_type, cdev.day
 """
 
   // --------------------------------------------------------- drift profile

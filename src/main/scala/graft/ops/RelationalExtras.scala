@@ -104,10 +104,8 @@ ORDER BY 1, 2
       .groupBy("l_returnflag")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice").cast(DecimalType(25, 2))).cast("double")
-          .as("sum_price"),
-        sum(col("l_discount").cast(DecimalType(25, 2))).cast("double")
-          .as("sum_disc"))
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
     wide.unpivot(
         Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
@@ -173,22 +171,20 @@ ORDER BY event_id
     * lineitem scan before the join.
     */
   def promoRevenueRatio(s: SparkSession, dir: String): DataFrame = {
-    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
-      .cast(DecimalType(25, 4))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     Registry.table(s, dir, "lineitem")
       .filter(col("l_shipdate") >= "1997-01-01" &&
         col("l_shipdate") < "1998-01-01")
       .join(broadcast(Registry.table(s, dir, "part")),
         col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)
-          .cast(DecimalType(25, 4)))).as("promo"),
-        sum(rev).as("total"))
+        dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)), 4)
+          .as("promo"),
+        dsum(rev, 4).as("total"))
       .select(
-        (lit(100.0) * col("promo").cast("double") / col("total").cast("double"))
-          .as("promo_revenue_pct"),
-        col("promo").cast("double").as("promo_revenue"),
-        col("total").cast("double").as("total_revenue"))
+        (lit(100.0) * col("promo") / col("total")).as("promo_revenue_pct"),
+        col("promo").as("promo_revenue"),
+        col("total").as("total_revenue"))
   }
 
   private val promoRevenueOracle = """
@@ -261,8 +257,7 @@ ORDER BY o_custkey, order_day, o_orderkey
         col("o_totalprice"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(25, 2))).cast("double")
-          .as("bin_mass"))
+        dsum(col("o_totalprice")).as("bin_mass"))
       .orderBy("bin")
 
   /** DuckDB has no width_bucket; the oracle mirrors Spark's formula
@@ -325,8 +320,8 @@ ORDER BY purchase_id, click_id
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
       .agg(
-        sum((col("l_extendedprice") * col("l_discount"))
-          .cast(DecimalType(25, 4))).cast("double").as("revenue_effect"),
+        dsum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue_effect"),
         count(lit(1)).as("n_lineitems"))
 
   private val forecastRevenueOracle = """
@@ -361,8 +356,8 @@ WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
     li.join(broadcast(p), col("l_partkey") === col("p_partkey") && groups)
       .groupBy("p_brand")
       .agg(
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(25, 4))).cast("double").as("revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("p_brand")
   }
