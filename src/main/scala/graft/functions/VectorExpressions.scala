@@ -56,6 +56,74 @@ case class LongArrayDot(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
+  /** THE single registry of graft functions: (name, implementing class,
+    * builder). Both registration paths — per-query [[register]] and the
+    * session-extensions [[GraftExtensions]] — iterate this one list, so a
+    * function added here is automatically available through both and the
+    * two paths cannot drift (they had: the KLL family was register-only
+    * until this list existed).
+    *
+    * `graft_mode` and the sketch aggregates return bare AggregateFunctions:
+    * the analyzer wraps them in an AggregateExpression during resolution.
+    * `bloom_agg`/`bloom_might_contain` surface Spark's own runtime-join-
+    * filter sketch pair (the expressions the InjectRuntimeFilter rule
+    * plants) as callable functions so a query can build/apply an EXPLICIT
+    * semi-join bloom filter — see ScalePatterns.bloomPrunedJoin. Signatures
+    * follow the optimizer rule's usage: the aggregate ingests
+    * xxhash64(key) longs, might_contain probes the serialized sketch with
+    * the same hash.
+    */
+  private type Builder = Seq[Expression] => Expression
+  val builders: Seq[(String, Class[_], Builder)] = Seq(
+    ("vec_dot_long", classOf[LongArrayDot],
+      (exprs: Seq[Expression]) => LongArrayDot(exprs(0), exprs(1))),
+    ("shingle_hashes_5", classOf[ShingleHashes],
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 5)),
+    ("minhash_sig_5_32", classOf[MinHashSignature],
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 5, 32)),
+    ("simhash60", classOf[SimHash60],
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)),
+    ("shingle_hashes_2", classOf[ShingleHashes],
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 2)),
+    ("graft_mode", classOf[DeterministicMode],
+      (exprs: Seq[Expression]) => DeterministicMode(exprs.head)),
+    ("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate],
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))),
+    ("bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain],
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))),
+    ("cdc_boundaries_8_64", classOf[CdcBoundaries],
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs.head)),
+    ("nfc_normalize", classOf[NfcNormalize],
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
+    ("block_cosines_16", classOf[BlockCosines],
+      (exprs: Seq[Expression]) => BlockCosines(exprs.head, 16)),
+    ("cms_sketch_2048", classOf[CmsSketchAgg],
+      (exprs: Seq[Expression]) => CmsSketchAgg(exprs(0), exprs(1))),
+    ("cms_merge_2048", classOf[CmsMergeAgg],
+      (exprs: Seq[Expression]) => CmsMergeAgg(exprs.head)),
+    ("cms_estimate", classOf[CmsEstimate],
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))),
+    ("kll_sketch_200", classOf[KllSketchAgg],
+      (exprs: Seq[Expression]) => KllSketchAgg(exprs(0), exprs(1))),
+    ("kll_merge_200", classOf[KllMergeAgg],
+      (exprs: Seq[Expression]) => KllMergeAgg(exprs.head)),
+    ("kll_quantile", classOf[KllQuantileQuery],
+      (exprs: Seq[Expression]) => KllQuantileQuery(exprs(0), exprs(1), "est")),
+    ("kll_quantile_lb", classOf[KllQuantileQuery],
+      (exprs: Seq[Expression]) => KllQuantileQuery(exprs(0), exprs(1), "lb")),
+    ("kll_quantile_ub", classOf[KllQuantileQuery],
+      (exprs: Seq[Expression]) => KllQuantileQuery(exprs(0), exprs(1), "ub")),
+    ("kll_n", classOf[KllN],
+      (exprs: Seq[Expression]) => KllN(exprs.head)))
+
   /** Idempotently register the custom expressions in the session's function
     * registry (usable from both the Column API via `expr` and plain SQL).
     * Registration is guarded by an existence check: unconditional
@@ -66,42 +134,11 @@ object VectorFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def add(name: String)(builder: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, _, builder) =>
       if (!reg.functionExists(
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-    add("vec_dot_long")(exprs => LongArrayDot(exprs(0), exprs(1)))
-    add("shingle_hashes_5")(exprs => ShingleHashes(exprs.head, 5))
-    add("minhash_sig_5_32")(exprs => MinHashSignature(exprs.head, 5, 32))
-    add("simhash60")(exprs => SimHash60(exprs.head))
-    add("shingle_hashes_2")(exprs => ShingleHashes(exprs.head, 2))
-    // aggregate: the analyzer wraps a bare AggregateFunction in an
-    // AggregateExpression during resolution, so the builder returns it raw
-    add("graft_mode")(exprs => DeterministicMode(exprs.head))
-    // Spark's own runtime-join-filter sketch pair (the expressions the
-    // InjectRuntimeFilter rule plants), surfaced as callable functions so a
-    // query can build/apply an EXPLICIT semi-join bloom filter — see
-    // ScalePatterns.bloomPrunedJoin. Signatures follow the optimizer rule's
-    // usage: the aggregate ingests xxhash64(key) longs, might_contain probes
-    // the serialized sketch with the same hash.
-    add("bloom_agg")(exprs =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)))
-    add("bloom_might_contain")(exprs =>
-      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        exprs(0), exprs(1)))
-    add("cdc_boundaries_8_64")(exprs => CdcBoundaries(exprs.head))
-    add("nfc_normalize")(exprs => NfcNormalize(exprs.head))
-    add("block_cosines_16")(exprs => BlockCosines(exprs.head, 16))
-    add("cms_sketch_2048")(exprs => CmsSketchAgg(exprs(0), exprs(1)))
-    add("cms_merge_2048")(exprs => CmsMergeAgg(exprs.head))
-    add("cms_estimate")(exprs => CmsEstimate(exprs(0), exprs(1)))
-    add("kll_sketch_200")(exprs => KllSketchAgg(exprs(0), exprs(1)))
-    add("kll_merge_200")(exprs => KllMergeAgg(exprs.head))
-    add("kll_quantile")(exprs => KllQuantileQuery(exprs(0), exprs(1), "est"))
-    add("kll_quantile_lb")(exprs => KllQuantileQuery(exprs(0), exprs(1), "lb"))
-    add("kll_quantile_ub")(exprs => KllQuantileQuery(exprs(0), exprs(1), "ub"))
-    add("kll_n")(exprs => KllN(exprs.head))
+    }
   }
 }
 
@@ -428,56 +465,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    e.injectFunction((FunctionIdentifier("vec_dot_long"),
-      new ExpressionInfo(classOf[LongArrayDot].getName, "vec_dot_long"),
-      (exprs: Seq[Expression]) => LongArrayDot(exprs(0), exprs(1))))
-    e.injectFunction((FunctionIdentifier("shingle_hashes_5"),
-      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes_5"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 5)))
-    e.injectFunction((FunctionIdentifier("minhash_sig_5_32"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig_5_32"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 5, 32)))
-    e.injectFunction((FunctionIdentifier("simhash60"),
-      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
-    e.injectFunction((FunctionIdentifier("shingle_hashes_2"),
-      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes_2"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 2)))
-    e.injectFunction((FunctionIdentifier("graft_mode"),
-      new ExpressionInfo(classOf[DeterministicMode].getName, "graft_mode"),
-      (exprs: Seq[Expression]) => DeterministicMode(exprs.head)))
-    e.injectFunction((FunctionIdentifier("bloom_agg"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate].getName, "bloom_agg"),
-      (exprs: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
-    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain].getName, "bloom_might_contain"),
-      (exprs: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))))
-    e.injectFunction((FunctionIdentifier("cdc_boundaries_8_64"),
-      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries_8_64"),
-      (exprs: Seq[Expression]) => CdcBoundaries(exprs.head)))
-    e.injectFunction((FunctionIdentifier("nfc_normalize"),
-      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
-    e.injectFunction((FunctionIdentifier("block_cosines_16"),
-      new ExpressionInfo(classOf[BlockCosines].getName, "block_cosines_16"),
-      (exprs: Seq[Expression]) => BlockCosines(exprs.head, 16)))
-    e.injectFunction((FunctionIdentifier("cms_sketch_2048"),
-      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch_2048"),
-      (exprs: Seq[Expression]) => CmsSketchAgg(exprs(0), exprs(1))))
-    e.injectFunction((FunctionIdentifier("cms_merge_2048"),
-      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_2048"),
-      (exprs: Seq[Expression]) => CmsMergeAgg(exprs.head)))
-    e.injectFunction((FunctionIdentifier("cms_estimate"),
-      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
-      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
+    // one loop over the shared builder list — see VectorFunctions.builders
+    VectorFunctions.builders.foreach { case (name, cls, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
     // the custom operator's planner strategy + its pushdown rule (Catalyst
     // can't see through an opaque binary node without the rule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

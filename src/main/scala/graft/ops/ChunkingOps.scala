@@ -106,41 +106,45 @@ FROM b GROUP BY bucket ORDER BY bucket
   // ---------------------------------------------------------- k-means step
   private val NumCentroids = 10
 
-  /** One Lloyd assignment step: every vector goes to its nearest centroid
-    * (seed centroids = the first K corpus vectors) by exact squared
-    * euclidean distance on the 1e-6-quantized grid —
-    * ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b, all int64, so the argmin can't flap on
-    * float noise (same trick as Similarity's cosine). K centroid vectors
-    * broadcast; the corpus streams once; the per-cluster re-aggregate is K
-    * rows. The full Lloyd loop is this step iterated with re-averaged
-    * centroids — each iteration stays one scan + one K-row exchange.
+  /** The shared Lloyd-assignment pipeline both k-means steps start from:
+    * every vector with its nearest centroid (seed centroids = the first K
+    * corpus vectors) by exact squared euclidean distance on the
+    * 1e-6-quantized grid — ‖a−b‖² = ‖a‖² + ‖b‖² − 2·a·b, all int64, so the
+    * argmin can't flap on float noise (same trick as Similarity's cosine).
+    * The corpus is [[Similarity.quantized]] — the session-memoized
+    * parse→quantize→norm base every ANN consumer shares (this used to be
+    * an inline replay of that pass, duplicated across both steps). K
+    * centroid vectors broadcast; the corpus streams once per step.
     */
-  def kmeansAssignStep(s: SparkSession, dir: String): DataFrame = {
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val corpus = table(s, dir, "embeddings").select(
-      col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
-      .withColumn("nrm", call_function("vec_dot_long", col("qv"), col("qv")))
+    val corpus = Similarity.quantized(s, dir).select("vec_id", "qv", "nrm")
     val centroids = corpus.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
-    val dists = corpus.join(broadcast(centroids))
-      .select(col("vec_id"), col("centroid_id"),
-        (col("nrm") + col("cnrm") -
-          lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
-          .as("dist2"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("dist2").asc, col("centroid_id").asc)
-    dists.withColumn("rk", row_number().over(w))
+    corpus.join(broadcast(centroids))
+      .withColumn("dist2", col("nrm") + col("cnrm") -
+        lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
+      .select(col("centroid_id"), col("qv"), col("dist2"))
+  }
+
+  /** One Lloyd assignment step rolled up per cluster: the per-cluster
+    * re-aggregate of [[kmeansAssigned]] is K rows. The full Lloyd loop is
+    * this step iterated with re-averaged centroids — each iteration stays
+    * one scan + one K-row exchange.
+    */
+  def kmeansAssignStep(s: SparkSession, dir: String): DataFrame =
+    kmeansAssigned(s, dir)
       .groupBy("centroid_id")
       .agg(
         count(lit(1)).as("n_assigned"),
         sum("dist2").as("sum_dist2"),
         (sum("dist2").cast("double") / count(lit(1))).as("mean_dist2"))
       .orderBy("centroid_id")
-  }
 
   private val kmeansAssignOracle = s"""
 WITH q AS (
@@ -178,32 +182,14 @@ GROUP BY centroid_id ORDER BY centroid_id
     * together make one full k-means iteration expressible as two queries;
     * the loop at scale re-broadcasts the 10×64 result each round.
     */
-  def kmeansUpdateStep(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val corpus = table(s, dir, "embeddings").select(
-      col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"))
-      .withColumn("nrm", call_function("vec_dot_long", col("qv"), col("qv")))
-    val centroids = corpus.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
-        col("nrm").as("cnrm"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("centroid_id").asc)
-    val assigned = corpus.join(broadcast(centroids))
-      .withColumn("dist2", col("nrm") + col("cnrm") -
-        lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("centroid_id"), col("qv"))
-    assigned
+  def kmeansUpdateStep(s: SparkSession, dir: String): DataFrame =
+    kmeansAssigned(s, dir)
       .select(col("centroid_id"), posexplode(col("qv")).as(Seq("dim", "q")))
       .groupBy("centroid_id", "dim")
       .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
       .select(col("centroid_id"), col("dim").cast("long").as("dim"), col("n"),
         (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"))
       .orderBy("centroid_id", "dim")
-  }
 
   private val kmeansUpdateOracle = s"""
 WITH q AS (

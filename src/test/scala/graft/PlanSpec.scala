@@ -110,6 +110,14 @@ class PlanSpec extends SparkSpec {
       assert(r.getLong(0) == 11L)
       assert(r.getLong(1) != 0L)
       assert(r.getInt(2) == 32)
+      // the extensions path and the per-query register() path iterate ONE
+      // shared builder list; assert every listed function resolved here, so
+      // a function added to register() can never again be silently missing
+      // from the session-extensions path (the KLL family was, pre-list)
+      for ((name, _, _) <- graft.functions.VectorFunctions.builders)
+        assert(s2.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+          s"extensions-built session is missing $name")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
