@@ -85,6 +85,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => SimHash60(exprs.head)),
     ("shingle_hashes_2", classOf[ShingleHashes],
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 2)),
+    ("shingle_hashes_3", classOf[ShingleHashes],
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, 3)),
     ("graft_mode", classOf[DeterministicMode],
       (exprs: Seq[Expression]) => DeterministicMode(exprs.head)),
     ("bloom_agg",

@@ -292,6 +292,112 @@ SELECT doc_id,
 FROM bl ORDER BY doc_id
 """
 
+  // -------------------------------------------------- Gopher rule battery
+  /** Composite rule-based quality filter — the Gopher/C4 "repetition and
+    * shape" battery (Rae et al. 2021 §A1.1), restated for this corpus's
+    * whitespace text (no newlines/punctuation, so the line- and
+    * symbol-based rules are vacuous here and the five that bite are
+    * kept): minimum token count, mean-word-length band, ≥2 stop words,
+    * top-bigram token coverage, duplicate-trigram fraction. One row per
+    * document with every rule's measured statistic AND its boolean, plus
+    * the conjunction — the explainable form a curation pipeline wants
+    * (WHY a doc failed, not just that it did).
+    *
+    * Shapes: the unigram stats (count / summed word length / stop hits)
+    * are per-row higher-order expressions — zero shuffle, scan-speed. The
+    * bigram/trigram stats are hashed-shingle explodes ([[ShingleKernel]]
+    * widths 2/3, no string shuffle) into a (doc, gram) count whose
+    * map-side combine collapses the explode before the one doc-keyed
+    * exchange; thresholds compare on floored per-mille integers (`div`),
+    * so every boolean is an exact int64 decision in both engines. The
+    * rule constants sit mid-distribution at every SF (each rule fails a
+    * real fraction of the corpus — a threshold no doc ever crosses would
+    * certify nothing).
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val toks = WS_TOKENS
+    val base = docs(s, dir).select(
+      col("doc_id"), toks.as("t"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+        .as("sum_len"),
+      size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long")
+        .as("stop_hits"))
+    val bi = base.select(col("doc_id"),
+        explode(call_function("shingle_hashes_2", col("t"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bi"))
+    val tri = base.select(col("doc_id"),
+        explode(call_function("shingle_hashes_3", col("t"))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("tri_total"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("tri_dup"))
+    base.drop("t")
+      .join(bi, Seq("doc_id"), "left_outer")
+      .join(tri, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_len * 1000 div n_tokens").as("mean_word_len_m"),
+        col("stop_hits"),
+        expr("coalesce(top_bi, 0) * 2000 div n_tokens").as("top_bigram_m"),
+        when(coalesce(col("tri_total"), lit(0L)) > 0,
+          expr("tri_dup * 1000 div tri_total")).otherwise(lit(0L))
+          .as("dup_trigram_m"))
+      .withColumns(Map(
+        "r_min_tokens" -> (col("n_tokens") >= 30),
+        "r_word_len" -> (col("mean_word_len_m") >= 4000 &&
+          col("mean_word_len_m") <= 4800),
+        "r_stopwords" -> (col("stop_hits") >= 2),
+        "r_top_bigram" -> (col("top_bigram_m") <= 180),
+        "r_dup_trigram" -> (col("dup_trigram_m") <= 50)))
+      .withColumn("passes_all",
+        col("r_min_tokens") && col("r_word_len") && col("r_stopwords") &&
+          col("r_top_bigram") && col("r_dup_trigram"))
+      .orderBy("doc_id")
+  }
+
+  private val gopherRulesOracle = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+u AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+    CAST(len(list_filter(t, x -> x IN ('the','a','of','and'))) AS BIGINT)
+      AS stop_hits
+  FROM t),
+bic AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g, count(*) AS c
+  FROM t, unnest(range(1, len(t))) AS r(i) GROUP BY 1, 2),
+bim AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi FROM bic GROUP BY 1),
+tric AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g, count(*) AS c
+  FROM t, unnest(range(1, len(t) - 1)) AS r(i) GROUP BY 1, 2),
+trim_ AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tri_total,
+    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS tri_dup
+  FROM tric GROUP BY 1),
+m AS (
+  SELECT u.doc_id, n_tokens,
+    sum_len * 1000 // n_tokens AS mean_word_len_m,
+    stop_hits,
+    coalesce(top_bi, 0) * 2000 // n_tokens AS top_bigram_m,
+    CASE WHEN coalesce(tri_total, 0) > 0 THEN tri_dup * 1000 // tri_total
+         ELSE 0 END AS dup_trigram_m
+  FROM u LEFT JOIN bim ON bim.doc_id = u.doc_id
+  LEFT JOIN trim_ ON trim_.doc_id = u.doc_id)
+SELECT doc_id, n_tokens, mean_word_len_m, stop_hits, top_bigram_m,
+  dup_trigram_m,
+  n_tokens >= 30 AS r_min_tokens,
+  mean_word_len_m BETWEEN 4000 AND 4800 AS r_word_len,
+  stop_hits >= 2 AS r_stopwords,
+  top_bigram_m <= 180 AS r_top_bigram,
+  dup_trigram_m <= 50 AS r_dup_trigram,
+  n_tokens >= 30 AND mean_word_len_m BETWEEN 4000 AND 4800
+    AND stop_hits >= 2 AND top_bigram_m <= 180 AND dup_trigram_m <= 50
+    AS passes_all
+FROM m ORDER BY doc_id
+"""
+
   // ------------------------------------------------------- decontamination
   /** Train/test contamination check — the decontamination stage every
     * training pipeline runs before evaluation: for each doc in the TEST
@@ -1064,6 +1170,7 @@ ORDER BY doc_id
     "text_langid_confusion" -> QueryDef(langId, Some(langIdOracle)),
     "text_fingerprints" -> QueryDef(fingerprints, Some(fingerprintsOracle)),
     "text_pii_mask" -> QueryDef(piiMask, Some(piiMaskOracle)),
-    "text_bigram_quality" -> QueryDef(bigramQuality, Some(bigramQualityOracle))
+    "text_bigram_quality" -> QueryDef(bigramQuality, Some(bigramQualityOracle)),
+    "text_gopher_rules" -> QueryDef(gopherRules, Some(gopherRulesOracle))
   )
 }

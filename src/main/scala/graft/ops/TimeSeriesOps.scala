@@ -518,7 +518,76 @@ FROM det LEFT JOIN seas s ON s.dow = det.dow
 ORDER BY det.day
 """
 
+  // ------------------------------------------------------------- CUSUM
+  /** CUSUM change-point monitor over the per-type daily event counts — the
+    * classic sequential drift detector (Page 1954): one-sided cumulative
+    * sums of deviations from a per-type target,
+    * `S⁺_i = max(0, S⁺_{i−1} + dev_i)` / `S⁻_i = max(0, S⁻_{i−1} − dev_i)`,
+    * alarming when either exceeds a decision threshold. A level shift that
+    * per-day z-scores miss (each day individually within noise)
+    * accumulates here until it crosses h — the monitor that catches slow
+    * regressions in an ingest pipeline.
+    *
+    * The recursion is NOT expressed iteratively: the running-extremum
+    * identity `S⁺_i = C_i − min(0, min_{j≤i} C_j)` (C = prefix sum of
+    * deviations) turns it into two stacked windows over the same
+    * (event_type → day) partitioning — one exchange, frames bounded by
+    * the per-type day spine. The target is the per-type mean on the
+    * floored per-mille grid (`sum·1000 div n` — an OFFLINE/retrospective
+    * CUSUM; a live deployment freezes the target from a reference
+    * window), so deviations, prefix sums, and both statistics stay exact
+    * int64 and the alarm booleans cannot flap cross-engine. The daily
+    * base is the session-memoized [[QualityOps.dailyEventCounts]] the
+    * other three anomaly monitors share. h = 30000 (30 events of
+    * cumulative drift on the per-mille grid) alarms a real subset of
+    * (type, day) rows at every SF.
+    */
+  def cusumAlarm(s: SparkSession, dir: String): DataFrame = {
+    val H = 30000L
+    val daily = QualityOps.dailyEventCounts(s, dir)
+    val mean = daily.groupBy("event_type")
+      .agg(expr("sum(n_events) * 1000 div count(1)").as("mean_m"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mean), "event_type")
+      .withColumn("dev", col("n_events") * 1000 - col("mean_m"))
+      .withColumn("cum", sum("dev").over(w))
+      .withColumn("spos", col("cum") - least(lit(0L), min("cum").over(w)))
+      .withColumn("sneg", greatest(lit(0L), max("cum").over(w)) - col("cum"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("spos").as("cusum_pos_m"), col("sneg").as("cusum_neg_m"),
+        (col("spos") > H || col("sneg") > H).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  private val cusumAlarmOracle = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, CAST(sum(n_events) * 1000 AS BIGINT) // count(*)
+    AS mean_m
+  FROM e GROUP BY 1),
+c AS (
+  SELECT e.event_type, day, n_events,
+    CAST(sum(n_events * 1000 - mean_m) OVER w AS BIGINT) AS cum
+  FROM e JOIN m USING (event_type)
+  WINDOW w AS (PARTITION BY e.event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c2 AS (
+  SELECT *, cum - least(0, CAST(min(cum) OVER w2 AS BIGINT)) AS spos,
+    greatest(0, CAST(max(cum) OVER w2 AS BIGINT)) - cum AS sneg
+  FROM c
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, day, n_events, spos AS cusum_pos_m, sneg AS cusum_neg_m,
+  spos > 30000 OR sneg > 30000 AS alarm
+FROM c2 ORDER BY event_type, day
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "ts_cusum_alarm" -> QueryDef(cusumAlarm, Some(cusumAlarmOracle)),
     "ts_seasonal_decompose" ->
       QueryDef(seasonalDecompose, Some(seasonalDecomposeOracle)),
     "ts_pattern_vbottom" ->

@@ -476,6 +476,58 @@ object EventStream {
     }
   }
 
+  final case class ShardSketch(shard: Long, n_seen: Long,
+      sketch: Array[Byte])
+
+  /** Streaming mergeable Count-Min sketch — the continuous form of
+    * `stats_cms_heavyhitters`: each of 8 shards folds its slice of the
+    * event stream into ONE fixed-size CMS held in state (the SAME
+    * (depth, width, seed) as the batch aggregates — [[graft.functions
+    * .CmsDims]] is the single source of those constants), emitting the
+    * serialized sketch per micro-batch with a monotone `n_seen`. Because
+    * CMS union is exact counter addition (commutative, associative), the
+    * final shard sketches merge into bytes IDENTICAL to one batch-built
+    * sketch over the same rows, however the stream was micro-batched or
+    * sharded — StreamingSpec asserts that byte parity. State per shard is
+    * the fixed ~80 KiB counter table regardless of stream length: the
+    * always-on frequency monitor a 100 TB/day feed can afford, with the
+    * read side free to merge shards and point-query at any moment.
+    */
+  def cmsSketchTws(events: Dataset[StreamEvent]): Dataset[ShardSketch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_id % 8)
+      .transformWithState(new CmsSketchProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  final class CmsSketchProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StreamEvent, ShardSketch] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[ShardSketch] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[ShardSketch]("cms",
+        org.apache.spark.sql.Encoders.product[ShardSketch],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(shard: Long, rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ShardSketch] = {
+      import graft.functions.CmsDims
+      val prev = if (st.exists()) st.get()
+        else ShardSketch(shard, 0L, CmsDims.toBytes(CmsDims.empty()))
+      val sk = CmsDims.fromBytes(prev.sketch)
+      var n = prev.n_seen
+      rows.foreach { e => sk.addString(e.event_type, 1L); n += 1 }
+      val next = ShardSketch(shard, n, CmsDims.toBytes(sk))
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
   /** Stage timestamps on the MICROSECOND grid ([[tsMicros]]) — the batch
     * `funnel_conversion` sequences stages by full timestamp precision
     * (`e.ts > v_ts`), so an ms-truncated comparison would fail to advance

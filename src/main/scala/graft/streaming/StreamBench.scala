@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object StreamBench {
 
+  /** Run `body` with the RocksDB state-store provider, restoring the
+    * suite-wide provider choice after — `transformWithState` requires
+    * RocksDB regardless of the `SPARK_GRAFT_STREAM_STATE_PROVIDER` arm.
+    */
+  private def withRocksDb(spark: org.apache.spark.sql.SparkSession)(
+      body: => Any): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try { body; () }
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     SessionMemo.pinSessions = true // single-session process
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,20 +109,16 @@ object StreamBench {
         EventStream.funnelStages(typed()).toDF(), "sb_funnel",
         OutputMode.Update())),
       // transformWithState requires RocksDB regardless of the suite-wide
-      // provider choice — set-and-restore around this one case
+      // provider choice — set-and-restore around these cases
       "priority_sample_tws" -> { () =>
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-          "state.RocksDBStateStoreProvider")
-        try EventStream.runToMemory(spark,
+        withRocksDb(spark)(EventStream.runToMemory(spark,
           EventStream.prioritySampleTws(typed()).toDF(), "sb_priority",
-          OutputMode.Update())
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-        ()
+          OutputMode.Update()))
+      },
+      "cms_sketch_tws" -> { () =>
+        withRocksDb(spark)(EventStream.runToMemory(spark,
+          EventStream.cmsSketchTws(typed()).toDF(), "sb_cms",
+          OutputMode.Update()))
       })
 
     // one untimed warmup of the cheapest case pays source-probe + codegen

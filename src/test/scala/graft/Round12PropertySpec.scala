@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 laws for the three new oracle-gated operators. Each already
+  * hash-matches its DuckDB oracle; the laws here pin what the hash gate
+  * cannot see.
+  *
+  *  - `text_gopher_rules`: the hash certifies the arithmetic, not that the
+  *    thresholds MEAN anything — a rule no document ever fails (or every
+  *    document fails) is a vacuous filter whose boolean column certifies
+  *    nothing. The law: every rule splits the fixture corpus non-trivially.
+  *  - `ts_cusum_alarm`: the query computes the one-sided CUSUM recursion
+  *    S⁺ᵢ = max(0, S⁺ᵢ₋₁ + devᵢ) via the running-extremum identity
+  *    (two stacked windows); the oracle uses the SAME identity, so a bug
+  *    in the identity itself would pass the hash gate on both sides. The
+  *    law re-derives both statistics with the textbook per-row recursion
+  *    in plain Scala and requires exact equality.
+  *  - `dq_benford_deviation`: the expected-share constants are hardcoded
+  *    integers (a runtime log10 is not guaranteed correctly-rounded
+  *    cross-engine). The law recomputes floor(log10(1+1/d)·10⁶) in Scala
+  *    and pins each constant, plus the floored-share accounting
+  *    (Σ n_orders = |orders|, Σ obs_ppm within 9 of 10⁶).
+  */
+class Round12PropertySpec extends SparkSpec {
+
+  test("gopher rules: every rule splits the corpus non-trivially") {
+    val out = ops.TextOps.gopherRules(spark, sfDir)
+    val n = out.count()
+    for (rule <- Seq("r_min_tokens", "r_word_len", "r_stopwords",
+        "r_top_bigram", "r_dup_trigram")) {
+      val passed = out.filter(col(rule)).count()
+      assert(passed > 0 && passed < n,
+        s"$rule is vacuous on the fixture: $passed of $n pass")
+    }
+    val all = out.filter(col("passes_all")).count()
+    assert(all > 0 && all < n, s"passes_all is vacuous: $all of $n")
+  }
+
+  test("cusum: windowed prefix-extremum form equals the textbook recursion") {
+    val rows = ops.TimeSeriesOps.cusumAlarm(spark, sfDir)
+      .select("event_type", "day", "n_events", "cusum_pos_m", "cusum_neg_m")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, series) =>
+      val ordered = series.sortBy(_._2)
+      // the same floored per-type mean the query uses
+      val meanM = ordered.map(_._3).sum * 1000 / ordered.length
+      var spos = 0L
+      var sneg = 0L
+      ordered.foreach { case (_, day, n, gotPos, gotNeg) =>
+        val dev = n * 1000 - meanM
+        spos = math.max(0L, spos + dev) // Page's recursion, directly
+        sneg = math.max(0L, sneg - dev)
+        assert(spos == gotPos && sneg == gotNeg,
+          s"CUSUM mismatch at ($tpe, $day): recursion ($spos, $sneg) vs " +
+            s"windowed ($gotPos, $gotNeg)")
+      }
+    }
+  }
+
+  test("benford: pinned constants equal floor(log10(1+1/d)*1e6); accounting") {
+    val out = ops.QualityOps.benfordDeviation(spark, sfDir)
+      .select("digit", "n_orders", "obs_ppm", "exp_ppm")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 9L))
+    out.foreach { case (d, _, _, expPpm) =>
+      val recomputed = math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong
+      assert(expPpm == recomputed,
+        s"digit $d: pinned constant $expPpm != recomputed $recomputed")
+    }
+    val nOrders = Registry.table(spark, sfDir, "orders").count()
+    assert(out.map(_._2).sum == nOrders,
+      "per-digit counts must partition the orders table")
+    val obsSum = out.map(_._3).sum
+    assert(obsSum <= 1000000L && obsSum > 1000000L - 9,
+      s"floored shares must sum to within 9 ppm of 1e6, got $obsSum")
+  }
+}

@@ -467,6 +467,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS shard sketches merge to the batch sketch byte-identically") {
+    // the mergeability contract of stats_cms_heavyhitters, streamed: 8
+    // shards each fold their slice into bounded state, and because CMS
+    // union is exact counter addition the merged shard sketches must be
+    // BYTE-identical to one sketch built over the whole batch — whatever
+    // the micro-batch/shard split was
+    withRocksDBProvider {
+      import org.apache.spark.sql.expressions.Window
+      val stream = EventStream.readEvents(spark, eventsPath)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
+      val latest = EventStream.runToMemory(spark,
+          EventStream.cmsSketchTws(stream).toDF(), "cms_tws",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("shard").orderBy(col("n_seen").desc)))
+        .filter(col("rn") === 1)
+        .select("shard", "n_seen", "sketch")
+        .collect()
+      val merged = functions.CmsDims.empty()
+      latest.foreach(r => merged.mergeInPlace(
+        functions.CmsDims.fromBytes(r.getAs[Array[Byte]]("sketch"))))
+      // batch twin: fold the SAME rows' (event_type, count) into one global
+      // sketch — CMS counters are order-free sums, so any fold order works
+      val counts = Registry.events(spark, sfDir)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val global = functions.CmsDims.empty()
+      counts.foreach { case (t, n) => global.addString(t, n) }
+      assert(latest.map(_.getLong(1)).sum == counts.map(_._2).sum,
+        "stream saw a different row count than the batch")
+      assert(java.util.Arrays.equals(
+        functions.CmsDims.toBytes(merged), functions.CmsDims.toBytes(global)),
+        "merged shard sketches != batch-built global sketch bytes")
+      counts.foreach { case (t, _) =>
+        assert(merged.estimateCount(t) == global.estimateCount(t)) }
+    }
+  }
+
   test("transformWithState latest-snapshot matches the classic-API upsert") {
     withRocksDBProvider {
       val stream = EventStream.readEvents(spark, eventsPath)
