@@ -450,79 +450,7 @@ SELECT event_type, n_events, last_micros,
 FROM per_type, g ORDER BY event_type
 """
 
-  // --------------------------------------------------------- Benford audit
-  /** Benford first-digit expectations, per-million units:
-    * `floor(log10(1 + 1/d) · 10⁶)` for d = 1..9, precomputed as integer
-    * CONSTANTS (hardcoded in the engine and interpolated into the oracle
-    * from this one list) because a runtime `log10` is not guaranteed
-    * correctly-rounded cross-engine while the constants trivially are.
-    */
-  private val BenfordPpm =
-    Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L,
-      45757L)
-
-  /** Benford's-law first-digit audit over order totals — the forensic
-    * data-quality screen for fabricated or clipped numeric feeds: natural
-    * multi-magnitude amounts follow P(d) = log10(1+1/d), and a feed whose
-    * first-digit histogram deviates hard (a generator with a uniform
-    * mantissa, a price floor, a truncation bug) shows up as per-digit
-    * deviation long before any range check fires. One scan → 9-row
-    * histogram; the digit grid (1..9) is anchored by a left join so absent
-    * digits report 0 rather than vanishing. First digit = first character
-    * of the exact cent integer's decimal form (identical in both
-    * engines); observed shares on the floored per-million grid
-    * (`cnt·10⁶ div total`) against [[BenfordPpm]], all int64 — the
-    * deviation column cannot flap cross-engine. (The synthetic totals are
-    * range-bounded, not multi-magnitude, so large deviations HERE are
-    * expected and exactly what the audit reports.)
-    */
-  def benfordDeviation(s: SparkSession, dir: String): DataFrame = {
-    val cents = (col("o_totalprice")
-      .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * 100)
-      .cast("long")
-    val counts = Registry.table(s, dir, "orders")
-      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum("n").as("total"))
-    val expected = BenfordPpm.zipWithIndex.map { case (ppm, i) =>
-      struct(lit(i + 1L).as("digit"), lit(ppm).as("exp_ppm"))
-    }
-    s.range(1).select(explode(array(expected: _*)).as("e")).select("e.*")
-      .join(counts, Seq("digit"), "left_outer")
-      .crossJoin(broadcast(total))
-      .select(col("digit"),
-        coalesce(col("n"), lit(0L)).as("n_orders"),
-        expr("coalesce(n, 0) * 1000000 div total").as("obs_ppm"),
-        col("exp_ppm"))
-      .withColumn("abs_dev_ppm",
-        abs(col("obs_ppm") - col("exp_ppm")))
-      .orderBy("digit")
-  }
-
-  private val benfordOracle = s"""
-WITH c AS (
-  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents
-  FROM orders),
-d AS (
-  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
-  FROM c),
-counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
-tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
-exp_t(digit, exp_ppm) AS (VALUES
-  ${BenfordPpm.zipWithIndex.map { case (ppm, i) =>
-      s"(CAST(${i + 1} AS BIGINT), CAST($ppm AS BIGINT))"
-    }.mkString(", ")})
-SELECT e.digit, coalesce(n, 0) AS n_orders,
-  coalesce(n, 0) * 1000000 // total AS obs_ppm,
-  exp_ppm,
-  abs(coalesce(n, 0) * 1000000 // total - exp_ppm) AS abs_dev_ppm
-FROM exp_t e LEFT JOIN counts ON counts.digit = e.digit
-CROSS JOIN tot ORDER BY e.digit
-"""
-
   val queries: Map[String, QueryDef] = Map(
-    "dq_benford_deviation" ->
-      QueryDef(benfordDeviation, Some(benfordOracle)),
     "dq_freshness_lag" -> QueryDef(freshnessLag, Some(freshnessOracle)),
     "dq_drift_profile" -> QueryDef(driftProfile, Some(driftOracle)),
     "dq_profile_orders" -> QueryDef(profileOrders, Some(profileOracle)),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-12 laws for the three new oracle-gated operators. Each already
+/** Round-12 laws for the new oracle-gated operators. Each already
   * hash-matches its DuckDB oracle; the laws here pin what the hash gate
   * cannot see.
   *
@@ -16,11 +16,6 @@ import org.apache.spark.sql.functions._
   *    in the identity itself would pass the hash gate on both sides. The
   *    law re-derives both statistics with the textbook per-row recursion
   *    in plain Scala and requires exact equality.
-  *  - `dq_benford_deviation`: the expected-share constants are hardcoded
-  *    integers (a runtime log10 is not guaranteed correctly-rounded
-  *    cross-engine). The law recomputes floor(log10(1+1/d)·10⁶) in Scala
-  *    and pins each constant, plus the floored-share accounting
-  *    (Σ n_orders = |orders|, Σ obs_ppm within 9 of 10⁶).
   */
 class Round12PropertySpec extends SparkSpec {
 
@@ -61,23 +56,4 @@ class Round12PropertySpec extends SparkSpec {
     }
   }
 
-  test("benford: pinned constants equal floor(log10(1+1/d)*1e6); accounting") {
-    val out = ops.QualityOps.benfordDeviation(spark, sfDir)
-      .select("digit", "n_orders", "obs_ppm", "exp_ppm")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_._1)
-    assert(out.map(_._1).toSeq == (1L to 9L))
-    out.foreach { case (d, _, _, expPpm) =>
-      val recomputed = math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong
-      assert(expPpm == recomputed,
-        s"digit $d: pinned constant $expPpm != recomputed $recomputed")
-    }
-    val nOrders = Registry.table(spark, sfDir, "orders").count()
-    assert(out.map(_._2).sum == nOrders,
-      "per-digit counts must partition the orders table")
-    val obsSum = out.map(_._3).sum
-    assert(obsSum <= 1000000L && obsSum > 1000000L - 9,
-      s"floored shares must sum to within 9 ppm of 1e6, got $obsSum")
-  }
 }
