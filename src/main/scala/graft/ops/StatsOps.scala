@@ -1375,6 +1375,64 @@ FROM wt GROUP BY replicate ORDER BY replicate
       .orderBy("o_orderpriority")
   }
 
+  // ------------------------------------------ HLL set-operation estimates
+  private val HllPairs =
+    Seq(("view", "click"), ("view", "purchase"), ("signup", "purchase"))
+
+  /** Distinct-set OVERLAP estimates from mergeable HLL sketches — the
+    * audience-overlap question ("how many users did A and B?") answered
+    * without ever co-shuffling the two key sets: HLL supports only union
+    * natively, so the intersection comes from inclusion–exclusion,
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), with the union computed by the
+    * SCALAR `hll_union` over the two per-segment sketch binaries. This is
+    * the documented weak spot of HLL set algebra — the I–E error scales
+    * with |A∪B| while the answer scales with |A∩B|, which is why theta
+    * sketches exist — so the output carries the exact twin for every
+    * term (the honesty-column presentation of [[hllMergeable]]); a
+    * Round12PropertySpec law bounds the I–E estimate against the exact
+    * intersection.
+    *
+    * 100 TB posture: one pass builds a fixed-size sketch per segment;
+    * any pair's union/intersection estimate then needs only the two
+    * binaries — no raw-key shuffle, and sketches built on different
+    * days/clusters compose. The exact twins are one membership aggregate
+    * over the (type, user) distinct frame, which is what the sketches
+    * replace at scale.
+    */
+  def hllIntersection(s: SparkSession, dir: String): DataFrame = {
+    // (type, user) membership: consumed by the sketch pass and every
+    // pair's exact twin — checkpoint so the events scan runs once
+    val membership = Registry.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
+    val per = membership.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("exact_users")) // distinct by construction
+      .localCheckpoint() // ≤5 rows, consumed by every pair
+    val pairs = HllPairs.map { case (a, b) =>
+      val skA = per.filter(col("event_type") === a)
+        .select(col("sk").as("sk_a"), col("exact_users").as("exact_a"))
+      val skB = per.filter(col("event_type") === b)
+        .select(col("sk").as("sk_b"), col("exact_users").as("exact_b"))
+      val exact = membership.filter(col("event_type").isin(a, b))
+        .groupBy("user_id").agg(count(lit(1)).as("nt"))
+        .agg(sum(when(col("nt") === 2, 1L).otherwise(0L))
+          .as("exact_intersection"),
+          count(lit(1)).as("exact_union"))
+      val estU = hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+      skA.crossJoin(skB).crossJoin(exact)
+        .select(lit(a).as("type_a"), lit(b).as("type_b"),
+          hll_sketch_estimate(col("sk_a")).as("approx_a"), col("exact_a"),
+          hll_sketch_estimate(col("sk_b")).as("approx_b"), col("exact_b"),
+          estU.as("approx_union"), col("exact_union"),
+          (hll_sketch_estimate(col("sk_a"))
+            + hll_sketch_estimate(col("sk_b")) - estU)
+            .as("approx_intersection"),
+          col("exact_intersection"))
+    }
+    pairs.reduce(_ unionByName _).orderBy("type_a", "type_b")
+  }
+
   // ------------------------------------- mergeable Count-Min heavy hitters
   /** Heavy-hitter accounting by mergeable Count-Min sketches — the
     * frequency twin of [[hllMergeable]]'s distinct-count pattern, over the
@@ -1492,6 +1550,7 @@ FROM wt GROUP BY replicate ORDER BY replicate
     "stats_kll_quantiles" -> QueryDef(kllQuantiles, None),
     "stats_cms_heavyhitters" -> QueryDef(cmsHeavyHitters, None),
     "stats_hll_mergeable" -> QueryDef(hllMergeable, None),
+    "stats_hll_intersection" -> QueryDef(hllIntersection, None),
     "stats_poisson_bootstrap" ->
       QueryDef(poissonBootstrap, Some(poissonBootstrapOracle)),
     "stats_pareto_share" -> QueryDef(paretoShare, Some(paretoShareOracle)),

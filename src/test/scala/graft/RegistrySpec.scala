@@ -15,11 +15,12 @@ class RegistrySpec extends SparkSpec {
     // error-bound law against its exact hash-checked twin
     // (Round7PropertySpec for the two approx aggregates,
     // Round10PropertySpec for the HLL union laws,
-    // Round11PropertySpec for the Count-Min and KLL laws)
+    // Round11PropertySpec for the Count-Min and KLL laws,
+    // Round12PropertySpec for the HLL inclusion–exclusion law)
     assert(noOracle.forall(
       Set("approx_count_distinct", "stats_approx_percentiles",
-        "stats_hll_mergeable", "stats_cms_heavyhitters",
-        "stats_kll_quantiles").contains),
+        "stats_hll_mergeable", "stats_hll_intersection",
+        "stats_cms_heavyhitters", "stats_kll_quantiles").contains),
       s"unexpected oracle-less queries: $noOracle")
   }
 

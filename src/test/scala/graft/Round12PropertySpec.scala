@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *    in the identity itself would pass the hash gate on both sides. The
   *    law re-derives both statistics with the textbook per-row recursion
   *    in plain Scala and requires exact equality.
+  *  - `stats_hll_intersection` (rows-only by design — sketch internals are
+  *    engine-specific, the `stats_hll_mergeable` taxonomy): the laws that
+  *    stand in for the hash gate are union monotonicity (a register-wise
+  *    max can only estimate ≥ either side) and the inclusion–exclusion
+  *    band — the I–E intersection estimate within a composed multi-sketch
+  *    error bound of the exact twin carried in the output.
   */
 class Round12PropertySpec extends SparkSpec {
 
@@ -30,6 +36,30 @@ class Round12PropertySpec extends SparkSpec {
     }
     val all = out.filter(col("passes_all")).count()
     assert(all > 0 && all < n, s"passes_all is vacuous: $all of $n")
+  }
+
+  test("hll intersection: union monotone, inclusion–exclusion within band") {
+    val out = ops.StatsOps.hllIntersection(spark, sfDir).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      def L(c: String): Long = r.getAs[Long](c)
+      val (approxA, approxB) = (L("approx_a"), L("approx_b"))
+      val (approxU, exactU) = (L("approx_union"), L("exact_union"))
+      val (approxI, exactI) = (L("approx_intersection"),
+        L("exact_intersection"))
+      // union = register-wise max: its estimate can never drop below
+      // either side's own estimate
+      assert(approxU >= math.max(approxA, approxB),
+        s"union estimate $approxU below a side ($approxA, $approxB)")
+      // I–E intersection: |est − exact| bounded by a composed band of the
+      // UNION magnitude (the known I–E weakness this query documents):
+      // three estimates at lgConfigK=12 RSE ≈ 1.6%, 3σ each, summed —
+      // ~15% of |A∪B| plus a fixed grain for tiny fixtures
+      val band = math.max(16L, (0.15 * exactU).toLong)
+      assert(math.abs(approxI - exactI) <= band,
+        s"I–E estimate $approxI vs exact $exactI outside band $band " +
+          s"(union $exactU)")
+    }
   }
 
   test("cusum: windowed prefix-extremum form equals the textbook recursion") {
