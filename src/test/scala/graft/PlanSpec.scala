@@ -61,6 +61,28 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"report1 now has $exchanges exchanges")
   }
 
+  test("cusum: stacked windows share one event_type exchange; mean broadcasts") {
+    val plan = executedPlan(ops.TimeSeriesOps.cusumAlarm(spark, sfDir))
+    // the two stacked WindowExecs (prefix sum, then running extrema over
+    // its output) partition identically, so they must share ONE
+    // hashpartitioning(event_type) exchange; the only other event_type
+    // exchange allowed is the per-type mean aggregate's own branch, and
+    // that branch must come back as a broadcast, not a shuffle join
+    val hashEx =
+      "Exchange hashpartitioning\\(event_type".r.findAllIn(plan).size
+    assert(hashEx <= 2,
+      s"CUSUM grew $hashEx event_type exchanges (window reuse regressed)")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"), "per-type mean not broadcast")
+  }
+
+  test("gopher rules: gram counts partially aggregate, no cartesian product") {
+    val plan = executedPlan(ops.TextOps.gopherRules(spark, sfDir))
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      "no map-side combine before the (doc, gram) exchange")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("vector kernel participates in codegen (no interpreted fold)") {
     val df = ops.Similarity.bruteForceTopK(spark, sfDir)
     val plan = executedPlan(df)
