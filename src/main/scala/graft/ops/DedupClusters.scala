@@ -234,8 +234,9 @@ ORDER BY doc_id
     * scaling cells with n holds per-cell occupancy — and therefore the
     * pair set — linear. One column-pruned count job; the identical
     * expression is evaluated in the oracles, so the bucketing stays
-    * bit-deterministic. n ≤ 2048 keeps the floor, so driver-SF results
-    * are unchanged.
+    * bit-deterministic. Assignment to these cells goes through the
+    * two-level coarse quantizer (`Similarity.ivfAssignTwoLevel`) — the
+    * single-level corpus × cells pass is O(n²/128) under this scaling.
     */
   private val cellCountCache = new graft.SessionMemo[Long]
 
@@ -254,18 +255,26 @@ ORDER BY doc_id
     */
   private[graft] def semanticPairs(s: SparkSession, dir: String): DataFrame = {
     val corpus = Similarity.quantized(s, dir)
-    val side = corpus.select(col("vec_id"), col("qv"), col("nrm"))
-    semanticCandidates(s, dir)
-      .join(side.select(col("vec_id").as("i"), col("qv").as("qa"),
-        col("nrm").as("na")), "i")
-      .join(side.select(col("vec_id").as("j"), col("qv").as("qb"),
-        col("nrm").as("nb")), "j")
-      .select(col("i"), col("j"),
+    // Fused scoring (same rationale as Similarity.knnJoin): vectors ride
+    // the 2n-row assignment sides of the cell self-join and cosine is
+    // projected inline — the distinct-candidates-then-rejoin-vectors
+    // shape shuffled the full candidate set with 512-byte arrays twice.
+    // Values are identical, so the oracle is unchanged; distinct() on the
+    // narrow (i, j) output collapses dual-shared-cell pairs.
+    val asgv = semAssignments(s, dir)
+      .join(corpus.select(col("vec_id"), col("qv"), col("nrm")), "vec_id")
+    asgv
+      .select(col("vec_id").as("i"), col("cell"), col("qv").as("qa"),
+        col("nrm").as("na"))
+      .join(asgv.select(col("vec_id").as("j"), col("cell"),
+        col("qv").as("qb"), col("nrm").as("nb")), "cell")
+      .filter(col("i") < col("j"))
+      .filter(
         (call_function("vec_dot_long", col("qa"), col("qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-          .as("cosine"))
-      .filter(col("cosine") >= SemThreshold)
+          >= SemThreshold)
       .select("i", "j")
+      .distinct()
   }
 
   /** The pre-cosine candidate set of [[semanticPairs]]: distinct (i, j)
@@ -273,23 +282,25 @@ ORDER BY doc_id
     * out (like `Similarity.knnCandidates`) so the Round9 linearity law can
     * count candidates at two corpus sizes.
     */
-  private[graft] def semanticCandidates(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The (vec_id, cell) dual assignment the semantic family shares. */
+  private[graft] def semAssignments(s: SparkSession, dir: String): DataFrame = {
     val corpus = Similarity.quantized(s, dir)
     val cells = semCellCount(s, dir)
-    val cents = corpus.filter(col("vec_id") < cells)
+    // two-level assignment (Similarity.ivfAssignTwoLevel): single-level is
+    // corpus × cells = O(n²/128) under the corpus-scaled cell count — the
+    // quadratic the 100× smoke caught in the knn twin of this site
+    val fine = corpus.filter(col("vec_id") < cells)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
-    val dists = corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (col("nrm") + col("cnrm") -
-          lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
-          .as("dist2"))
-    val byNearest = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("centroid_id").asc)
-    val asg = dists.withColumn("rk", row_number().over(byNearest))
-      .filter(col("rk") <= SemProbes)
-      .select(col("vec_id"), col("centroid_id").as("cell"))
+    val coarse = corpus.filter(col("vec_id") < Similarity.coarseCount(cells))
+      .select(col("vec_id").as("coarse_id"), col("qv").as("gv"),
+        col("nrm").as("gnrm"))
+    Similarity.ivfAssignTwoLevel(
+      corpus.select("vec_id", "qv", "nrm"), fine, coarse, SemProbes)
+  }
+
+  private[graft] def semanticCandidates(s: SparkSession, dir: String): DataFrame = {
+    val asg = semAssignments(s, dir)
     val a = asg.as("a"); val b = asg.as("b")
     a.join(b,
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -306,7 +317,8 @@ ORDER BY doc_id
     * (cluster-minimum vec_id survives). Every vector reports its cluster,
     * cluster size, and survivor flag.
     *
-    * 100 TB posture: centroids broadcast (assignment is map-only); the
+    * 100 TB posture: the √cells coarse centroids broadcast and assignment
+    * is O(n·√cells) (two-level — see `Similarity.ivfAssignTwoLevel`); the
     * pair join is an EQUI-join on the cell key (never vec×vec — pinned in
     * PlanSpec); components run on the pair set only. The bucketing is the
     * approximation — the oracle mirrors the cell restriction exactly, so
@@ -355,14 +367,39 @@ nn AS (
   SELECT vec_id, qv,
     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
   FROM n),
+kc AS (SELECT greatest($SemCells,
+         (SELECT count(*) FROM embeddings) // $SemCellTarget) AS kcells),
+cq AS (SELECT CASE WHEN fs * fs >= kcells THEN fs ELSE fs + 1 END AS c2
+       FROM (SELECT kcells,
+               CAST(floor(sqrt(CAST(kcells AS DOUBLE))) AS BIGINT) AS fs
+             FROM kc)),
 c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
-      FROM nn WHERE vec_id < greatest($SemCells,
-        (SELECT count(*) FROM embeddings) // $SemCellTarget)),
+      FROM nn WHERE vec_id < (SELECT kcells FROM kc)),
+g AS (SELECT centroid_id AS coarse_id, cv AS gv, cnrm AS gnrm
+      FROM c WHERE centroid_id < (SELECT c2 FROM cq)),
+fo AS (
+  SELECT coarse_id, centroid_id, cv, cnrm FROM (
+    SELECT g.coarse_id, c.centroid_id, c.cv, c.cnrm,
+      row_number() OVER (PARTITION BY c.centroid_id
+        ORDER BY c.cnrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> c.cv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS frk
+    FROM c, g)
+  WHERE frk = 1),
+vc AS (
+  SELECT vec_id, qv, nrm, coarse_id FROM (
+    SELECT v.vec_id, v.qv, v.nrm, g.coarse_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY v.nrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> v.qv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS crk
+    FROM nn v, g)
+  WHERE crk <= ${Similarity.CoarseProbes}),
 d AS (
-  SELECT v.vec_id, c.centroid_id,
-    v.nrm + c.cnrm - 2 * CAST(list_sum(
-      list_transform(range(1, 65), k -> v.qv[k] * c.cv[k])) AS BIGINT) AS dist2
-  FROM nn v, c),
+  SELECT vc.vec_id, fo.centroid_id,
+    vc.nrm + fo.cnrm - 2 * CAST(list_sum(list_transform(
+      range(1, 65), k -> vc.qv[k] * fo.cv[k])) AS BIGINT) AS dist2
+  FROM vc JOIN fo ON fo.coarse_id = vc.coarse_id),
 rk AS (
   SELECT vec_id, centroid_id,
     row_number() OVER (PARTITION BY vec_id
@@ -413,38 +450,39 @@ ORDER BY e.vec_id
     * prebuilt cell-partitioned index the batch probes into.
     */
   def incrementalSemantic(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = Similarity.quantized(s, dir)
       .withColumn("is_new", SamplingOps.bucket10(col("vec_id")) < 2)
-    val cents = corpus.filter(!col("is_new"))
-      .orderBy("vec_id").limit(semCellCount(s, dir).toInt)
+    val kCells = semCellCount(s, dir)
+    // two-level assignment against the EXISTING-side index seeds (see
+    // semanticCandidates for the O(n·cells) → O(n·√cells) rationale);
+    // the coarse seeds are a prefix of the fine seeds, both existing-only
+    val fine = corpus.filter(!col("is_new"))
+      .orderBy("vec_id").limit(kCells.toInt)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
-    val dists = corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("is_new"), col("centroid_id"),
-        (col("nrm") + col("cnrm") -
-          lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
-          .as("dist2"))
-    val byNearest = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("centroid_id").asc)
-    val asg = dists.withColumn("rk", row_number().over(byNearest))
-      .filter(col("rk") <= SemProbes)
-      .select(col("vec_id"), col("is_new"), col("centroid_id").as("cell"))
-    val cand = asg.filter(col("is_new")).as("a")
-      .join(asg.filter(!col("is_new")).as("b"), Seq("cell"))
-      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"))
-      .distinct()
-    val side = corpus.select(col("vec_id"), col("qv"), col("nrm"))
-    cand
-      .join(side.select(col("vec_id").as("new_id"), col("qv").as("qa"),
-        col("nrm").as("na")), "new_id")
-      .join(side.select(col("vec_id").as("corpus_id"), col("qv").as("qb"),
-        col("nrm").as("nb")), "corpus_id")
+    val coarse = corpus.filter(!col("is_new"))
+      .orderBy("vec_id").limit(Similarity.coarseCount(kCells).toInt)
+      .select(col("vec_id").as("coarse_id"), col("qv").as("gv"),
+        col("nrm").as("gnrm"))
+    val asg = Similarity.ivfAssignTwoLevel(
+        corpus.select("vec_id", "qv", "nrm"), fine, coarse, SemProbes)
+      .withColumn("is_new", SamplingOps.bucket10(col("vec_id")) < 2)
+    // fused scoring (see semanticPairs): vectors ride the assignment
+    // sides, cosine projected inline, distinct on the narrow output
+    val asgv = asg
+      .join(corpus.select(col("vec_id"), col("qv"), col("nrm")), "vec_id")
+    asgv.filter(col("is_new"))
+      .select(col("vec_id").as("new_id"), col("cell"), col("qv").as("qa"),
+        col("nrm").as("na"))
+      .join(asgv.filter(!col("is_new"))
+        .select(col("vec_id").as("corpus_id"), col("cell"),
+          col("qv").as("qb"), col("nrm").as("nb")), "cell")
       .select(col("new_id"), col("corpus_id"),
         (call_function("vec_dot_long", col("qa"), col("qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
           .as("cosine"))
       .filter(col("cosine") >= SemThreshold)
+      .distinct()
       .orderBy("new_id", "corpus_id")
   }
 
@@ -460,15 +498,42 @@ nn AS (
   SELECT vec_id, qv, is_new,
     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
   FROM n),
-c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
-      FROM nn WHERE NOT is_new
-      QUALIFY row_number() OVER (ORDER BY vec_id) <= greatest($SemCells,
-        (SELECT count(*) FROM embeddings) // $SemCellTarget)),
+kc AS (SELECT greatest($SemCells,
+         (SELECT count(*) FROM embeddings) // $SemCellTarget) AS kcells),
+cq AS (SELECT CASE WHEN fs * fs >= kcells THEN fs ELSE fs + 1 END AS c2
+       FROM (SELECT kcells,
+               CAST(floor(sqrt(CAST(kcells AS DOUBLE))) AS BIGINT) AS fs
+             FROM kc)),
+cs AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm,
+         row_number() OVER (ORDER BY vec_id) AS rn
+       FROM nn WHERE NOT is_new),
+c AS (SELECT centroid_id, cv, cnrm FROM cs
+      WHERE rn <= (SELECT kcells FROM kc)),
+g AS (SELECT centroid_id AS coarse_id, cv AS gv, cnrm AS gnrm FROM cs
+      WHERE rn <= (SELECT c2 FROM cq)),
+fo AS (
+  SELECT coarse_id, centroid_id, cv, cnrm FROM (
+    SELECT g.coarse_id, c.centroid_id, c.cv, c.cnrm,
+      row_number() OVER (PARTITION BY c.centroid_id
+        ORDER BY c.cnrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> c.cv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS frk
+    FROM c, g)
+  WHERE frk = 1),
+vc AS (
+  SELECT vec_id, is_new, qv, nrm, coarse_id FROM (
+    SELECT v.vec_id, v.is_new, v.qv, v.nrm, g.coarse_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY v.nrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> v.qv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS crk
+    FROM nn v, g)
+  WHERE crk <= ${Similarity.CoarseProbes}),
 d AS (
-  SELECT v.vec_id, v.is_new, c.centroid_id,
-    v.nrm + c.cnrm - 2 * CAST(list_sum(
-      list_transform(range(1, 65), k -> v.qv[k] * c.cv[k])) AS BIGINT) AS dist2
-  FROM nn v, c),
+  SELECT vc.vec_id, vc.is_new, fo.centroid_id,
+    vc.nrm + fo.cnrm - 2 * CAST(list_sum(list_transform(
+      range(1, 65), k -> vc.qv[k] * fo.cv[k])) AS BIGINT) AS dist2
+  FROM vc JOIN fo ON fo.coarse_id = vc.coarse_id),
 rk AS (
   SELECT vec_id, is_new, centroid_id,
     row_number() OVER (PARTITION BY vec_id

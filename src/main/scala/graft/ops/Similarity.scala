@@ -960,51 +960,139 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
     */
   private val KnnCellTarget = 128L
 
+  /** Coarse cells probed per vector in the two-level assignment — dual
+    * coarse probing for the same boundary-recall reason as the dual FINE
+    * assignment ([[KnnProbes]]/SemProbes).
+    */
+  private[ops] val CoarseProbes = 2
+
+  /** Smallest integer c with c·c ≥ k — the coarse cell count of the
+    * two-level IVF assignment. `floor(sqrt)` over IEEE doubles is exact
+    * here (sqrt is correctly rounded and k < 2⁵²), and the +1 adjustment
+    * re-checks with integer arithmetic anyway; the IDENTICAL expression is
+    * evaluated in the oracles, so the hierarchy is bit-deterministic.
+    */
+  private[ops] def coarseCount(k: Long): Long = {
+    val fs = math.floor(math.sqrt(k.toDouble)).toLong
+    if (fs * fs >= k) fs else fs + 1
+  }
+
+  /** Two-level IVF assignment: vector → `probes` nearest FINE centroids,
+    * with candidate fines restricted to those OWNED by the vector's
+    * [[CoarseProbes]] nearest COARSE centroids (each fine is owned by its
+    * single nearest coarse; coarse seeds are the [[coarseCount]] lowest-id
+    * fines, so every coarse cell owns at least itself).
+    *
+    * Why two levels: single-level assignment is corpus × fines, and with
+    * the corpus-scaled fine count (n/128 — the scaling that keeps
+    * CANDIDATE PAIRS linear) that stage is O(n²/128). Invisible at the
+    * 10× smoke; the 100× smoke measured it at 235× wall for 100× data
+    * (ann_knn_join 1.36 s → 320 s). Routing through √cells coarse cells
+    * cuts assignment to O(n·√cells) distance evaluations while leaving
+    * per-cell occupancy — and therefore the law-pinned linear candidate
+    * bound — untouched. This is the classic two-level coarse quantizer
+    * (IVF/IMI); deeper hierarchies generalize the same construction if a
+    * corpus outgrows two levels, and stay oracle-expressible.
+    *
+    * Determinism: both levels rank by exact int64 (dist², id), and the
+    * oracles mirror the construction CTE-for-CTE, so the approximate
+    * assignment is still bit-reproduced cross-engine. The fine→owner map
+    * is a function (frk = 1), so a vector probing two coarse cells can
+    * never see the same fine twice — no dedup step is needed.
+    *
+    * @param corpus (vec_id, qv, nrm); extra columns are not carried
+    * @param fine   (centroid_id, cv, cnrm) — the kCells seeds
+    * @param coarse (coarse_id, gv, gnrm) — the coarseCount(kCells)
+    *               lowest seeds (each caller supplies its own closed form)
+    * @return (vec_id, cell) — up to `probes` rows per vector
+    */
+  private[ops] def ivfAssignTwoLevel(corpus: DataFrame, fine: DataFrame,
+      coarse: DataFrame, probes: Int): DataFrame = {
+    def d2(na: Column, nb: Column, va: Column, vb: Column): Column =
+      na + nb - lit(2L) * call_function("vec_dot_long", va, vb)
+    // each fine -> its one owning coarse (seeds × √cells of them: tiny)
+    val byFine = Window.partitionBy("centroid_id")
+      .orderBy(col("fd").asc, col("coarse_id").asc)
+    val owned = fine.join(broadcast(coarse))
+      .select(col("centroid_id"), col("cv"), col("cnrm"), col("coarse_id"),
+        d2(col("cnrm"), col("gnrm"), col("cv"), col("gv")).as("fd"))
+      .withColumn("frk", row_number().over(byFine))
+      .filter(col("frk") === 1)
+      .select("coarse_id", "centroid_id", "cv", "cnrm")
+    // vector -> CoarseProbes nearest coarse: the n·√cells pass (broadcast
+    // nested loop over the genuinely-broadcastable √cells coarse set)
+    val byCoarse = Window.partitionBy("vec_id")
+      .orderBy(col("cd").asc, col("coarse_id").asc)
+    val vCoarse = corpus.join(broadcast(coarse))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("coarse_id"),
+        d2(col("nrm"), col("gnrm"), col("qv"), col("gv")).as("cd"))
+      .withColumn("crk", row_number().over(byCoarse))
+      .filter(col("crk") <= CoarseProbes)
+      .select("vec_id", "qv", "nrm", "coarse_id")
+    // vector -> probes nearest of the fines its coarse cells own. The fine
+    // side stays an EQUI-join on coarse_id (no hint: at bench SFs AQE
+    // broadcasts it; at 100 TB an n/128-row index is shuffle-partitioned
+    // by coarse_id and this becomes the cell-local probe of a real IVF).
+    val byNearest = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    vCoarse.join(owned, "coarse_id")
+      .select(col("vec_id"), col("centroid_id"),
+        d2(col("nrm"), col("cnrm"), col("qv"), col("cv")).as("dist2"))
+      .withColumn("rk", row_number().over(byNearest))
+      .filter(col("rk") <= probes)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+  }
+
   /** Full kNN SELF-join: top-[[KnnK]] neighbors for EVERY corpus vector —
     * the all-vectors sibling of the probe-set queries above, and the
     * workhorse behind kNN-graph construction (semantic dedup, label
     * propagation, diversity sampling all start from this graph).
     *
-    * Candidates come from dual IVF assignment (each vector joins its
+    * Candidates come from dual IVF assignment through the TWO-LEVEL
+    * coarse quantizer ([[ivfAssignTwoLevel]] — each vector joins its
     * [[KnnProbes]] nearest of [[KnnCells]] first-vector-seeded centroid
-    * cells — the `dedup_semantic_clusters` bucketing), so the join is an
-    * EQUI-join on the cell key producing O(n·cell_size) directed pairs —
-    * never the n² term a naive kNN join implies. Per-vector ranking is a
-    * window over each vector's own candidate list (bounded by its cells'
+    * cells, located via its [[CoarseProbes]] nearest coarse cells), so
+    * the pair join is an EQUI-join on the cell key producing
+    * O(n·cell_size) directed pairs — never the n² term a naive kNN join
+    * implies — and the assignment itself is O(n·√cells), not the
+    * O(n·cells) the 100× smoke caught. Per-vector ranking is a window
+    * over each vector's own candidate list (bounded by its cells'
     * occupancy). Cosine is the exact quantized kernel; ranking ties break
     * on neighbor id, so the graph is engine-independent.
     *
     * The cell count scales with corpus size — `max(16, n/128)`, constant
     * per-cell occupancy — so the candidate pair set grows LINEARLY in n
     * (see [[KnnCellTarget]]); the corpus cardinality is one cheap
-    * column-pruned count job, and the SAME closed form is evaluated in
-    * the DuckDB oracle, so the graph stays bit-deterministic.
+    * column-pruned count job, and the SAME closed forms (cell count AND
+    * coarse count AND both assignment levels) are evaluated in the DuckDB
+    * oracle, so the graph stays bit-deterministic.
     */
-  /** The candidate edge set of [[knnJoin]] — IVF dual assignment with the
-    * corpus-scaled cell count, distinct directed (i, j) pairs sharing a
-    * cell. Split out so the Round8 linearity law can count candidates at
-    * two corpus sizes: the `max(KnnCells, n/KnnCellTarget)` closed form is
-    * what keeps this set O(n), and a future "tune nprobe/cells" edit that
-    * reverts to a fixed cell count turns it quadratic again (the r7 sf1
-    * smoke measured that cliff at 123× wall-clock for 10× data).
+  /** The candidate edge set of [[knnJoin]] — two-level IVF dual assignment
+    * with the corpus-scaled cell count, distinct directed (i, j) pairs
+    * sharing a cell. Split out so the Round8 linearity law can count
+    * candidates at two corpus sizes: the `max(KnnCells, n/KnnCellTarget)`
+    * closed form is what keeps this set O(n), and a future "tune
+    * nprobe/cells" edit that reverts to a fixed cell count turns it
+    * quadratic again (the r7 sf1 smoke measured that cliff at 123×
+    * wall-clock for 10× data).
     */
-  private[graft] def knnCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** The (vec_id, cell) dual assignment knnJoin and knnCandidates share. */
+  private[graft] def knnAssignments(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
     val nVec = Registry.table(s, dir, "embeddings").count()
     val kCells = math.max(KnnCells.toLong, nVec / KnnCellTarget)
-    val cents = corpus.filter(col("vec_id") < kCells)
+    val fine = corpus.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))
-    val dists = corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (col("nrm") + col("cnrm") -
-          lit(2L) * call_function("vec_dot_long", col("qv"), col("cv")))
-          .as("dist2"))
-    val byNearest = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("centroid_id").asc)
-    val asg = dists.withColumn("rk", row_number().over(byNearest))
-      .filter(col("rk") <= KnnProbes)
-      .select(col("vec_id"), col("centroid_id").as("cell"))
+    val coarse = corpus.filter(col("vec_id") < coarseCount(kCells))
+      .select(col("vec_id").as("coarse_id"), col("qv").as("gv"),
+        col("nrm").as("gnrm"))
+    ivfAssignTwoLevel(corpus.select("vec_id", "qv", "nrm"), fine, coarse,
+      KnnProbes)
+  }
+
+  private[graft] def knnCandidates(s: SparkSession, dir: String): DataFrame = {
+    val asg = knnAssignments(s, dir)
     asg.as("a")
       .join(asg.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
@@ -1014,15 +1102,26 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
 
   def knnJoin(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
-    val cand = knnCandidates(s, dir)
-    val side = corpus.select(col("vec_id"), col("qv"), col("nrm"))
-    val scored = cand
-      .join(side.select(col("vec_id").as("i"), col("qv").as("qa"),
-        col("nrm").as("na")), "i")
-      .join(side.select(col("vec_id").as("j"), col("qv").as("qb"),
-        col("nrm").as("nb")), "j")
+    // Fused scoring: vectors ride the (2n-row) ASSIGNMENT sides of the
+    // cell self-join and cosine is projected inline, so the only wide
+    // dataset ever shuffled is the narrow (i, j, cosine) triple. The
+    // earlier shape — distinct (i, j) candidates re-joined against the
+    // vector table twice — moved the 512-byte qv arrays through two
+    // extra shuffles of the FULL candidate set (~100 GB at the 100×
+    // smoke, measured 286 s; identical values either way, so the oracle
+    // is unchanged). distinct() lands after cosine: a pair sharing both
+    // probed cells produces byte-identical rows, which it collapses.
+    val asgv = knnAssignments(s, dir)
+      .join(corpus.select(col("vec_id"), col("qv"), col("nrm")), "vec_id")
+    val scored = asgv
+      .select(col("vec_id").as("i"), col("cell"), col("qv").as("qa"),
+        col("nrm").as("na"))
+      .join(asgv.select(col("vec_id").as("j"), col("cell"),
+        col("qv").as("qb"), col("nrm").as("nb")), "cell")
+      .filter(col("i") =!= col("j"))
       .select(col("i"), col("j"),
         cosine(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+      .distinct()
     val w = Window.partitionBy("i").orderBy(col("cosine").desc, col("j").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnK)
@@ -1041,15 +1140,39 @@ nn AS (
   SELECT vec_id, qv,
     CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
   FROM n),
+kc AS (SELECT greatest($KnnCells,
+         (SELECT count(*) FROM embeddings) // $KnnCellTarget) AS kcells),
+cq AS (SELECT CASE WHEN fs * fs >= kcells THEN fs ELSE fs + 1 END AS c2
+       FROM (SELECT kcells,
+               CAST(floor(sqrt(CAST(kcells AS DOUBLE))) AS BIGINT) AS fs
+             FROM kc)),
 c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
-      FROM nn
-      WHERE vec_id < greatest($KnnCells,
-        (SELECT count(*) FROM embeddings) // $KnnCellTarget)),
+      FROM nn WHERE vec_id < (SELECT kcells FROM kc)),
+g AS (SELECT centroid_id AS coarse_id, cv AS gv, cnrm AS gnrm
+      FROM c WHERE centroid_id < (SELECT c2 FROM cq)),
+fo AS (
+  SELECT coarse_id, centroid_id, cv, cnrm FROM (
+    SELECT g.coarse_id, c.centroid_id, c.cv, c.cnrm,
+      row_number() OVER (PARTITION BY c.centroid_id
+        ORDER BY c.cnrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> c.cv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS frk
+    FROM c, g)
+  WHERE frk = 1),
+vc AS (
+  SELECT vec_id, qv, nrm, coarse_id FROM (
+    SELECT v.vec_id, v.qv, v.nrm, g.coarse_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY v.nrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> v.qv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS crk
+    FROM nn v, g)
+  WHERE crk <= $CoarseProbes),
 d AS (
-  SELECT v.vec_id, c.centroid_id,
-    v.nrm + c.cnrm - 2 * CAST(list_sum(
-      list_transform(range(1, 65), k -> v.qv[k] * c.cv[k])) AS BIGINT) AS dist2
-  FROM nn v, c),
+  SELECT vc.vec_id, fo.centroid_id,
+    vc.nrm + fo.cnrm - 2 * CAST(list_sum(list_transform(
+      range(1, 65), k -> vc.qv[k] * fo.cv[k])) AS BIGINT) AS dist2
+  FROM vc JOIN fo ON fo.coarse_id = vc.coarse_id),
 rk AS (
   SELECT vec_id, centroid_id,
     row_number() OVER (PARTITION BY vec_id

@@ -411,9 +411,11 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan(df)
     assert(!plan.contains("CartesianProduct"),
       s"semantic pair stage grew a cartesian product:\n${plan.take(2000)}")
-    // the only admissible nested loop is the 16-row centroid fan-out; the
-    // candidate join itself must be a hash equi-join on the cell key
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+    // admissible nested loops are exactly the TWO two-level fan-outs:
+    // fine-seeds × √cells coarse (tiny × tiny) and corpus × √cells coarse
+    // (the designed O(n·√cells) pass); the fine-probe and candidate joins
+    // must be hash equi-joins (coarse_id / cell key)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
       s"corpus-level nested loop in semantic pair stage:\n${plan.take(2000)}")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"),
@@ -436,8 +438,9 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan(ops.Similarity.knnJoin(spark, sfDir))
     assert(!plan.contains("CartesianProduct"),
       s"knn join grew a cartesian product:\n${plan.take(2000)}")
-    // only admissible nested loop: the 16-row centroid fan-out
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+    // admissible nested loops: the two two-level fan-outs (fine-seeds ×
+    // √cells coarse, corpus × √cells coarse — see ivfAssignTwoLevel)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
       s"corpus-level nested loop in knn join:\n${plan.take(2000)}")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"),
