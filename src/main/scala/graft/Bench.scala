@@ -81,20 +81,33 @@ object Bench {
       "calendar spines <=2.4k rows; see PlanSpec bounded-input assertions), " +
       "not unbounded single-partition sorts."
     System.err.println(windowWarnNote)
+    // A query that THROWS must not masquerade as a fast healthy number:
+    // its time-to-fail still lands in the breakdown (the total stays a
+    // wall-clock truth), but the failure is named loudly — stderr per
+    // query, an `errors` map in bench_detail.json, and an `errors` count
+    // on the stdout line when nonzero. (Found the hard way: an
+    // under-provisioned heap at a 100× smoke OOM'd most queries and the
+    // swallowing catch made the run look 4× FASTER than the 1× corpus.)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = headline.zipWithIndex.map { case ((name, q), i) =>
       if (i > 0 && i % gcEvery == 0) System.gc()
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
+        catch {
+          case t: Throwable =>
+            errors(name) = t.getClass.getSimpleName
+            System.err.println(s"[bench] ERROR $name failed: $t")
+            -1L
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> median(times)
     }
     val total = results.map(_._2).sum
-    writeDetail(results, total, sfDir, reps)
+    writeDetail(results, total, sfDir, reps, errors.toSeq)
     System.err.println(windowWarnNote)
-    println(renderLine(results, total, sfDir))
+    println(renderLine(results, total, sfDir, errors.size))
     spark.stop()
   }
 
@@ -110,14 +123,19 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  /** One JSON line under [[LineBudget]]: totals + slowest queries first. */
+  /** One JSON line under [[LineBudget]]: totals + slowest queries first.
+    * `nErrors` appears as an `"errors"` key only when nonzero, so the
+    * driver's historical line shape is byte-stable for healthy runs.
+    */
   private[graft] def renderLine(
-      results: Seq[(String, Double)], total: Double, sfDir: String): String = {
+      results: Seq[(String, Double)], total: Double, sfDir: String,
+      nErrors: Int = 0): String = {
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
         .mkString("{", ",", "}")
+      val errField = if (nErrors > 0) s""""errors":$nErrors,""" else ""
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec",""" +
-        s""""nq":${results.size},"omitted":$omitted,"queries":$qs,""" +
+        s""""nq":${results.size},"omitted":$omitted,$errField"queries":$qs,""" +
         s""""detail":"bench_detail.json","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy(-_._2)
@@ -131,11 +149,18 @@ object Bench {
     line(bySlowest.take(keep), bySlowest.length - keep)
   }
 
-  /** Full name-sorted per-query breakdown, for the repo/judge. */
+  /** Full name-sorted per-query breakdown, for the repo/judge. Failed
+    * queries (exception during the timed pass) appear in an `errors` map
+    * (query → exception class), present only when any failed.
+    */
   private def writeDetail(results: Seq[(String, Double)], total: Double,
-      sfDir: String, reps: Int): Unit = {
+      sfDir: String, reps: Int, errors: Seq[(String, String)]): Unit = {
     val qs = results.map { case (k, v) => s"""  "$k": ${sec3(v)}""" }
       .mkString("{\n", ",\n", "\n}")
+    val errField =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"""  "$k": "$v"""" }
+        .mkString("\"errors\": {\n", ",\n", "\n},\n")
     val json =
       s"""{
          |"metric": "total",
@@ -143,7 +168,7 @@ object Bench {
          |"unit": "sec",
          |"nq": ${results.size},
          |"reps": $reps,
-         |"sf": "$sfDir",
+         |$errField"sf": "$sfDir",
          |"queries": $qs
          |}""".stripMargin
     try {

@@ -40,6 +40,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(kept > 0)
   }
 
+  test("errors key appears only when a query failed") {
+    val rs = fakeResults(5)
+    val healthy = Bench.renderLine(rs, rs.map(_._2).sum, "/tmp/sf")
+    assert(!healthy.contains(""""errors""""),
+      "healthy line must keep the historical shape")
+    val failing = Bench.renderLine(rs, rs.map(_._2).sum, "/tmp/sf", nErrors = 3)
+    assert(failing.contains(""""errors":3,"""))
+  }
+
   test("real registry names at worst-case widths still fit") {
     val rs = Registry.all.keys.toSeq.sorted.map(_ -> 99.999)
     val line = Bench.renderLine(rs, rs.map(_._2).sum, "/root/testdata/sf0.1")
