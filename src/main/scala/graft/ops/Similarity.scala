@@ -964,7 +964,7 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
     * coarse probing for the same boundary-recall reason as the dual FINE
     * assignment ([[KnnProbes]]/SemProbes).
     */
-  private[ops] val CoarseProbes = 2
+  private[graft] val CoarseProbes = 2
 
   /** Smallest integer c with c·c ≥ k — the coarse cell count of the
     * two-level IVF assignment. `floor(sqrt)` over IEEE doubles is exact
@@ -972,7 +972,7 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
     * re-checks with integer arithmetic anyway; the IDENTICAL expression is
     * evaluated in the oracles, so the hierarchy is bit-deterministic.
     */
-  private[ops] def coarseCount(k: Long): Long = {
+  private[graft] def coarseCount(k: Long): Long = {
     val fs = math.floor(math.sqrt(k.toDouble)).toLong
     if (fs * fs >= k) fs else fs + 1
   }
@@ -1006,7 +1006,7 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
     *               lowest seeds (each caller supplies its own closed form)
     * @return (vec_id, cell) — up to `probes` rows per vector
     */
-  private[ops] def ivfAssignTwoLevel(corpus: DataFrame, fine: DataFrame,
+  private[graft] def ivfAssignTwoLevel(corpus: DataFrame, fine: DataFrame,
       coarse: DataFrame, probes: Int): DataFrame = {
     def d2(na: Column, nb: Column, va: Column, vb: Column): Column =
       na + nb - lit(2L) * call_function("vec_dot_long", va, vb)
