@@ -91,17 +91,25 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = headline.zipWithIndex.map { case ((name, q), i) =>
       if (i > 0 && i % gcEvery == 0) System.gc()
+      var fails = 0
+      var lastErr = ""
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).count()
         catch {
           case t: Throwable =>
-            errors(name) = t.getClass.getSimpleName
+            fails += 1
+            lastErr = t.getClass.getSimpleName
             System.err.println(s"[bench] ERROR $name failed: $t")
             -1L
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // a PARTIALLY-failed median mixes time-to-fail with healthy reps —
+      // record the rep failure count so the breakdown is interpretable
+      // (reps=1 keeps the historical bare-class-name shape)
+      if (fails > 0) errors(name) =
+        if (reps > 1) s"$fails/$reps reps: $lastErr" else lastErr
       name -> median(times)
     }
     val total = results.map(_._2).sum

@@ -1409,11 +1409,16 @@ FROM wt GROUP BY replicate ORDER BY replicate
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         count(lit(1)).as("exact_users")) // distinct by construction
       .localCheckpoint() // ≤5 rows, consumed by every pair
+    // Each sketch side reduces through a groupBy-less aggregate so a
+    // hard-coded pair type ABSENT from the corpus still yields its one
+    // row (null sketch/exact columns) instead of the crossJoin silently
+    // dropping the pair — absence is visible in the output, never a
+    // shrunken grid. `first` over the ≤1-row filtered frame is exact.
     val pairs = HllPairs.map { case (a, b) =>
       val skA = per.filter(col("event_type") === a)
-        .select(col("sk").as("sk_a"), col("exact_users").as("exact_a"))
+        .agg(first("sk").as("sk_a"), first("exact_users").as("exact_a"))
       val skB = per.filter(col("event_type") === b)
-        .select(col("sk").as("sk_b"), col("exact_users").as("exact_b"))
+        .agg(first("sk").as("sk_b"), first("exact_users").as("exact_b"))
       val exact = membership.filter(col("event_type").isin(a, b))
         .groupBy("user_id").agg(count(lit(1)).as("nt"))
         .agg(sum(when(col("nt") === 2, 1L).otherwise(0L))
@@ -1546,7 +1551,139 @@ FROM wt GROUP BY replicate ORDER BY replicate
       .orderBy("o_orderpriority")
   }
 
+  // ------------------------------- exact anchors for the sketch family
+  /** Exact audience-overlap grid for [[hllIntersection]]'s three event-type
+    * pairs — the DETERMINISTIC ANCHOR of the HLL inclusion–exclusion
+    * family. The sketch query is rows-only by design (sketch bytes are
+    * engine-specific); this companion recomputes every exact column of
+    * that output — |A|, |B|, |A∪B|, |A∩B| per pair — as its own
+    * hash-gated query, so the family has a green DuckDB-checked core and
+    * Round14PropertySpec can pin sketch-row exact columns == anchor rows.
+    *
+    * One corpus pass: per-user type flags are a single map-side-combined
+    * aggregate over the distinct (type, user) membership; all pair
+    * counts then reduce the per-user flag frame once (intersection =
+    * Σ flagA·flagB, union by inclusion–exclusion on exact counts — no
+    * per-pair re-scan, no self-join). The pair list is derived from
+    * [[HllPairs]] so the two queries can never drift apart.
+    */
+  def overlapExact(s: SparkSession, dir: String): DataFrame = {
+    val types = HllPairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val memb = Registry.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val flagCols = types.map(t =>
+      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"has_$t"))
+    val perUser = memb.groupBy("user_id")
+      .agg(flagCols.head, flagCols.tail: _*)
+    val aggs = types.map(t => sum(s"has_$t").as(s"n_$t")) ++
+      HllPairs.map { case (a, b) =>
+        sum(col(s"has_$a") * col(s"has_$b")).as(s"i_${a}_$b") }
+    val one = perUser.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // 1 row; each pair below projects it
+    HllPairs.map { case (a, b) =>
+      one.select(lit(a).as("type_a"), lit(b).as("type_b"),
+        col(s"n_$a").as("exact_a"), col(s"n_$b").as("exact_b"),
+        (col(s"n_$a") + col(s"n_$b") - col(s"i_${a}_$b")).as("exact_union"),
+        col(s"i_${a}_$b").as("exact_intersection"))
+    }.reduce(_ unionByName _).orderBy("type_a", "type_b")
+  }
+
+  private val overlapExactOracle = """
+WITH memb AS (SELECT DISTINCT event_type, user_id FROM events),
+per_user AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+  FROM memb GROUP BY user_id),
+agg AS (SELECT
+    CAST(sum(has_view) AS BIGINT) AS n_view,
+    CAST(sum(has_click) AS BIGINT) AS n_click,
+    CAST(sum(has_signup) AS BIGINT) AS n_signup,
+    CAST(sum(has_purchase) AS BIGINT) AS n_purchase,
+    CAST(sum(has_view * has_click) AS BIGINT) AS i_view_click,
+    CAST(sum(has_view * has_purchase) AS BIGINT) AS i_view_purchase,
+    CAST(sum(has_signup * has_purchase) AS BIGINT) AS i_signup_purchase
+  FROM per_user)
+SELECT 'view' AS type_a, 'click' AS type_b, n_view AS exact_a,
+  n_click AS exact_b, n_view + n_click - i_view_click AS exact_union,
+  i_view_click AS exact_intersection FROM agg
+UNION ALL
+SELECT 'view', 'purchase', n_view, n_purchase,
+  n_view + n_purchase - i_view_purchase, i_view_purchase FROM agg
+UNION ALL
+SELECT 'signup', 'purchase', n_signup, n_purchase,
+  n_signup + n_purchase - i_signup_purchase, i_signup_purchase FROM agg
+ORDER BY type_a, type_b
+"""
+
+  /** Exact quantile anchor for [[kllQuantiles]] — per-segment p50/p90 in
+    * integer cents PLUS the one row [[quantilesHistogram]] cannot supply:
+    * the GLOBAL ('ALL') exact quantiles the MERGED sketch estimates. KLL
+    * is the registry's sampling sketch (rows-only by design); this
+    * companion hash-gates the deterministic core the sketch approximates,
+    * giving the family a green DuckDB-checked anchor for both the
+    * per-segment and the merged estimates.
+    *
+    * Cost discipline: ONE fact pass builds the (priority, value¢)
+    * histogram; the global spine is a RE-AGGREGATION of that histogram
+    * (O(distinct values), not a second orders scan), and both walks run
+    * over the unioned histogram in the same per-segment window — the
+    * [[quantilesHistogram]] selection shape, lower/`quantile_disc`
+    * semantics, integer cents end to end.
+    */
+  def kllExactAnchor(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(30, 2)) * lit(100))
+      .cast("long")
+    val hist = table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), cents.as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the segment walk AND the global re-agg
+    val seg = hist.select(col("o_orderpriority").as("segment"),
+      col("v"), col("c"))
+    val glob = hist.groupBy("v").agg(sum("c").as("c"))
+      .select(lit("ALL").as("segment"), col("v"), col("c"))
+    val wCum = Window.partitionBy("segment").orderBy("v")
+    val wAll = Window.partitionBy("segment")
+    def pick(p: Double): Column =
+      min(when(col("cum") >= ceil(col("n") * p), col("v")))
+    seg.unionByName(glob)
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("segment")
+      .agg(max("n").as("n_orders"),
+        pick(0.5).as("exact_p50_cents"),
+        pick(0.9).as("exact_p90_cents"))
+      .orderBy("segment")
+  }
+
+  private val kllExactAnchorOracle = """
+WITH hist AS (
+  SELECT o_orderpriority,
+    CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+    count(*) AS c
+  FROM orders GROUP BY 1, 2),
+both_h AS (
+  SELECT o_orderpriority AS segment, v, c FROM hist
+  UNION ALL
+  SELECT 'ALL' AS segment, v, sum(c) AS c FROM hist GROUP BY 2),
+cum AS (
+  SELECT segment, v,
+    sum(c) OVER (PARTITION BY segment ORDER BY v) AS cum,
+    sum(c) OVER (PARTITION BY segment) AS n
+  FROM both_h)
+SELECT segment,
+  CAST(max(n) AS BIGINT) AS n_orders,
+  min(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS exact_p50_cents,
+  min(CASE WHEN cum >= ceil(n * 0.9) THEN v END) AS exact_p90_cents
+FROM cum GROUP BY segment ORDER BY segment
+"""
+
   val queries: Map[String, QueryDef] = Map(
+    "stats_overlap_exact" -> QueryDef(overlapExact, Some(overlapExactOracle)),
+    "stats_kll_exact_anchor" ->
+      QueryDef(kllExactAnchor, Some(kllExactAnchorOracle)),
     "stats_kll_quantiles" -> QueryDef(kllQuantiles, None),
     "stats_cms_heavyhitters" -> QueryDef(cmsHeavyHitters, None),
     "stats_hll_mergeable" -> QueryDef(hllMergeable, None),

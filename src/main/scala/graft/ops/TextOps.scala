@@ -313,6 +313,14 @@ FROM bl ORDER BY doc_id
     * rule constants sit mid-distribution at every SF (each rule fails a
     * real fraction of the corpus — a threshold no doc ever crosses would
     * certify nothing).
+    *
+    * Collision assumption (shared with [[bigramQuality]]): Spark groups
+    * grams by 64-bit shingle HASH while the oracle groups by literal gram
+    * STRING — a 64-bit collision between two distinct grams of one
+    * document would silently diverge the engines. At ≤10⁴ grams/doc the
+    * per-doc birthday bound is ~10⁻¹¹; Round14PropertySpec additionally
+    * certifies the fixture collision-free (per-doc distinct hashed grams
+    * == distinct string grams).
     */
   def gopherRules(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)

@@ -48,8 +48,16 @@ class JoinStrategySpec extends SparkSpec {
     */
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq.map(c => s"`$c`")
+    // Binary columns render as hex: String.valueOf on Array[Byte] is JVM
+    // identity ("[B@..."), which would spuriously fail the comparison (or
+    // trivially pass it when instances are shared) if a registry query
+    // ever emits raw sketch bytes.
+    def render(v: Any): String = v match {
+      case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+      case other          => String.valueOf(other)
+    }
     df.selectExpr(cols: _*).collect()
-      .map(_.toSeq.map(v => String.valueOf(v)).mkString("\u0001"))
+      .map(_.toSeq.map(render).mkString("\u0001"))
       .toSeq.sorted
   }
 
@@ -78,8 +86,10 @@ class JoinStrategySpec extends SparkSpec {
             s"$name changed values when broadcast joins were disabled — " +
               "an output-order-sensitive tie or first-wins aggregation " +
               "downstream of a join; first diff: " +
-              s"${a.zip(b).find(p => p._1 != p._2)
-                .orElse(Some((s"sizes ${a.size}", s"${b.size}")))}")
+              s"${a.zipAll(b, "<missing>", "<missing>")
+                .find(p => p._1 != p._2)
+                .map(p => s"default=${p._1} forced=${p._2}")
+                .getOrElse(s"sizes ${a.size} vs ${b.size}")}")
         }
       } finally restore()
     }
