@@ -528,6 +528,60 @@ object EventStream {
     }
   }
 
+  final case class ShardHll(shard: Long, n_seen: Long,
+      registers: Array[Byte])
+
+  /** Streaming mergeable HyperLogLog — the DISTINCT-count sibling of
+    * [[cmsSketchTws]] and the continuous form of `stats_hll_mergeable`'s
+    * pattern: each of 8 shards folds its slice of the user-id stream into
+    * one fixed 4 KiB register array held in state
+    * ([[graft.functions.HllRegisters]]), emitting the registers per
+    * micro-batch with a monotone `n_seen`. Register-wise max union is
+    * commutative, associative and IDEMPOTENT, so the final shard
+    * registers merge into bytes IDENTICAL to one batch-built array over
+    * the same rows — however the stream was micro-batched or sharded,
+    * and even under duplicate delivery — which StreamingSpec asserts as
+    * byte parity (the law the DataSketches binary form cannot state; see
+    * HllRegisters' scaladoc). State per shard is 4 KiB regardless of
+    * stream length: the always-on distinct-users monitor for a
+    * 100 TB/day feed, with the read side free to merge shards and
+    * estimate at any moment.
+    */
+  def hllSketchTws(events: Dataset[StreamEvent]): Dataset[ShardHll] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_id % 8)
+      .transformWithState(new HllSketchProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  final class HllSketchProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StreamEvent, ShardHll] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[ShardHll] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[ShardHll]("hll",
+        org.apache.spark.sql.Encoders.product[ShardHll],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(shard: Long, rows: Iterator[StreamEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ShardHll] = {
+      import graft.functions.HllRegisters
+      val prev = if (st.exists()) st.get()
+        else ShardHll(shard, 0L, HllRegisters.empty())
+      val regs = prev.registers.clone()
+      var n = prev.n_seen
+      rows.foreach { e => HllRegisters.add(regs, e.user_id); n += 1 }
+      val next = ShardHll(shard, n, regs)
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
   /** Stage timestamps on the MICROSECOND grid ([[tsMicros]]) — the batch
     * `funnel_conversion` sequences stages by full timestamp precision
     * (`e.ts > v_ts`), so an ms-truncated comparison would fail to advance

@@ -119,6 +119,11 @@ object StreamBench {
         withRocksDb(spark)(EventStream.runToMemory(spark,
           EventStream.cmsSketchTws(typed()).toDF(), "sb_cms",
           OutputMode.Update()))
+      },
+      "hll_sketch_tws" -> { () =>
+        withRocksDb(spark)(EventStream.runToMemory(spark,
+          EventStream.hllSketchTws(typed()).toDF(), "sb_hll",
+          OutputMode.Update()))
       })
 
     // one untimed warmup of the cheapest case pays source-probe + codegen

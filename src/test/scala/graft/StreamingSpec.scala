@@ -506,6 +506,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL shard registers merge to the batch registers byte-identically") {
+    // the distinct-count sibling of the CMS byte law: register-wise max
+    // union is commutative, associative AND idempotent, so the merged
+    // final shard registers must be byte-identical to one register array
+    // folded over the whole batch — whatever the micro-batch/shard split
+    withRocksDBProvider {
+      import org.apache.spark.sql.expressions.Window
+      val stream = EventStream.readEvents(spark, eventsPath)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[StreamEvent](org.apache.spark.sql.Encoders.product[StreamEvent])
+      val latest = EventStream.runToMemory(spark,
+          EventStream.hllSketchTws(stream).toDF(), "hll_tws",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("shard").orderBy(col("n_seen").desc)))
+        .filter(col("rn") === 1)
+        .select("shard", "n_seen", "registers")
+        .collect()
+      val merged = latest.map(_.getAs[Array[Byte]]("registers"))
+        .foldLeft(functions.HllRegisters.empty())(functions.HllRegisters.merge)
+      // batch twin: fold the SAME rows' user_ids into one register array —
+      // max registers are order-free AND duplicate-insensitive, so any
+      // fold order (and the per-row vs per-distinct feed) gives one form
+      val userRows = Registry.events(spark, sfDir)
+        .select("user_id").collect().map(_.getLong(0))
+      val global = functions.HllRegisters.empty()
+      userRows.foreach(functions.HllRegisters.add(global, _))
+      assert(latest.map(_.getLong(1)).sum == userRows.length.toLong,
+        "stream saw a different row count than the batch")
+      assert(java.util.Arrays.equals(merged, global),
+        "merged shard registers != batch-built global registers")
+      // idempotence corollary: re-merging a shard in changes nothing
+      assert(java.util.Arrays.equals(
+        functions.HllRegisters.merge(merged,
+          latest.head.getAs[Array[Byte]]("registers")), merged))
+      // the estimate is honest: within the 3-sigma band of 1.04/sqrt(m)
+      val exact = userRows.toSet.size.toDouble
+      val est = functions.HllRegisters.estimate(merged)
+      val bound = 3 * 1.04 / math.sqrt(functions.HllRegisters.M) * exact
+      assert(math.abs(est - exact) <= math.max(bound, 1.0),
+        s"HLL estimate $est outside 3-sigma band of exact $exact")
+    }
+  }
+
   test("transformWithState latest-snapshot matches the classic-API upsert") {
     withRocksDBProvider {
       val stream = EventStream.readEvents(spark, eventsPath)
