@@ -2,7 +2,9 @@ package graft
 
 import java.lang.ref.SoftReference
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 
 private[graft] object SessionMemo {
   /** When true, memo maps are ALSO held strongly (per session), disabling
@@ -35,7 +37,90 @@ private[graft] object SessionMemo {
     _pinSessions = v
     if (!v) instances.forEach(_.clearPinned())
   }
+
+  /** Global LRU clock: bumped on every memo touch (hit or store). */
+  private val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def tick(): Long = clock.incrementAndGet()
+
+  /** Every [[Dataset]] nested in a memo value (values are DataFrames,
+    * tuples/seqs of DataFrames, or scalars).
+    */
+  private[graft] def datasetsIn(v: Any): Seq[Dataset[_]] = v match {
+    case d: Dataset[_]     => Seq(d)
+    case p: Product        => p.productIterator.flatMap(datasetsIn).toSeq
+    case it: Iterable[_]   => it.iterator.flatMap(datasetsIn).toSeq
+    case _                 => Nil
+  }
+
+  /** The materialized-block handles a memo value's plan references: every
+    * `LogicalRDD` in the analyzed plan. For a `localCheckpoint`ed value
+    * the ROOT is its own checkpoint RDD; interior LogicalRDDs are other
+    * memos' bases the plan still reads (a `persist()`-style value that
+    * was never checkpointed itself).
+    */
+  private[graft] def referencedRdds(v: Any): Seq[RDD[_]] =
+    datasetsIn(v).flatMap(_.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd
+    })
+
+  /** Bound the block-manager bytes held by memoized bases — the
+    * accumulated-`localCheckpoint` posture fix for long sessions (the
+    * r10 verdict's 100×-suite finding: session-lifetime pins distorted
+    * suite timings ~3.5× once the pinned bases outgrew storage memory,
+    * and a 100 TB session would hit the same wall).
+    *
+    * MUST be called only BETWEEN queries: evicting a `localCheckpoint`ed
+    * base whose blocks a still-held plan references is unrecoverable
+    * (checkpointing truncates lineage, so there is nothing to recompute
+    * from). Between queries no plan is outstanding — the memo maps are
+    * the only owners — which is why this is an explicit API driven by
+    * Bench/Verify/servers at their query boundaries, not an implicit
+    * cap inside [[SessionMemo.getOrElseUpdate]].
+    *
+    * Policy: least-recently-touched entries are dropped until the bytes
+    * attributed to live memo entries fit `budgetBytes`. Dropping an entry
+    * removes it from its map (next touch recomputes — a cache, never a
+    * correctness surface) and unpersists exactly those of its referenced
+    * RDDs that NO surviving entry still references, so cross-entry shared
+    * bases (a derived memo reading another memo's checkpoint) stay intact.
+    * Returns the names of evicted entries (observability + tests).
+    */
+  private[graft] def enforceBudget(s: SparkSession, budgetBytes: Long)
+      : Seq[String] = {
+    val entries = instances.toArray(Array.empty[SessionMemo[_]]).toSeq
+      .flatMap(m => m.liveEntries(s).map(e => (m, e)))
+    if (entries.isEmpty) return Nil
+    val sizes: Map[Int, Long] = s.sparkContext.getRDDStorageInfo
+      .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+    def entryIds(e: MemoEntry): Set[Int] = e.rdds.map(_.id).toSet
+    var live = entries.sortBy(_._2.tick) // oldest first
+    def totalBytes: Long =
+      live.flatMap(e => entryIds(e._2)).distinct
+        .map(id => sizes.getOrElse(id, 0L)).sum
+    val evicted = scala.collection.mutable.ListBuffer[String]()
+    while (totalBytes > budgetBytes && live.nonEmpty) {
+      val (memo, victim) = live.head
+      live = live.tail
+      val stillReferenced = live.flatMap(e => entryIds(e._2)).toSet
+      victim.rdds.filterNot(r => stillReferenced(r.id))
+        .foreach(_.unpersist(blocking = false))
+      // a persist()-style value also owns a CacheManager entry keyed by
+      // its (now-stale) plan that no future lookup can ever reuse — drop
+      // it, or its materialized blocks leak for the session lifetime
+      victim.datasets.foreach(d =>
+        try d.unpersist() catch { case _: Throwable => () })
+      memo.drop(s, victim.key)
+      evicted += victim.key
+    }
+    evicted.toList
+  }
 }
+
+/** One live memo entry: its key, the block handles its value references,
+  * and its last-touch tick (LRU order).
+  */
+private[graft] final case class MemoEntry(
+    key: String, rdds: Seq[RDD[_]], datasets: Seq[Dataset[_]], tick: Long)
 
 /** Per-session, per-key memo for derived DataFrames and chains.
   *
@@ -55,18 +140,26 @@ private[graft] object SessionMemo {
   * intentionally pins the session entry — exactly the behavior the soft
   * design exists to avoid in servers), so bench/verify timings can never
   * be distorted by a collector clearing the memo between queries.
+  * [[SessionMemo.enforceBudget]] is the complementary bound: a pinned
+  * session's memo BLOCKS are still evictable at query boundaries once
+  * they outgrow a byte budget.
   */
 private[graft] final class SessionMemo[V] {
 
+  /** value + LRU/block bookkeeping ([[SessionMemo.enforceBudget]]). */
+  private final class Cell(val value: V, val rdds: Seq[RDD[_]]) {
+    @volatile var tick: Long = SessionMemo.tick()
+  }
+
   private val cache =
     new java.util.WeakHashMap[SparkSession,
-      SoftReference[scala.collection.mutable.Map[String, V]]]()
+      SoftReference[scala.collection.mutable.Map[String, Cell]]]()
 
   // populated only under pinSessions; values reference their key's session
   // through the cached DataFrames, deliberately defeating the weak keying
   private val pinned =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, V]]()
+      scala.collection.mutable.Map[String, Cell]]()
 
   SessionMemo.register(this)
 
@@ -80,13 +173,38 @@ private[graft] final class SessionMemo[V] {
   private[graft] def pinnedSessionCount: Int =
     cache.synchronized { pinned.size }
 
+  private def innerFor(s: SparkSession)
+      : Option[scala.collection.mutable.Map[String, Cell]] =
+    Option(pinned.get(s))
+      .orElse(Option(cache.get(s)).flatMap(r => Option(r.get)))
+
+  /** Current entries for a session (eviction bookkeeping). */
+  private[graft] def liveEntries(s: SparkSession): Seq[MemoEntry] =
+    cache.synchronized {
+      innerFor(s).toSeq.flatMap(_.map { case (k, c) =>
+        MemoEntry(k, c.rdds, SessionMemo.datasetsIn(c.value), c.tick) })
+    }
+
+  /** Remove one entry (eviction path — block unpersist happens in
+    * [[SessionMemo.enforceBudget]], which knows cross-entry sharing).
+    */
+  private[graft] def drop(s: SparkSession, key: String): Unit =
+    cache.synchronized { innerFor(s).foreach(_.remove(key)) }
+
   def getOrElseUpdate(s: SparkSession, key: String)(compute: => V): V =
     cache.synchronized {
-      val inner = Option(pinned.get(s))
-        .orElse(Option(cache.get(s)).flatMap(r => Option(r.get)))
-        .getOrElse(scala.collection.mutable.Map.empty[String, V])
+      val inner = innerFor(s)
+        .getOrElse(scala.collection.mutable.Map.empty[String, Cell])
       cache.put(s, new SoftReference(inner))
       if (SessionMemo.pinSessions) pinned.put(s, inner)
-      inner.getOrElseUpdate(key, compute)
+      inner.get(key) match {
+        case Some(cell) =>
+          cell.tick = SessionMemo.tick()
+          cell.value
+        case None =>
+          val v = compute
+          inner.put(key, new Cell(v, SessionMemo.referencedRdds(v)))
+          v
+      }
     }
 }

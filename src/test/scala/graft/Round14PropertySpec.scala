@@ -80,6 +80,85 @@ class Round14PropertySpec extends SparkSpec {
     }
   }
 
+  // --------------- SessionMemo budget eviction (r10 verdict item 2) -----
+  private def ckpt(n: Long): org.apache.spark.sql.DataFrame =
+    spark.range(n).toDF("id").localCheckpoint()
+
+  test("enforceBudget evicts LRU-first, frees blocks, and recompute works") {
+    val memo = new SessionMemo[org.apache.spark.sql.DataFrame]
+    // start from a clean slate for THIS session so LRU order is ours alone
+    SessionMemo.enforceBudget(spark, 0L)
+    var builds = 0
+    def get(key: String, n: Long) = memo.getOrElseUpdate(spark, key) {
+      builds += 1; ckpt(n)
+    }
+    val a = get("a", 10000)
+    val b = get("b", 10000)
+    get("a", 10000) // touch a: b becomes LRU-oldest
+    val idsA = SessionMemo.referencedRdds(a).map(_.id).toSet
+    val idsB = SessionMemo.referencedRdds(b).map(_.id).toSet
+    assert(idsA.nonEmpty && idsB.nonEmpty && (idsA & idsB).isEmpty)
+    def persisted(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert(idsA.subsetOf(persisted()) && idsB.subsetOf(persisted()))
+    val sizes = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+    val bytesA = idsA.toSeq.map(sizes.getOrElse(_, 0L)).sum
+    assert(bytesA > 0, "checkpointed blocks should have measurable size")
+    // budget = just a's bytes -> exactly the LRU-oldest (b) is evicted
+    val ev1 = SessionMemo.enforceBudget(spark, bytesA)
+    assert(ev1 === Seq("b"), s"expected LRU eviction of b, got $ev1")
+    assert(idsA.subsetOf(persisted()), "a's blocks must survive")
+    assert((idsB & persisted()).isEmpty, "b's blocks must be unpersisted")
+    // evicted entry recomputes on next touch; survivor stays a hit
+    assert(builds === 2)
+    get("b", 10000)
+    assert(builds === 3, "evicted entry must recompute")
+    get("a", 10000)
+    assert(builds === 3, "survivor must still be a memo hit")
+    SessionMemo.enforceBudget(spark, 0L) // leave no blocks behind
+    assert((idsA & persisted()).isEmpty)
+  }
+
+  test("enforceBudget keeps blocks a surviving entry still references") {
+    val memo = new SessionMemo[org.apache.spark.sql.DataFrame]
+    SessionMemo.enforceBudget(spark, 0L)
+    val base = memo.getOrElseUpdate(spark, "base")(ckpt(20000))
+    // derived value NOT checkpointed itself: its plan still reads base's
+    // checkpoint RDD — the persist()-style memo shape (Dedup.pairsCache).
+    // Touch order makes derived LRU-OLDEST and base NEWEST.
+    val derived = memo.getOrElseUpdate(spark, "derived") {
+      val d = base.filter(org.apache.spark.sql.functions.col("id") % 2 === 0)
+      d.persist(); d.count(); d
+    }
+    val fat = memo.getOrElseUpdate(spark, "fat")(ckpt(30000))
+    memo.getOrElseUpdate(spark, "base")(fail("must be a hit")) // base newest
+    assert(SessionMemo.referencedRdds(derived).map(_.id).toSet ===
+      SessionMemo.referencedRdds(base).map(_.id).toSet,
+      "the persist()-style value must reference exactly the base blocks")
+    val baseIds = SessionMemo.referencedRdds(base).map(_.id).toSet
+    val fatIds = SessionMemo.referencedRdds(fat).map(_.id).toSet
+    def persisted(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val sizes = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+    val baseBytes = baseIds.toSeq.map(sizes.getOrElse(_, 0L)).sum
+    // budget = base's bytes: evicts derived (whose blocks are base's and
+    // must SURVIVE — base still references them), then fat (frees its
+    // bytes, landing on budget), then stops with base intact
+    val ev = SessionMemo.enforceBudget(spark, baseBytes)
+    assert(ev === Seq("derived", "fat"), s"unexpected eviction order: $ev")
+    assert(baseIds.subsetOf(persisted()),
+      "blocks shared with the surviving base entry must not be unpersisted")
+    assert((fatIds & persisted()).isEmpty, "fat's blocks must be freed")
+    // the survivor still reads correctly from its intact checkpoint
+    assert(memo.getOrElseUpdate(spark, "base")(fail("must be a hit"))
+      .count() === 20000L)
+    SessionMemo.enforceBudget(spark, 0L)
+    assert((baseIds & persisted()).isEmpty,
+      "once the last referencing entry is evicted the blocks must go")
+  }
+
   // ------------- two-level IVF recall floor (r13 advisor follow-up) -----
   // Same deterministic synthetic corpus family as Round13PropertySpec's
   // flat-loop twin (which pins WHAT the two-level construction computes);
