@@ -120,29 +120,56 @@ ORDER BY event_id
     * (new × corpus) candidate pairs only — at 100 TB the corpus side is a
     * prebuilt index you join against, and the quadratic corpus×corpus term
     * never exists.
+    *
+    * Candidate generation is PREFIX-FILTERED (the SSJoin discipline of
+    * `dedup_prefix_filter`, asymmetric form): a pair can reach Jaccard ≥
+    * 0.8 only if the two sets share a shingle among each side's smallest
+    * `n − ⌈4n/5⌉ + 1` shingles under ANY fixed global order — here the
+    * shingle hash value itself, so the prefix is a `slice(array_sort)`
+    * over the memoized per-doc arrays: no df join, no ranking window, no
+    * extra shuffle before the (already ~5× thinner) posting join. The
+    * order-theorem makes the filter LOSSLESS, so the oracle stays the
+    * naive exact join and the hash gate certifies candidate completeness
+    * (the `prefixJaccardOracle` pattern). Verification is exact
+    * `array_intersect` over the candidate pairs.
+    *
+    * Why this shape: the r10-verdict 100× smoke measured the naive
+    * posting join at 104 s isolated — 441 M posting-join rows fed a
+    * pair-count aggregation whose shuffle dominated (77 s). On that
+    * replica corpus the OUTPUT itself is ~8.5 M pairs (every doc sits in
+    * a 100-member near-dup group — corpus construction, not plan
+    * defect); the prefix join reaches the same relation through ~18 M
+    * candidate rows instead of 441 M. Measured 104 s → ~55 s at /tmp/sf10
+    * with identical output (8 528 849 rows both shapes), flat at sf0.1.
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val bucket = SamplingOps.bucket10(col("doc_id"))
-    // distinct-shingle postings from the session-memoized base
-    // (Dedup.tfBase is one row per (doc, shingle)); the new/corpus flag is
-    // pure doc_id arithmetic, so it rides along without a docs join
-    val ex = Dedup.tfBase(s, dir)
-      .select(col("doc_id"), col("sh").as("ss"), (bucket < 2).as("is_new"))
-    val newEx = ex.filter(col("is_new"))
+    // per-doc DISTINCT shingle arrays from the session-memoized base;
+    // the new/corpus flag is pure doc_id arithmetic, no docs join
+    val arrays = Dedup.shingleArrays(s, dir)
+      .select(col("doc_id"), col("sh"), (bucket < 2).as("is_new"))
+    // hash-order prefix: the (n − ⌈4n/5⌉ + 1) smallest shingle values
+    val pre = arrays.select(col("doc_id"), col("is_new"),
+      explode(expr(
+        "slice(array_sort(sh), 1, size(sh) - ((size(sh)*4 + 4) div 5) + 1)"))
+        .as("ss"))
+    val cand = pre.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("ss"))
-    val corpusEx = ex.filter(!col("is_new"))
-      .select(col("doc_id").as("corpus_id"), col("ss"))
-    val cand = newEx.join(corpusEx, "ss")
-      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("inter"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
-      .select(col("doc_id"), col("n"))
+      .join(pre.filter(!col("is_new"))
+        .select(col("doc_id").as("corpus_id"), col("ss")), "ss")
+      .select("new_id", "corpus_id").distinct()
+    // exact verify: set intersection over the candidate pairs only
     cand
-      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("na")), "new_id")
-      .join(sizes.select(col("doc_id").as("corpus_id"), col("n").as("nb")),
+      .join(arrays.select(col("doc_id").as("new_id"), col("sh").as("sa")),
+        "new_id")
+      .join(arrays.select(col("doc_id").as("corpus_id"), col("sh").as("sb")),
         "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb")))
+        .cast("long"))
       .select(col("new_id"), col("corpus_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        (col("inter").cast("double")
+          / (size(col("sa")) + size(col("sb")) - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("new_id", "corpus_id")
