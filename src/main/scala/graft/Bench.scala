@@ -90,7 +90,12 @@ object Bench {
     // query — measured 2-4× inflation on cheap checkpoint-using queries
     // (heavy_hitter_tokens, interval_bucket_join, stats_*) under the fixed
     // 25-query cadence. reps=1 keeps the exact driver-contract cadence.
-    val gcEvery = math.max(1, 25 / reps)
+    // SPARK_GRAFT_GC_EVERY overrides for big-corpus smokes, where each
+    // query's dead blocks are ~100× larger and the 25-query window alone
+    // leaves multi-GB pressure on mid-window queries (r14: q21 2.8× slower
+    // in-suite than isolated at /tmp/sf10 with zero memo involvement).
+    val gcEvery = sys.env.get("SPARK_GRAFT_GC_EVERY").map(_.trim.toInt)
+      .filter(_ > 0).getOrElse(math.max(1, 25 / reps))
     // Every "WindowExec: No Partition Defined" WARN this run emits comes
     // from an AUDITED bounded-input window — value grids and calendar
     // spines of ≤ ~2.4k rows, where a single partition is the correct
