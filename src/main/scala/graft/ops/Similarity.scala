@@ -1197,6 +1197,143 @@ SELECT i AS vec_id, CAST(rank AS BIGINT) AS rank, j AS neighbor_id, cosine
 FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank
 """
 
+  /** Dedup-collapsed kNN join — [[knnJoin]] with the dedup-first
+    * discipline a dup-heavy corpus REQUIRES folded into the operator:
+    * byte-identical (quantized) vectors collapse to one survivor
+    * (id = min member id) carrying its multiplicity, the two-level IVF
+    * kNN graph is built over SURVIVORS ONLY, and each edge carries both
+    * endpoints' multiplicities so a consumer can expand to member level
+    * (within a group, member order is id order — dist 0 ties break on
+    * id by the global tie discipline).
+    *
+    * Why this exists (r14 sf100 measurement): the 1000× corpus holds
+    * 2 000 distinct vectors in 2 000 000 rows, and exact duplicates tie
+    * on EVERY centroid distance — no quantizer can split them across
+    * cells, so any IVF's intra-cell candidate term is ≥ Σ group²/2 ≈
+    * 2·10⁹ pairs and `ann_knn_join` exhausted the sandbox's disk at
+    * 928 s. Collapsing first makes the candidate term Σ over DISTINCT
+    * vectors — the r8 linearity bound applies to survivor count — and
+    * the same query runs in seconds. On a dup-free corpus survivors ==
+    * vectors and this is exactly [[knnJoin]] plus two multiplicity
+    * columns.
+    *
+    * Survivor seeds cannot rely on dense ids (a survivor id is a
+    * min-of-group): fine seeds are the kCells SMALLEST survivor ids via
+    * a distributed top-k (`orderBy.limit` → TakeOrdered, never a global
+    * sort), mirrored in the oracle as `ORDER BY vec_id LIMIT (...)`.
+    * Cell count scales with the SURVIVOR count (same n/128 closed form).
+    */
+  def knnJoinDedup(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    // collapse identical quantized vectors; nrm is a function of qv so
+    // min() just picks the one shared value deterministically
+    val groups = q.groupBy("qv")
+      .agg(min("vec_id").as("vec_id"), count(lit(1)).as("m"),
+        min("nrm").as("nrm"))
+      .localCheckpoint() // corpus, seeds, and both scoring sides read it
+    val nGroups = groups.count()
+    val kCells = math.max(KnnCells.toLong, nGroups / KnnCellTarget)
+    val fine = groups.orderBy("vec_id").limit(kCells.toInt)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val coarse = fine.orderBy("centroid_id").limit(coarseCount(kCells).toInt)
+      .select(col("centroid_id").as("coarse_id"), col("cv").as("gv"),
+        col("cnrm").as("gnrm"))
+    val asg = ivfAssignTwoLevel(groups.select("vec_id", "qv", "nrm"),
+      fine, coarse, KnnProbes)
+    // fused scoring (the knnJoin shape): vectors + multiplicities ride
+    // the assignment sides; only narrow edges shuffle afterwards
+    val asgv = asg.join(groups, "vec_id")
+    val scored = asgv
+      .select(col("vec_id").as("group_id"), col("cell"), col("qv").as("qa"),
+        col("nrm").as("na"), col("m").as("m_i"))
+      .join(asgv.select(col("vec_id").as("j"), col("cell"),
+        col("qv").as("qb"), col("nrm").as("nb"), col("m").as("m_j")), "cell")
+      .filter(col("group_id") =!= col("j"))
+      .select(col("group_id"), col("m_i"), col("j"), col("m_j"),
+        cosine(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("cosine").desc, col("j").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("group_id"), col("m_i").as("m"),
+        col("rank").cast("long").as("rank"), col("j").as("neighbor_id"),
+        col("m_j").as("neighbor_m"), col("cosine"))
+      .orderBy("group_id", "rank")
+  }
+
+  private val knnJoinDedupOracle = s"""
+WITH n0 AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+grp AS (
+  SELECT min(vec_id) AS vec_id, qv, CAST(count(*) AS BIGINT) AS m
+  FROM n0 GROUP BY qv),
+nn AS (
+  SELECT vec_id, qv, m,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM grp),
+kc AS (SELECT greatest($KnnCells,
+         (SELECT count(*) FROM grp) // $KnnCellTarget) AS kcells),
+cq AS (SELECT CASE WHEN fs * fs >= kcells THEN fs ELSE fs + 1 END AS c2
+       FROM (SELECT kcells,
+               CAST(floor(sqrt(CAST(kcells AS DOUBLE))) AS BIGINT) AS fs
+             FROM kc)),
+c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
+      FROM nn ORDER BY vec_id LIMIT (SELECT kcells FROM kc)),
+g AS (SELECT centroid_id AS coarse_id, cv AS gv, cnrm AS gnrm
+      FROM c ORDER BY centroid_id LIMIT (SELECT c2 FROM cq)),
+fo AS (
+  SELECT coarse_id, centroid_id, cv, cnrm FROM (
+    SELECT g.coarse_id, c.centroid_id, c.cv, c.cnrm,
+      row_number() OVER (PARTITION BY c.centroid_id
+        ORDER BY c.cnrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> c.cv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS frk
+    FROM c, g)
+  WHERE frk = 1),
+vc AS (
+  SELECT vec_id, qv, nrm, coarse_id FROM (
+    SELECT v.vec_id, v.qv, v.nrm, g.coarse_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY v.nrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> v.qv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS crk
+    FROM nn v, g)
+  WHERE crk <= $CoarseProbes),
+d AS (
+  SELECT vc.vec_id, fo.centroid_id,
+    vc.nrm + fo.cnrm - 2 * CAST(list_sum(list_transform(
+      range(1, 65), k -> vc.qv[k] * fo.cv[k])) AS BIGINT) AS dist2
+  FROM vc JOIN fo ON fo.coarse_id = vc.coarse_id),
+rk AS (
+  SELECT vec_id, centroid_id,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, centroid_id ASC) AS rk
+  FROM d),
+asg AS (SELECT vec_id, centroid_id AS cell FROM rk WHERE rk <= $KnnProbes),
+cand AS (
+  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+scored AS (
+  SELECT i, na.m AS m_i, j, nb.m AS m_j,
+    CAST(list_sum(list_transform(range(1, 65),
+        k -> na.qv[k] * nb.qv[k])) AS DOUBLE)
+      / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+      AS cosine
+  FROM cand JOIN nn na ON na.vec_id = i JOIN nn nb ON nb.vec_id = j),
+ranked AS (
+  SELECT i, m_i, j, m_j, cosine,
+    row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j ASC) AS rank
+  FROM scored)
+SELECT i AS group_id, m_i AS m, CAST(rank AS BIGINT) AS rank,
+  j AS neighbor_id, m_j AS neighbor_m, cosine
+FROM ranked WHERE rank <= $KnnK ORDER BY group_id, rank
+"""
+
   /** Recall audit for BOTH IVF variants against the exact baseline — the
     * nprobe-tuning table an ANN deployment reads before picking its
     * recall/cost point: per probe, how much of the exact top-k the
@@ -1566,6 +1703,7 @@ FROM ranked WHERE rank <= $NegK ORDER BY anchor_id, rank
     "ann_ivf_pq" -> QueryDef(ivfPq, Some(ivfPqOracle)),
     "ann_ivf_pq_recall" -> QueryDef(ivfPqRecall, Some(ivfPqRecallOracle)),
     "ann_knn_join" -> QueryDef(knnJoin, Some(knnJoinOracle)),
+    "ann_knn_join_dedup" -> QueryDef(knnJoinDedup, Some(knnJoinDedupOracle)),
     "ann_pq_adc" -> QueryDef(pqAdcRerank, Some(pqAdcOracle)),
     "ann_pq_recall" -> QueryDef(pqRecall, Some(pqRecallOracle)),
     "ann_brute_topk" -> QueryDef(bruteForceTopK, Some(bruteForceOracle)),

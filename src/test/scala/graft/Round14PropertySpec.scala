@@ -201,6 +201,25 @@ class Round14PropertySpec extends SparkSpec {
       "once the last referencing entry is evicted the blocks must go")
   }
 
+  test("knnJoinDedup on a dup-free corpus is knnJoin plus m=1 columns") {
+    // sf0.001 embeddings are distinct in the quantized domain (500/500),
+    // so the collapse is the identity there: the dedup-collapsed graph
+    // must equal the plain kNN graph row-for-row with both
+    // multiplicities 1. (The dup-heavy behavior is measured at /tmp/sf10
+    // and /tmp/sf100 — r14 notes; this law pins the degenerate end.)
+    val dedup = ops.Similarity.knnJoinDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), math.round(r.getDouble(5) * 1e12)))
+    assert(dedup.nonEmpty)
+    assert(dedup.forall(r => r._2 == 1L && r._5 == 1L),
+      "every multiplicity must be 1 on a dup-free corpus")
+    val plain = ops.Similarity.knnJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12)))
+    assert(dedup.map(r => (r._1, r._3, r._4, r._6)).toSeq === plain.toSeq,
+      "dup-free collapse must reproduce the plain kNN graph exactly")
+  }
+
   // --------------- AQE skew-join validation (r10 verdict item 7) --------
   test("AQE OptimizeSkewedJoin fires on the unsalted join of a skewed key") {
     // skew_split_join proves the MANUAL hot/cold salt; this pins the knob
