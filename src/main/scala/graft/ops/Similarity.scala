@@ -1223,14 +1223,24 @@ FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank
     * sort), mirrored in the oracle as `ORDER BY vec_id LIMIT (...)`.
     * Cell count scales with the SURVIVOR count (same n/128 closed form).
     */
+  /** The collapsed survivor base (vec_id = min member id, qv, m, nrm) —
+    * session-memoized like [[quantized]] (the shared-base discipline): a
+    * dup-heavy ingestion session runs many queries over the SAME collapsed
+    * corpus, and the collapse is one full-corpus shuffle worth reusing.
+    */
+  private val collapsedCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def collapsed(s: SparkSession, dir: String): DataFrame =
+    collapsedCache.getOrElseUpdate(s, dir) {
+      // nrm is a function of qv, so min() just picks the shared value
+      quantized(s, dir).groupBy("qv")
+        .agg(min("vec_id").as("vec_id"), count(lit(1)).as("m"),
+          min("nrm").as("nrm"))
+        .localCheckpoint() // corpus, seeds, and both scoring sides read it
+    }
+
   def knnJoinDedup(s: SparkSession, dir: String): DataFrame = {
-    val q = quantized(s, dir)
-    // collapse identical quantized vectors; nrm is a function of qv so
-    // min() just picks the one shared value deterministically
-    val groups = q.groupBy("qv")
-      .agg(min("vec_id").as("vec_id"), count(lit(1)).as("m"),
-        min("nrm").as("nrm"))
-      .localCheckpoint() // corpus, seeds, and both scoring sides read it
+    val groups = collapsed(s, dir)
     val nGroups = groups.count()
     val kCells = math.max(KnnCells.toLong, nGroups / KnnCellTarget)
     val fine = groups.orderBy("vec_id").limit(kCells.toInt)
