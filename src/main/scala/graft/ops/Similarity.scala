@@ -1273,7 +1273,10 @@ FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank
       .orderBy("group_id", "rank")
   }
 
-  private val knnJoinDedupOracle = s"""
+  /** Shared CTE prefix of the dedup-collapsed kNN oracles: collapse →
+    * survivor corpus → two-level assignment → survivor graph `ranked`.
+    */
+  private val knnDedupCte = s"""
 WITH n0 AS (
   SELECT vec_id,
     list_transform(embedding,
@@ -1338,10 +1341,101 @@ scored AS (
 ranked AS (
   SELECT i, m_i, j, m_j, cosine,
     row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j ASC) AS rank
-  FROM scored)
+  FROM scored)"""
+
+  private val knnJoinDedupOracle = knnDedupCte + s"""
 SELECT i AS group_id, m_i AS m, CAST(rank AS BIGINT) AS rank,
   j AS neighbor_id, m_j AS neighbor_m, cosine
 FROM ranked WHERE rank <= $KnnK ORDER BY group_id, rank
+"""
+
+  /** Member-level expansion of [[knnJoinDedup]]'s survivor graph — the
+    * consumer-side half of the dedup-first discipline: a per-VECTOR
+    * top-[[KnnK]] neighbor list for every corpus member, reconstructed
+    * from the group graph without ever enumerating intra-group pairs.
+    *
+    * Construction (the query's semantics, mirrored CTE-for-CTE in the
+    * oracle): a member's candidates are (a) its OWN group's members at
+    * the group's self-cosine — only the k+1 SMALLEST member ids per
+    * group can ever rank (equal cosine ties break on id), so each group
+    * contributes a bounded id prefix, never its full membership — and
+    * (b) for each of its group's top-k neighbor GROUPS, that group's
+    * k-smallest-id prefix at the edge cosine. Per-member ranking is a
+    * window over ≤ (k+1)² candidate rows. Total work is O(n·k²) however
+    * dup-heavy the corpus: at /tmp/sf100 (1000-member groups) this emits
+    * 2M × k rows while the naive member-level IVF died on Σ group²
+    * candidates.
+    *
+    * Self-cosine is the same IEEE expression as every other cosine
+    * (dot/(√n·√n)) — NOT the constant 1.0 — so the engines agree bit
+    * for bit and own-group vs cross-group ordering has one rule.
+    */
+  def knnExpandMembers(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+    val groups = collapsed(s, dir)
+    val members = q.select(col("vec_id"), col("qv"))
+      .join(groups.select(col("vec_id").as("group_id"), col("qv")), "qv")
+      .select("vec_id", "group_id")
+    // k+1 smallest member ids per group: own-group candidates survive
+    // self-exclusion; neighbor-group use sees at most the first k
+    val wg = Window.partitionBy("group_id").orderBy("vec_id")
+    val prefix = members
+      .withColumn("pos", row_number().over(wg))
+      .filter(col("pos") <= KnnK + 1)
+      .select(col("group_id").as("neighbor_gid"),
+        col("vec_id").as("neighbor_id"))
+    val selfEdges = groups.select(col("vec_id").as("group_id"),
+      col("vec_id").as("neighbor_gid"),
+      cosine(col("qv"), col("qv"), col("nrm"), col("nrm")).as("cosine"))
+    val graphEdges = knnJoinDedup(s, dir)
+      .select(col("group_id"), col("neighbor_id").as("neighbor_gid"),
+        col("cosine"))
+    val edges = selfEdges.unionByName(graphEdges)
+    val cands = members.join(edges, "group_id")
+      .join(prefix, "neighbor_gid")
+      .filter(col("neighbor_id") =!= col("vec_id"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  private val knnExpandMembersOracle = knnDedupCte + s""",
+graph AS (
+  SELECT i AS group_id, j AS neighbor_gid, cosine
+  FROM ranked WHERE rank <= $KnnK),
+members AS (
+  SELECT n0.vec_id, grp.vec_id AS group_id FROM n0 JOIN grp USING (qv)),
+selfe AS (
+  SELECT vec_id AS group_id, vec_id AS neighbor_gid,
+    CAST(list_sum(list_transform(range(1, 65), k -> qv[k] * qv[k]))
+      AS DOUBLE)
+      / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cosine
+  FROM nn),
+edges AS (
+  SELECT * FROM selfe UNION ALL SELECT * FROM graph),
+pref AS (
+  SELECT group_id AS neighbor_gid, vec_id AS neighbor_id
+  FROM (SELECT group_id, vec_id,
+          row_number() OVER (PARTITION BY group_id ORDER BY vec_id) AS pos
+        FROM members)
+  WHERE pos <= $KnnK + 1),
+cands AS (
+  SELECT m.vec_id, p.neighbor_id, e.cosine
+  FROM members m
+  JOIN edges e ON e.group_id = m.group_id
+  JOIN pref p ON p.neighbor_gid = e.neighbor_gid
+  WHERE p.neighbor_id <> m.vec_id),
+rnk AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cands)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM rnk WHERE rank <= $KnnK ORDER BY vec_id, rank
 """
 
   /** Recall audit for BOTH IVF variants against the exact baseline — the
@@ -1714,6 +1808,8 @@ FROM ranked WHERE rank <= $NegK ORDER BY anchor_id, rank
     "ann_ivf_pq_recall" -> QueryDef(ivfPqRecall, Some(ivfPqRecallOracle)),
     "ann_knn_join" -> QueryDef(knnJoin, Some(knnJoinOracle)),
     "ann_knn_join_dedup" -> QueryDef(knnJoinDedup, Some(knnJoinDedupOracle)),
+    "ann_knn_expand_members" ->
+      QueryDef(knnExpandMembers, Some(knnExpandMembersOracle)),
     "ann_pq_adc" -> QueryDef(pqAdcRerank, Some(pqAdcOracle)),
     "ann_pq_recall" -> QueryDef(pqRecall, Some(pqRecallOracle)),
     "ann_brute_topk" -> QueryDef(bruteForceTopK, Some(bruteForceOracle)),

@@ -218,6 +218,14 @@ class Round14PropertySpec extends SparkSpec {
         math.round(r.getDouble(3) * 1e12)))
     assert(dedup.map(r => (r._1, r._3, r._4, r._6)).toSeq === plain.toSeq,
       "dup-free collapse must reproduce the plain kNN graph exactly")
+    // and the member-level expansion degenerates to the same graph:
+    // singleton groups mean every prefix is one member, the self edge is
+    // always self-excluded, and the neighbor edges ARE the plain edges
+    val expanded = ops.Similarity.knnExpandMembers(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12)))
+    assert(expanded.toSeq === plain.toSeq,
+      "dup-free member expansion must reproduce the plain kNN graph")
   }
 
   // --------------- AQE skew-join validation (r10 verdict item 7) --------
