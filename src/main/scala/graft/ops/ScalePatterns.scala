@@ -139,8 +139,10 @@ ORDER BY event_id
     * replica corpus the OUTPUT itself is ~8.5 M pairs (every doc sits in
     * a 100-member near-dup group — corpus construction, not plan
     * defect); the prefix join reaches the same relation through ~18 M
-    * candidate rows instead of 441 M. Measured 104 s → ~55 s at /tmp/sf10
-    * with identical output (8 528 849 rows both shapes), flat at sf0.1.
+    * candidate rows instead of 441 M. Measured 104.1 s → 16.0 s isolated
+    * at /tmp/sf10 with identical output (8 528 849 rows / xxhash64-fold
+    * 5076132812360227445, both shapes — r14 notes §5); sf0.1 isolated
+    * 1.02 → 0.71 s.
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)

@@ -1243,6 +1243,14 @@ FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank
     val groups = collapsed(s, dir)
     val nGroups = groups.count()
     val kCells = math.max(KnnCells.toLong, nGroups / KnnCellTarget)
+    // limit() takes an Int: the orderBy.limit seed selection stops being
+    // expressible past ~2.1e9 cells (≈ 2.7e11 survivors at n/128) — fail
+    // loudly there instead of letting the silent Long→Int truncation pick
+    // a negative/wrong seed count (a cluster at that scale samples seeds
+    // or pre-builds the index; this operator's contract ends first)
+    require(kCells <= Int.MaxValue,
+      s"survivor count $nGroups yields $kCells cells, past the " +
+        "orderBy.limit seed-selection ceiling (Int.MaxValue)")
     val fine = groups.orderBy("vec_id").limit(kCells.toInt)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
         col("nrm").as("cnrm"))

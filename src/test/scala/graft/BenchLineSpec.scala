@@ -54,4 +54,17 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(rs, rs.map(_._2).sum, "/root/testdata/sf0.1")
     assert(line.length <= 1800, s"line too long: ${line.length}")
   }
+
+  test("env knobs parse tolerantly: malformed degrades, never throws") {
+    // a '512m' typo in SPARK_GRAFT_MEMO_BUDGET_MB used to abort the whole
+    // graded bench run with NumberFormatException
+    assert(Bench.parseKnob("K", Some("512")) === Some(512L))
+    assert(Bench.parseKnob("K", Some("  512 ")) === Some(512L))
+    assert(Bench.parseKnob("K", Some("512m")) === None)
+    assert(Bench.parseKnob("K", Some("")) === None)
+    assert(Bench.parseKnob("K", None) === None)
+    // negative values survive the parse (the budget site clamps to the
+    // documented <=0 = unbounded; the gcEvery site filters _ > 0)
+    assert(Bench.parseKnob("K", Some("-3")) === Some(-3L))
+  }
 }
