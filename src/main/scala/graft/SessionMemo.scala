@@ -5,6 +5,7 @@ import java.lang.ref.SoftReference
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
 
 private[graft] object SessionMemo {
   /** When true, memo maps are ALSO held strongly (per session), disabling
@@ -63,6 +64,23 @@ private[graft] object SessionMemo {
       case lr: LogicalRDD => lr.rdd
     })
 
+  /** The CacheManager-held blocks behind a memo dataset: every
+    * `InMemoryRelation` the cache-substituted plan reads, resolved to its
+    * column-buffer RDD (the id `getRDDStorageInfo` reports persisted bytes
+    * under). A `persist()`-style memo value stores its blocks HERE, not in
+    * any `LogicalRDD` — [[referencedRdds]] alone attributed such entries
+    * 0 bytes, so a session dominated by persist-style memos could exceed
+    * the budget indefinitely without an eviction ever firing.
+    *
+    * `lookupCachedData` resolves by plan `sameResult`, so two semantically
+    * identical cached DataFrames map to the SAME buffer RDD — exactly the
+    * sharing relation eviction must respect before `unpersist()`.
+    */
+  private[graft] def cachedBufferRdds(d: Dataset[_]): Seq[RDD[_]] =
+    d.queryExecution.withCachedData.collect {
+      case r: InMemoryRelation => r.cacheBuilder.cachedColumnBuffers
+    }
+
   /** Bound the block-manager bytes held by memoized bases — the
     * accumulated-`localCheckpoint` posture fix for long sessions (the
     * r10 verdict's 100×-suite finding: session-lifetime pins distorted
@@ -78,11 +96,15 @@ private[graft] object SessionMemo {
     * cap inside [[SessionMemo.getOrElseUpdate]].
     *
     * Policy: least-recently-touched entries are dropped until the bytes
-    * attributed to live memo entries fit `budgetBytes`. Dropping an entry
-    * removes it from its map (next touch recomputes — a cache, never a
-    * correctness surface) and unpersists exactly those of its referenced
-    * RDDs that NO surviving entry still references, so cross-entry shared
-    * bases (a derived memo reading another memo's checkpoint) stay intact.
+    * attributed to live memo entries fit `budgetBytes`. An entry's bytes
+    * are its checkpoint blocks ([[referencedRdds]]) PLUS its CacheManager
+    * blocks ([[cachedBufferRdds]]) — a `persist()`-style value holds its
+    * bytes only through the latter. Dropping an entry removes it from its
+    * map (next touch recomputes — a cache, never a correctness surface)
+    * and unpersists exactly those of its blocks that NO surviving entry
+    * still references, on BOTH paths: shared checkpoint RDDs stay
+    * persisted, and a shared CacheManager entry (lookup is by plan
+    * `sameResult`) is not dropped out from under a surviving twin.
     * Returns the names of evicted entries (observability + tests).
     */
   private[graft] def enforceBudget(s: SparkSession, budgetBytes: Long)
@@ -92,25 +114,39 @@ private[graft] object SessionMemo {
     if (entries.isEmpty) return Nil
     val sizes: Map[Int, Long] = s.sparkContext.getRDDStorageInfo
       .map(i => i.id -> (i.memSize + i.diskSize)).toMap
-    def entryIds(e: MemoEntry): Set[Int] = e.rdds.map(_.id).toSet
-    var live = entries.sortBy(_._2.tick) // oldest first
+    // resolve each entry's cache-manager blocks ONCE per sweep (plan walks
+    // + cache lookups are not free); ids = checkpoint blocks (LogicalRDD)
+    // ∪ persist()-style blocks (InMemoryRelation column buffers)
+    final case class Live(memo: SessionMemo[_], e: MemoEntry,
+        cached: Seq[RDD[_]]) {
+      val ids: Set[Int] = (e.rdds ++ cached).map(_.id).toSet
+    }
+    var live = entries
+      .map { case (m, e) => Live(m, e, e.datasets.flatMap(cachedBufferRdds)) }
+      .sortBy(_.e.tick) // oldest first
     def totalBytes: Long =
-      live.flatMap(e => entryIds(e._2)).distinct
-        .map(id => sizes.getOrElse(id, 0L)).sum
+      live.flatMap(_.ids).distinct.map(id => sizes.getOrElse(id, 0L)).sum
     val evicted = scala.collection.mutable.ListBuffer[String]()
     while (totalBytes > budgetBytes && live.nonEmpty) {
-      val (memo, victim) = live.head
+      val victim = live.head
       live = live.tail
-      val stillReferenced = live.flatMap(e => entryIds(e._2)).toSet
-      victim.rdds.filterNot(r => stillReferenced(r.id))
+      val stillReferenced = live.flatMap(_.ids).toSet
+      victim.e.rdds.filterNot(r => stillReferenced(r.id))
         .foreach(_.unpersist(blocking = false))
       // a persist()-style value also owns a CacheManager entry keyed by
       // its (now-stale) plan that no future lookup can ever reuse — drop
-      // it, or its materialized blocks leak for the session lifetime
-      victim.datasets.foreach(d =>
-        try d.unpersist() catch { case _: Throwable => () })
-      memo.drop(s, victim.key)
-      evicted += victim.key
+      // it, or its materialized blocks leak for the session lifetime.
+      // UNLESS a surviving entry holds the same cached plan (lookup is by
+      // sameResult, so "same" includes semantically identical twins):
+      // unpersist() drops the shared CacheManager entry itself, and the
+      // survivor would silently lose its blocks — skip those datasets,
+      // mirroring the stillReferenced check on checkpoint RDDs.
+      victim.e.datasets.foreach { d =>
+        val shared = cachedBufferRdds(d).exists(r => stillReferenced(r.id))
+        if (!shared) try d.unpersist() catch { case _: Throwable => () }
+      }
+      victim.memo.drop(s, victim.e.key)
+      evicted += victim.e.key
     }
     evicted.toList
   }

@@ -201,6 +201,90 @@ class Round14PropertySpec extends SparkSpec {
       "once the last referencing entry is evicted the blocks must go")
   }
 
+  test("enforceBudget counts persist()-style cached bytes toward the budget") {
+    // ADVICE r11 (medium): referencedRdds sees only LogicalRDD leaves, so a
+    // persisted-but-never-checkpointed memo value was attributed 0 bytes —
+    // a session of such entries could exceed the budget forever without an
+    // eviction firing. cachedBufferRdds closes that: the InMemoryRelation
+    // column buffers count, and the LRU loop can evict them.
+    val memo = new SessionMemo[org.apache.spark.sql.DataFrame]
+    SessionMemo.enforceBudget(spark, 0L)
+    val pOld = memo.getOrElseUpdate(spark, "pOld") {
+      val d = spark.range(40000).toDF("id")
+        .select(org.apache.spark.sql.functions.col("id"),
+          (org.apache.spark.sql.functions.col("id") * 2).as("v"))
+      d.persist(); d.count(); d
+    }
+    val pNew = memo.getOrElseUpdate(spark, "pNew") {
+      val d = spark.range(40000).toDF("id")
+        .select(org.apache.spark.sql.functions.col("id"),
+          (org.apache.spark.sql.functions.col("id") * 3).as("w"))
+      d.persist(); d.count(); d
+    }
+    assert(SessionMemo.referencedRdds(pOld).isEmpty,
+      "persist()-style values have no checkpoint RDDs — the blind spot")
+    val idsOld = SessionMemo.cachedBufferRdds(pOld).map(_.id).toSet
+    val idsNew = SessionMemo.cachedBufferRdds(pNew).map(_.id).toSet
+    assert(idsOld.nonEmpty && idsNew.nonEmpty && (idsOld & idsNew).isEmpty)
+    val sizes = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+    val bytesNew = idsNew.toSeq.map(sizes.getOrElse(_, 0L)).sum
+    assert(bytesNew > 0, "cached column buffers must have measurable size")
+    // budget = pNew's bytes: the LRU-oldest persist()-style entry must be
+    // seen, evicted, and its CacheManager blocks actually freed
+    val ev = SessionMemo.enforceBudget(spark, bytesNew)
+    assert(ev === Seq("pOld"), s"expected persist-style eviction, got $ev")
+    def persisted(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert((idsOld & persisted()).isEmpty, "pOld's cached blocks must free")
+    assert(idsNew.subsetOf(persisted()), "pNew's cached blocks must survive")
+    SessionMemo.enforceBudget(spark, 0L)
+    assert((idsNew & persisted()).isEmpty)
+  }
+
+  test("eviction keeps a CacheManager entry a surviving twin still holds") {
+    // ADVICE r11 (low): unpersist() drops the cache entry by plan
+    // sameResult — if a SURVIVING memo holds a semantically identical
+    // cached DataFrame, the shared blocks vanished under it (recompute
+    // kept answers right but violated the documented blocks-stay-intact
+    // guarantee). The eviction loop now share-checks the cached path too.
+    val memo = new SessionMemo[org.apache.spark.sql.DataFrame]
+    SessionMemo.enforceBudget(spark, 0L)
+    def samePlan() = spark.range(40000).toDF("id")
+      .select(org.apache.spark.sql.functions.col("id"),
+        (org.apache.spark.sql.functions.col("id") * 7).as("v"))
+    val twinA = memo.getOrElseUpdate(spark, "twinA") {
+      val d = samePlan(); d.persist(); d.count(); d
+    }
+    val mid = memo.getOrElseUpdate(spark, "mid")(ckpt(30000))
+    val twinB = memo.getOrElseUpdate(spark, "twinB") {
+      val d = samePlan(); d.persist(); d.count(); d
+    }
+    val cachedA = SessionMemo.cachedBufferRdds(twinA).map(_.id).toSet
+    val cachedB = SessionMemo.cachedBufferRdds(twinB).map(_.id).toSet
+    assert(cachedA === cachedB && cachedA.nonEmpty,
+      "sameResult twins must resolve to the SAME CacheManager blocks")
+    def persisted(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val sizes = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+    val sharedBytes = cachedA.toSeq.map(sizes.getOrElse(_, 0L)).sum
+    assert(sharedBytes > 0)
+    // budget = shared bytes only: evicting twinA (LRU-oldest) frees
+    // NOTHING (twinB still holds the cache entry — the guarantee under
+    // test), so the loop must continue to mid, whose checkpoint frees the
+    // gap, and stop with twinB + the shared cache intact
+    val ev1 = SessionMemo.enforceBudget(spark, sharedBytes)
+    assert(ev1 === Seq("twinA", "mid"), s"unexpected eviction order: $ev1")
+    assert(cachedA.subsetOf(persisted()),
+      "the shared cache entry must survive while twinB references it")
+    assert(twinB.count() === 40000L)
+    assert(mid.columns.nonEmpty) // silence unused warning; mid is evicted
+    SessionMemo.enforceBudget(spark, 0L)
+    assert((cachedA & persisted()).isEmpty,
+      "once the last twin is evicted the shared blocks must go")
+  }
+
   test("knnJoinDedup on a dup-free corpus is knnJoin plus m=1 columns") {
     // sf0.001 embeddings are distinct in the quantized domain (500/500),
     // so the collapse is the identity there: the dedup-collapsed graph
