@@ -438,6 +438,223 @@ LEFT JOIN sizes sz ON sz.cluster_rep = cl.cluster_rep
 ORDER BY e.vec_id
 """
 
+  // ------------------- dedup-collapsed semantic dedup (survivor-first)
+
+  /** Corpus-scaled cell count over SURVIVORS — [[semCellCount]]'s n/128
+    * closed form applied to the collapsed corpus. On a dup-heavy corpus
+    * the survivor count (not the member count) is the honest n for the
+    * linearity bound, exactly as in `Similarity.knnJoinDedup`.
+    */
+  private val semCollapsedCellCache = new graft.SessionMemo[Long]
+
+  private[graft] def semCollapsedCellCount(s: SparkSession, dir: String): Long =
+    semCollapsedCellCache.getOrElseUpdate(s, dir) {
+      math.max(SemCells.toLong,
+        Similarity.collapsed(s, dir).count() / SemCellTarget)
+    }
+
+  /** Survivor-level dual cell assignment for the collapsed semantic
+    * family. Survivor ids are min-of-group (NOT dense), so fine seeds are
+    * the kCells smallest survivor ids via a distributed top-k
+    * (`orderBy.limit` → TakeOrdered, never a global sort) and the coarse
+    * seeds are the usual √cells prefix of the fine set — the
+    * `knnJoinDedup` seed discipline, mirrored in the oracle as
+    * `ORDER BY vec_id LIMIT (...)`.
+    */
+  private[graft] def semCollapsedAssignments(s: SparkSession, dir: String)
+      : DataFrame = {
+    val groups = Similarity.collapsed(s, dir)
+    val cells = semCollapsedCellCount(s, dir)
+    require(cells <= Int.MaxValue,
+      s"survivor count yields $cells cells, past the orderBy.limit " +
+        "seed-selection ceiling (Int.MaxValue)")
+    val fine = groups.orderBy("vec_id").limit(cells.toInt)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"),
+        col("nrm").as("cnrm"))
+    val coarse = fine.orderBy("centroid_id")
+      .limit(Similarity.coarseCount(cells).toInt)
+      .select(col("centroid_id").as("coarse_id"), col("cv").as("gv"),
+        col("cnrm").as("gnrm"))
+    Similarity.ivfAssignTwoLevel(groups.select("vec_id", "qv", "nrm"),
+      fine, coarse, SemProbes)
+  }
+
+  /** Survivor-graph threshold pairs: shared-cell candidates verified at
+    * exact quantized cosine ≥ [[SemThreshold]] — [[semanticPairs]] with
+    * the collapse folded in front (same fused-scoring shape: vectors ride
+    * the assignment sides; only narrow (i, j) edges shuffle afterwards).
+    */
+  private[graft] def semCollapsedPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    val groups = Similarity.collapsed(s, dir)
+    val asgv = semCollapsedAssignments(s, dir)
+      .join(groups.select(col("vec_id"), col("qv"), col("nrm")), "vec_id")
+    asgv
+      .select(col("vec_id").as("i"), col("cell"), col("qv").as("qa"),
+        col("nrm").as("na"))
+      .join(asgv.select(col("vec_id").as("j"), col("cell"),
+        col("qv").as("qb"), col("nrm").as("nb")), "cell")
+      .filter(col("i") < col("j"))
+      .filter(Similarity.cosine(col("qa"), col("qb"), col("na"), col("nb"))
+        >= SemThreshold)
+      .select("i", "j")
+      .distinct()
+  }
+
+  /** Memoized survivor-component map — the collapsed twin of
+    * [[semanticClusterMap]], same pair-set-bounded reuse rationale.
+    */
+  private val semCollapsedClusterCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def semCollapsedClusterMap(s: SparkSession, dir: String)
+      : DataFrame =
+    semCollapsedClusterCache.getOrElseUpdate(s, dir) {
+      connectedComponents(s, semCollapsedPairs(s, dir)).localCheckpoint(true)
+    }
+
+  /** Dedup-collapsed SEMANTIC dedup — [[semanticClusters]] with the
+    * dedup-first discipline a dup-heavy corpus REQUIRES folded into the
+    * operator (the `ann_knn_join_dedup` treatment applied to this
+    * family): byte-identical quantized vectors collapse to a min-id
+    * survivor carrying its multiplicity, the IVF cells / candidate pairs
+    * / cosine verification / connected components all run over SURVIVORS
+    * ONLY, and the member-level answer is reconstructed by one equi-join.
+    *
+    * Why this exists: the replica corpora (gen_sf replicates vectors
+    * 100-1000×) make every member of a duplicate group tie on EVERY
+    * centroid distance — no quantizer can split exact duplicates across
+    * cells, so [[semanticPairs]]' intra-cell candidate term is
+    * ≥ Σ group²/2 however the cells scale: the same corpus-construction
+    * quadratic that killed `ann_knn_join` at sf100 (928 s, disk
+    * exhausted). Collapsing first makes the pair term quadratic only in
+    * DISTINCT vectors per cell; the member expansion is linear.
+    *
+    * Expansion is exact, not approximate: members of one group are
+    * byte-identical, so cosine(a, b) = 1 ≥ threshold pins them to one
+    * cluster in the uncollapsed semantics too, and the survivor id being
+    * min-of-group makes the component-minimum member id equal the
+    * component-minimum SURVIVOR id — cluster_rep, cluster_size (member
+    * count via Σ multiplicity), and is_canonical all reconstruct
+    * exactly. On a dup-free corpus survivors == vectors, the cell count
+    * and first-N seeds coincide with [[semanticClusters]]', and this IS
+    * [[semanticClusters]] row for row (Round15PropertySpec law).
+    */
+  def semanticCollapsed(s: SparkSession, dir: String): DataFrame = {
+    val groups = Similarity.collapsed(s, dir) // (vec_id, qv, m, nrm)
+    val cl = semCollapsedClusterMap(s, dir) // clustered survivors only
+    // every corpus vector -> its survivor group (equi-join on the
+    // quantized vector, the collapse key; ~n narrow rows out)
+    val members = Similarity.quantized(s, dir).select(col("vec_id"), col("qv"))
+      .join(groups.select(col("qv"), col("vec_id").as("group_id"),
+        col("m")), "qv")
+      .select("vec_id", "group_id", "m")
+    // member-count sizes: Σ multiplicity over each component's groups
+    // (pair-set-bounded, broadcastable; singleton components fall through
+    // to coalesce(_, m) — their size IS the group's multiplicity)
+    val clSizes = cl
+      .join(groups.select(col("vec_id").as("doc_id"), col("m")), "doc_id")
+      .groupBy("cluster_rep").agg(sum("m").as("csz"))
+    members
+      .join(broadcast(cl.withColumnRenamed("doc_id", "group_id")),
+        Seq("group_id"), "left_outer")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("group_id")))
+      .join(broadcast(clSizes), Seq("cluster_rep"), "left_outer")
+      .select(col("vec_id"), col("cluster_rep"),
+        coalesce(col("csz"), col("m")).as("cluster_size"),
+        when(col("cluster_rep") === col("vec_id"), 1L).otherwise(0L)
+          .as("is_canonical"))
+      // harness-required global sort for deterministic hashing only
+      .orderBy("vec_id")
+  }
+
+  private val semanticCollapsedOracle = s"""
+WITH RECURSIVE n0 AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+grp AS (
+  SELECT min(vec_id) AS vec_id, qv, CAST(count(*) AS BIGINT) AS m
+  FROM n0 GROUP BY qv),
+nn AS (
+  SELECT vec_id, qv, m,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM grp),
+kc AS (SELECT greatest($SemCells,
+         (SELECT count(*) FROM grp) // $SemCellTarget) AS kcells),
+cq AS (SELECT CASE WHEN fs * fs >= kcells THEN fs ELSE fs + 1 END AS c2
+       FROM (SELECT kcells,
+               CAST(floor(sqrt(CAST(kcells AS DOUBLE))) AS BIGINT) AS fs
+             FROM kc)),
+c AS (SELECT vec_id AS centroid_id, qv AS cv, nrm AS cnrm
+      FROM nn ORDER BY vec_id LIMIT (SELECT kcells FROM kc)),
+g AS (SELECT centroid_id AS coarse_id, cv AS gv, cnrm AS gnrm
+      FROM c ORDER BY centroid_id LIMIT (SELECT c2 FROM cq)),
+fo AS (
+  SELECT coarse_id, centroid_id, cv, cnrm FROM (
+    SELECT g.coarse_id, c.centroid_id, c.cv, c.cnrm,
+      row_number() OVER (PARTITION BY c.centroid_id
+        ORDER BY c.cnrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> c.cv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS frk
+    FROM c, g)
+  WHERE frk = 1),
+vc AS (
+  SELECT vec_id, qv, nrm, coarse_id FROM (
+    SELECT v.vec_id, v.qv, v.nrm, g.coarse_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY v.nrm + g.gnrm - 2 * CAST(list_sum(list_transform(
+          range(1, 65), k -> v.qv[k] * g.gv[k])) AS BIGINT) ASC,
+          g.coarse_id ASC) AS crk
+    FROM nn v, g)
+  WHERE crk <= ${Similarity.CoarseProbes}),
+d AS (
+  SELECT vc.vec_id, fo.centroid_id,
+    vc.nrm + fo.cnrm - 2 * CAST(list_sum(list_transform(
+      range(1, 65), k -> vc.qv[k] * fo.cv[k])) AS BIGINT) AS dist2
+  FROM vc JOIN fo ON fo.coarse_id = vc.coarse_id),
+rk AS (
+  SELECT vec_id, centroid_id,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2 ASC, centroid_id ASC) AS rk
+  FROM d),
+asg AS (SELECT vec_id, centroid_id AS cell FROM rk WHERE rk <= $SemProbes),
+cand AS (
+  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT i, j
+  FROM cand
+  JOIN nn na ON na.vec_id = i
+  JOIN nn nb ON nb.vec_id = j
+  WHERE CAST(list_sum(list_transform(range(1, 65),
+          k -> na.qv[k] * nb.qv[k])) AS DOUBLE)
+        / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+        >= $SemThreshold),
+edges AS (SELECT i, j FROM pairs UNION SELECT j, i FROM pairs),
+walk(node, reach) AS (
+  SELECT i, i FROM edges
+  UNION
+  SELECT w.node, e.j FROM walk w JOIN edges e ON e.i = w.reach),
+cl AS (SELECT node AS gid, min(reach) AS cluster_rep
+       FROM walk GROUP BY node),
+gcl AS (
+  SELECT nn.vec_id AS group_id, nn.m,
+    coalesce(cl.cluster_rep, nn.vec_id) AS cluster_rep
+  FROM nn LEFT JOIN cl ON cl.gid = nn.vec_id),
+sizes AS (SELECT cluster_rep, CAST(sum(m) AS BIGINT) AS csz
+          FROM gcl GROUP BY cluster_rep),
+members AS (SELECT n0.vec_id, grp.vec_id AS group_id FROM n0
+            JOIN grp USING (qv))
+SELECT mb.vec_id, gcl.cluster_rep, sz.csz AS cluster_size,
+  CAST(CASE WHEN gcl.cluster_rep = mb.vec_id THEN 1 ELSE 0 END AS BIGINT)
+    AS is_canonical
+FROM members mb
+JOIN gcl ON gcl.group_id = mb.group_id
+JOIN sizes sz ON sz.cluster_rep = gcl.cluster_rep
+ORDER BY mb.vec_id
+"""
+
   /** Incremental SEMANTIC dedup — the embedding twin of
     * `dedup_incremental_batch`: a new batch (vectors hashing to buckets
     * 0-1, ~20%) is checked against the EXISTING corpus through the IVF
@@ -619,6 +836,8 @@ FROM ranked GROUP BY source ORDER BY source
     "dedup_canonical_pick" -> QueryDef(canonicalPick, Some(canonicalOracle)),
     "dedup_semantic_clusters" ->
       QueryDef(semanticClusters, Some(semanticOracle)),
+    "dedup_semantic_collapsed" ->
+      QueryDef(semanticCollapsed, Some(semanticCollapsedOracle)),
     "dedup_incremental_semantic" ->
       QueryDef(incrementalSemantic, Some(incrementalSemanticOracle))
   )
