@@ -542,12 +542,9 @@ ORDER BY e.vec_id
   def semanticCollapsed(s: SparkSession, dir: String): DataFrame = {
     val groups = Similarity.collapsed(s, dir) // (vec_id, qv, m, nrm)
     val cl = semCollapsedClusterMap(s, dir) // clustered survivors only
-    // every corpus vector -> its survivor group (equi-join on the
-    // quantized vector, the collapse key; ~n narrow rows out)
-    val members = Similarity.quantized(s, dir).select(col("vec_id"), col("qv"))
-      .join(groups.select(col("qv"), col("vec_id").as("group_id"),
-        col("m")), "qv")
-      .select("vec_id", "group_id", "m")
+    // every corpus vector -> its survivor group (8-byte-hash equi-join
+    // with exact-array verify — Similarity.memberMap; ~n narrow rows out)
+    val members = Similarity.memberMap(s, dir)
     // member-count sizes: Σ multiplicity over each component's groups
     // (pair-set-bounded, broadcastable; singleton components fall through
     // to coalesce(_, m) — their size IS the group's multiplicity)

@@ -1378,12 +1378,27 @@ FROM ranked WHERE rank <= $KnnK ORDER BY group_id, rank
     * (dot/(√n·√n)) — NOT the constant 1.0 — so the engines agree bit
     * for bit and own-group vs cross-group ordering has one rule.
     */
+  /** Member → survivor-group map `(vec_id, group_id, m)`: every corpus
+    * vector equi-joined to its collapsed group. The join KEY is xxhash64
+    * over the quantized array — an 8-byte shuffle/compare key instead of
+    * the raw 512-byte 64-long array — with the exact arrays kept as
+    * verify payload: the equality filter keeps the map exact under any
+    * hash collision, the hash only thins the exchange and the sort-merge
+    * comparisons (the r11-verdict key-width nit on `knnExpandMembers`).
+    * Shared by the member-expansion consumers of [[collapsed]]
+    * (`ann_knn_expand_members`, `dedup_semantic_collapsed`).
+    */
+  private[graft] def memberMap(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir)
+      .select(col("vec_id"), col("qv"), xxhash64(col("qv")).as("hk"))
+      .join(collapsed(s, dir).select(col("vec_id").as("group_id"),
+        col("qv").as("gqv"), col("m"), xxhash64(col("qv")).as("hk")), "hk")
+      .filter(col("qv") === col("gqv"))
+      .select("vec_id", "group_id", "m")
+
   def knnExpandMembers(s: SparkSession, dir: String): DataFrame = {
-    val q = quantized(s, dir)
     val groups = collapsed(s, dir)
-    val members = q.select(col("vec_id"), col("qv"))
-      .join(groups.select(col("vec_id").as("group_id"), col("qv")), "qv")
-      .select("vec_id", "group_id")
+    val members = memberMap(s, dir).select("vec_id", "group_id")
     // k+1 smallest member ids per group: own-group candidates survive
     // self-exclusion; neighbor-group use sees at most the first k
     val wg = Window.partitionBy("group_id").orderBy("vec_id")
