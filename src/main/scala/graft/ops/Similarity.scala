@@ -39,13 +39,21 @@ object Similarity {
     */
   private val quantizedCache = new graft.SessionMemo[DataFrame]
 
+  /** The quantization kernel: float coordinate → fixed-point long on the
+    * 1e-6 grid. ONE definition shared by the batch base ([[quantized]])
+    * and the streaming probe (`VecStream.probeBatch`) so cross-surface
+    * parity is by construction, and mirrored verbatim in every oracle's
+    * `list_transform(embedding, x -> CAST(floor(... * 1000000.0) ...))`.
+    */
+  private[graft] def qvExpr(embedding: Column): Column =
+    transform(embedding, x => floor(x.cast("double") * 1000000.0).cast("long"))
+
   private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
     quantizedCache.getOrElseUpdate(s, dir) {
       graft.functions.VectorFunctions.register(s)
       Registry.table(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 1000000.0).cast("long")).as("qv"),
+        qvExpr(col("embedding")).as("qv"),
         // the SQ8 compressed domain rides on the same scan: q8 is NOT
         // derivable from qv (both floor the RAW coordinate on different
         // grids), so leaving it out forced sq8Rerank to replay the whole

@@ -926,6 +926,63 @@ class StreamingSpec extends SparkSpec {
     assert(buf.sorted.toSeq == expected.sorted)
   }
 
+  test("streaming survivor-collapse probe equals the batch member map") {
+    // the dedup-first ingestion discipline as a stream: the whole corpus
+    // replays over two micro-batches and probes the memoized survivor
+    // base; the union of per-batch memberships must equal the batch
+    // Similarity.memberMap exactly (same base object -> the survivor kNN
+    // graph ann_knn_join_dedup builds over it can never disagree). A
+    // third batch of NOVEL vectors (absent from the base, duplicated
+    // within the batch) exercises the base-miss path: within-batch
+    // min-id collapse with the batch twin's survivor rule.
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val novel = corpus.filter(col("vec_id") === 0)
+      .select(explode(array(lit(9000001L), lit(9000002L))).as("vec_id"),
+        transform(col("embedding"), x => x * -1.0f - 17.5f).as("embedding"))
+    val staged = java.nio.file.Files.createTempDirectory("vec_probe_stream")
+    Seq(corpus.filter(col("vec_id") % 2 === 0),
+        corpus.filter(col("vec_id") % 2 === 1),
+        novel).zipWithIndex.foreach { case (part, i) =>
+      part.coalesce(1).write.parquet(s"$staged/b$i")
+      val f = new java.io.File(s"$staged/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$staged/b$i.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/*.parquet")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.VecStream
+      .survivorProbe(spark, sfDir, stream) { (out, id) =>
+        buf.synchronized {
+          buf ++= out.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          ids += id
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("vec_probe_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    assert(ids.distinct.size >= 3, "expected one probe per micro-batch")
+    val (known, unknown) = buf.partition(_._4)
+    val expected = ops.Similarity.memberMap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(known.nonEmpty, "no known memberships — vacuous parity")
+    assert(known.map(t => (t._1, t._2, t._3)).sorted.toSeq == expected.sorted,
+      "streamed memberships must equal the batch member map exactly")
+    // the novel pair collapsed within its batch: first arrival survives
+    assert(unknown.map(t => (t._1, t._2, t._3)).sorted.toSeq ==
+      Seq((9000001L, 9000001L, 2L), (9000002L, 9000001L, 2L)),
+      s"unexpected base-miss collapse: ${unknown.sorted}")
+  }
+
   test("sessionization state survives a QUERY RESTART from the checkpoint") {
     import spark.implicits._
     // harder than cross-batch: the first query processes batch 0 and
