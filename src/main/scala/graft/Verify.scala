@@ -13,11 +13,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Optional memoized-base budget between queries (same knob as Bench):
+    // the driver never sets it, but an eviction-correctness run
+    // (SPARK_GRAFT_MEMO_BUDGET_MB=1) forces every memo base to evict and
+    // recompute between queries, turning the DuckDB hash gate into an
+    // end-to-end no-wrong-answers-under-eviction certificate.
+    val memoBudget = Bench.envKnob("SPARK_GRAFT_MEMO_BUDGET_MB")
+      .map(mb => math.max(0L, mb) * 1024 * 1024)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      memoBudget.filter(_ > 0).foreach { b =>
+        val ev = SessionMemo.enforceBudget(spark, b)
+        if (ev.nonEmpty)
+          System.err.println(s"[verify] memo budget: evicted ${ev.size} " +
+            s"base(s) after $name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
