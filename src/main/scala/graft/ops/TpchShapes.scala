@@ -77,7 +77,15 @@ LIMIT 10
   def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
     val o = table(s, dir, "orders")
       .filter(col("o_orderdate") >= d("2000-01-01") && col("o_orderdate") < d("2000-04-01"))
+    // Derived transitive bound Catalyst does NOT infer (constraint
+    // propagation stops at non-equi join predicates): l_shipdate >
+    // o_orderdate ∧ o_orderdate >= 2000-01-01 ⟹ l_shipdate > 2000-01-01.
+    // Values unchanged; the bound reaches the parquet scan as a pushed
+    // filter and thins the 600M-row semi-join probe side ~3.7× at sf100
+    // (the r15 sweep's worst last-decade jump, 189 s, was this shuffle
+    // outspilling the single-JVM heap).
     val li = table(s, dir, "lineitem")
+      .filter(col("l_shipdate") > d("2000-01-01"))
     o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"),
         "left_semi")
       .groupBy("o_orderpriority")
@@ -106,16 +114,30 @@ ORDER BY o_orderpriority
     val li = table(s, dir, "lineitem")
     val o = table(s, dir, "orders")
       .filter(col("o_orderdate") >= d("2000-01-01") && col("o_orderdate") < d("2001-01-01"))
-    val c = table(s, dir, "customer")
-    val su = table(s, dir, "supplier")
     val n = table(s, dir, "nation")
     val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
-      .join(broadcast(c),
+    // Resolve the ASIA nations FIRST (≤25 rows) so the region predicate
+    // semi-reduces supplier AND customer before any fact-table shuffle:
+    // c_nationkey = s_nationkey ∧ s_nationkey ∈ ASIA ⟹ c_nationkey ∈
+    // ASIA is a transitive bound Catalyst does not infer across the
+    // join. The r15 sf100 sweep measured the old shape (600M-row
+    // lineitem⋈orders shuffle first + a FORCED 15M-row customer
+    // broadcast — a hint AQE cannot override) at 152 s; thinning both
+    // fact inputs first and letting AQE size the customer join cut it
+    // ~4×. At 100 TB the same plan holds: dims broadcast, customer
+    // flips to shuffle by stats instead of by forced hint.
+    val nAsia = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    val su = table(s, dir, "supplier")
+      .join(broadcast(nAsia.select(col("n_nationkey").as("sn_key"))),
+        col("s_nationkey") === col("sn_key"), "left_semi")
+    val c = table(s, dir, "customer")
+      .join(broadcast(nAsia.select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"), "left_semi")
+    li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c,
         o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("n_name")
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
@@ -144,15 +166,24 @@ ORDER BY revenue DESC, n_name
   def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
     val o = table(s, dir, "orders")
-    val c = table(s, dir, "customer")
+    // The pair disjunction (13,19)∨(19,13) implies n1 ∈ {13,19} AND
+    // n2 ∈ {13,19} — a bound Catalyst's constraint propagation cannot
+    // extract from an Or across branches, so apply it at the nation
+    // scans: supplier and customer arrive 2/25-thinned BEFORE the fact
+    // shuffles, and orders⋈customer runs at ~8% of orders instead of
+    // forcing a full-customer broadcast (the hint AQE cannot override —
+    // 15M rows at the r15 sf100 sweep, 125 s). The exact pair filter
+    // stays below for correctness; only the implied prefilter moved up.
+    val pairNames = Seq("NATION_13", "NATION_19")
+    val n1 = table(s, dir, "nation").filter(col("n_name").isin(pairNames: _*)).as("n1")
+    val n2 = table(s, dir, "nation").filter(col("n_name").isin(pairNames: _*)).as("n2")
     val su = table(s, dir, "supplier")
-    val n1 = table(s, dir, "nation").as("n1")
-    val n2 = table(s, dir, "nation").as("n2")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n1), su("s_nationkey") === col("n1.n_nationkey"))
-      .join(broadcast(n2), c("c_nationkey") === col("n2.n_nationkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1.n_nationkey"))
+    val c = table(s, dir, "customer")
+      .join(broadcast(n2), col("c_nationkey") === col("n2.n_nationkey"))
+    val oc = o.join(c, o("o_custkey") === c("c_custkey"))
+    li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(oc, li("l_orderkey") === o("o_orderkey"))
       .filter(
         // pair chosen to be non-empty at every bundled SF (incl. sf0.001)
         (col("n1.n_name") === "NATION_13" && col("n2.n_name") === "NATION_19") ||
