@@ -53,11 +53,18 @@ object SearchOps {
 
   /** Top-20 documents for the fixed two-term query, BM25-ranked. */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: `per` feeds BOTH the corpus-stats aggregate and
+    // the scoring join, and neither branch ends in an exchange Spark
+    // could reuse — without materialization the 5M-doc tokenize pass
+    // runs twice (the r15 sf100 sweep's 42.7 s; one pass + a 4-long-
+    // per-doc materialization is the cheaper trade at every SF, and at
+    // 100 TB `per` is ~32 bytes/doc vs re-tokenizing kilobytes/doc)
     val per = Registry.table(s, dir, "documents")
       .select(col("doc_id") +: size(toks).cast("long").as("dl") +:
         Terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === t)).cast("long").as(s"tf$i")
         }: _*)
+      .localCheckpoint()
     val aggCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
       Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0L, 1L).otherwise(0L)).as(s"df$i"))

@@ -42,8 +42,12 @@ object TpchShapes {
     val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = table(s, dir, "orders").filter(col("o_orderdate") < d("2000-07-01"))
     val li = table(s, dir, "lineitem").filter(col("l_shipdate") > d("2000-07-01"))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // orders⋈customer first: the BUILDING-segment reduction (~1/5)
+    // thins orders BEFORE the lineitem shuffle, and customer joins by
+    // AQE stats instead of a forced broadcast hint (3M rows at sf100 —
+    // the hint AQE cannot override was the 50 s term in the r15 sweep)
+    val oc = o.join(c, o("o_custkey") === c("c_custkey"))
+    li.join(oc, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
@@ -466,8 +470,13 @@ WHERE p_brand = 'Brand#1'
       .filter(col("total_qty") > 300)
     val o = table(s, dir, "orders")
     val c = table(s, dir, "customer")
-    o.join(broadcast(big), o("o_orderkey") === big("b_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // no forced broadcasts: `big`'s row count is data-dependent (scales
+    // with orders) and customer is 15M rows at sf100 — both hints would
+    // pin a plan AQE should size from runtime stats (broadcast at bench
+    // SFs, shuffle at scale); the r15 sweep measured the hinted shape
+    // at 34 s, the stats-sized one at ~8 s
+    o.join(big, o("o_orderkey") === big("b_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_orderdate"),
         col("o_totalprice"), col("total_qty"))
