@@ -224,8 +224,10 @@ ORDER BY rank_scaled DESC, n_name
         .select(col("o_orderkey"), col("o_custkey"))
       val cust = Registry.table(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey").as("v"))
+      // supplier stays hinted (bounded-ish dim); customer joins by AQE
+      // stats — it scales with the corpus (15M rows at sf100)
       li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(ord.join(broadcast(cust),
+        .join(ord.join(cust,
           col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("u", "v").agg(sum("c").as("wc"))

@@ -95,7 +95,9 @@ eur_supplier AS (
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     val w = Window.partitionBy("ps_partkey")
     partsupp(s, dir)
-      .join(broadcast(p), col("ps_partkey") === p("p_partkey"))
+      // part scales with the corpus (20M rows at sf100): AQE-sized join;
+      // the Europe supplier subset stays hinted (region-bounded)
+      .join(p, col("ps_partkey") === p("p_partkey"))
       .join(broadcast(eur), col("ps_suppkey") === eur("s_suppkey"))
       .withColumn("min_cost", min("ps_supplycost_cents").over(w))
       .filter(col("ps_supplycost_cents") === col("min_cost"))

@@ -157,7 +157,8 @@ ORDER BY rank
         (pmod(SamplingOps.hash60(col("c_custkey")), lit(10)) === 0)
           .as("c_new"))
     val delta = o
-      .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      // customer joins by AQE stats (scales with the corpus) — r15 audit
+      .join(cst, col("o_custkey") === col("c_custkey"))
       .filter(col("o_new") || col("c_new")) // ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("delta_rows"), sum("c").as("delta_rev_cents"))

@@ -94,7 +94,9 @@ ORDER BY col_name
       sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
         .as("status_out_of_domain"))
     val orphans = o.join(
-        broadcast(Registry.table(s, dir, "customer").select("c_custkey")),
+        // key set scales with the corpus (15M at sf100): anti-join by
+        // AQE stats, not a forced broadcast — r15 audit
+        Registry.table(s, dir, "customer").select("c_custkey"),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("orphan_custkey"))
     scanRules.crossJoin(orphans)
