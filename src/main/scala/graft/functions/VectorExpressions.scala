@@ -476,5 +476,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // can't see through an opaque binary node without the rule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+    // predicate-derivation rules closing two constraint-propagation gaps
+    // (literal bounds across non-equi joins; disjunctive domains) — see
+    // graft.plans.DerivedPredicates for soundness + measurements
+    e.injectOptimizerRule(_ => graft.plans.DeriveNonEquiJoinBounds)
+    e.injectOptimizerRule(_ => graft.plans.DeriveDisjunctiveDomains)
   }
 }

@@ -81,15 +81,15 @@ LIMIT 10
   def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
     val o = table(s, dir, "orders")
       .filter(col("o_orderdate") >= d("2000-01-01") && col("o_orderdate") < d("2000-04-01"))
-    // Derived transitive bound Catalyst does NOT infer (constraint
-    // propagation stops at non-equi join predicates): l_shipdate >
-    // o_orderdate ∧ o_orderdate >= 2000-01-01 ⟹ l_shipdate > 2000-01-01.
-    // Values unchanged; the bound reaches the parquet scan as a pushed
-    // filter and thins the 600M-row semi-join probe side ~3.7× at sf100
-    // (the r15 sweep's worst last-decade jump, 189 s, was this shuffle
-    // outspilling the single-JVM heap).
+    // lineitem is deliberately UNfiltered: the transitive bound l_shipdate >
+    // o_orderdate ∧ o_orderdate >= 2000-01-01 ⟹ l_shipdate > 2000-01-01 is
+    // derived by the engine's own DeriveNonEquiJoinBounds optimizer rule
+    // (graft.plans.DerivedPredicates; Catalyst's constraint propagation
+    // stops at non-equi join predicates) and reaches the parquet scan as a
+    // pushed filter — thinning the 600M-row semi-join probe ~3.7× at sf100
+    // (189 s → 7.7 s, the r15 sweep's worst last-decade jump). PlanSpec
+    // asserts the derived bound lands in the scan's PushedFilters.
     val li = table(s, dir, "lineitem")
-      .filter(col("l_shipdate") > d("2000-01-01"))
     o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"),
         "left_semi")
       .groupBy("o_orderpriority")
@@ -170,17 +170,17 @@ ORDER BY revenue DESC, n_name
   def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
     val o = table(s, dir, "orders")
-    // The pair disjunction (13,19)∨(19,13) implies n1 ∈ {13,19} AND
-    // n2 ∈ {13,19} — a bound Catalyst's constraint propagation cannot
-    // extract from an Or across branches, so apply it at the nation
-    // scans: supplier and customer arrive 2/25-thinned BEFORE the fact
-    // shuffles, and orders⋈customer runs at ~8% of orders instead of
-    // forcing a full-customer broadcast (the hint AQE cannot override —
-    // 15M rows at the r15 sf100 sweep, 125 s). The exact pair filter
-    // stays below for correctness; only the implied prefilter moved up.
-    val pairNames = Seq("NATION_13", "NATION_19")
-    val n1 = table(s, dir, "nation").filter(col("n_name").isin(pairNames: _*)).as("n1")
-    val n2 = table(s, dir, "nation").filter(col("n_name").isin(pairNames: _*)).as("n2")
+    // The nation scans are deliberately UNfiltered: the pair disjunction
+    // (13,19)∨(19,13) implies n1 ∈ {13,19} AND n2 ∈ {13,19} — a bound
+    // Catalyst cannot extract from an Or (branch-constraint intersection
+    // is empty), derived instead by the engine's DeriveDisjunctiveDomains
+    // optimizer rule (graft.plans.DerivedPredicates) and pushed to the
+    // nation scans, so supplier and customer arrive 2/25-thinned BEFORE
+    // the fact shuffles and orders⋈customer runs at ~8% of orders (125 s
+    // → 10.6 s at the r15 sf100 sweep when this was hand-written; PlanSpec
+    // asserts the derived IN lands in the nation scans' PushedFilters).
+    val n1 = table(s, dir, "nation").as("n1")
+    val n2 = table(s, dir, "nation").as("n2")
     val su = table(s, dir, "supplier")
       .join(broadcast(n1), col("s_nationkey") === col("n1.n_nationkey"))
     val c = table(s, dir, "customer")

@@ -703,4 +703,53 @@ class PlanSpec extends SparkSpec {
     assert(unpartitioned <= 1,
       s"more than one global window in the skyline plan:\n${plan.take(2000)}")
   }
+
+  /** All parquet scan metadata maps (scanMeta only returns the first). */
+  private def scanMetas(df: DataFrame): Seq[Map[String, String]] =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }
+
+  test("Q4: engine derives the non-equi transitive bound to the lineitem scan") {
+    // The query states the naive form (no filter on lineitem); the
+    // DeriveNonEquiJoinBounds rule must derive l_shipdate > 2000-01-01
+    // from l_shipdate > o_orderdate ∧ o_orderdate >= 2000-01-01 and
+    // pushdown must carry it into the lineitem parquet scan.
+    val metas = scanMetas(ops.TpchShapes.q4OrderPriority(spark, sfDir))
+    val li = metas.find(_.getOrElse("ReadSchema", "").contains("l_shipdate"))
+    assert(li.isDefined, s"no lineitem scan found in ${metas.size} scans")
+    val pushed = li.get.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(l_shipdate"),
+      s"derived non-equi bound not pushed to the lineitem scan: $pushed")
+  }
+
+  test("Q7: engine derives the disjunctive nation domains to both nation scans") {
+    // Naive form: unfiltered nation scans, pair disjunction at the top.
+    // DeriveDisjunctiveDomains must derive n_name IN (13,19) for BOTH
+    // nation roles and pushdown must land each in its scan.
+    val metas = scanMetas(ops.TpchShapes.q7VolumeShipping(spark, sfDir))
+    val nations = metas.filter(_.getOrElse("ReadSchema", "").contains("n_name"))
+    assert(nations.size == 2, s"expected 2 nation scans, got ${nations.size}")
+    nations.foreach { m =>
+      val pushed = m.getOrElse("PushedFilters", "")
+      assert(pushed.contains("In(n_name") &&
+        pushed.contains("NATION_13") && pushed.contains("NATION_19"),
+        s"derived domain not pushed to a nation scan: $pushed")
+    }
+  }
+
+  test("derived predicates converge (no fixed-point churn in the optimized plan)") {
+    // If either rule re-derived what it already added, the fixed-point
+    // batch would accumulate duplicate conjuncts (and warn at 100
+    // iterations). The optimized plans must carry each derived predicate
+    // a bounded number of times.
+    val q7 = ops.TpchShapes.q7VolumeShipping(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert("NATION_13".r.findAllIn(q7).length <= 8,
+      s"disjunctive-domain churn:\n${q7.take(3000)}")
+    val q4 = ops.TpchShapes.q4OrderPriority(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert("2000-01-01".r.findAllIn(q4).length <= 6,
+      s"non-equi-bound churn:\n${q4.take(3000)}")
+  }
 }

@@ -14,6 +14,9 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // same extension posture as GraftSession: plan-quality tests must see
+    // the engine's own optimizer rules (derived predicates, as-of pushdown)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }
 
