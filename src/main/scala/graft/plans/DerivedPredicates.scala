@@ -169,19 +169,22 @@ object DeriveNonEquiJoinBounds extends Rule[LogicalPlan] with DerivedPredicateHe
   }
 }
 
-/** Derives per-attribute literal domains from disjunctions (see file
-  * scaladoc): when EVERY branch of an Or pins attribute `a` to literals
-  * (via `=` or `IN`), the Or implies `a IN (union of the branch literals)`.
-  * Applied to Filter conditions and to Inner/Semi/Cross join conditions
-  * (Catalyst's own pushdown may have moved the user's WHERE disjunction
-  * into the join before this rule sees it).
+/** Derives per-attribute literal facts from disjunctions (see file
+  * scaladoc), applied to Filter conditions and to Inner/Semi/Cross join
+  * conditions (Catalyst's own pushdown may have moved the user's WHERE
+  * disjunction into the join before this rule sees it):
+  *
+  *  - exact domain — EVERY branch pins `a` to literals (via `=`/`IN`) ⟹
+  *    `a IN (union of the branch literals)`;
+  *  - range envelope — EVERY branch bounds `a` from below (above) via
+  *    `=`/`IN`/`>`/`≥` (`<`/`≤`) literals ⟹ `a ≥ min` (`a ≤ max`) of the
+  *    per-branch tightest bounds. The TPC-H Q19 shape: three brand
+  *    branches each with `l_quantity BETWEEN lo_i AND hi_i` imply
+  *    `l_quantity BETWEEN min(lo) AND max(hi)` on the FACT side of the
+  *    join — the one derived predicate there that thins a 100 TB scan.
   */
 object DeriveDisjunctiveDomains extends Rule[LogicalPlan] with DerivedPredicateHelper {
 
-  /** Keeps the derived IN broadcast-filter-sized; a 1000-value domain no
-    * longer buys scan selectivity worth the expression overhead.
-    */
-  private val MaxDomainValues = 64
   private val MaxBranches = 32
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -214,47 +217,145 @@ object DeriveDisjunctiveDomains extends Rule[LogicalPlan] with DerivedPredicateH
       .collect { case or: Or => domains(or) }
       .flatten
 
+  /** What one branch knows about one attribute. `exact` is the literal set
+    * the branch pins it to (None = not pinned); lower/upper are the branch's
+    * tightest literal bounds, (value, isStrict).
+    */
+  private case class BranchFact(attr: Attribute,
+      exact: Option[Seq[Literal]],
+      lower: Option[(Literal, Boolean)],
+      upper: Option[(Literal, Boolean)])
+
+  private def ordering(attr: Attribute): Option[Ordering[Any]] = attr.dataType match {
+    case dt if RowOrdering.isOrderable(dt) =>
+      Some(org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt))
+    case _ => None
+  }
+
   private def domains(or: Or): Seq[Expression] = {
     val branches = splitDisjunctivePredicates(or)
     if (branches.size > MaxBranches) return Nil
-    val branchMaps = branches.map(branchEqualities)
+    val branchMaps = branches.map(branchFacts)
     if (branchMaps.exists(_.isEmpty)) return Nil
     val common = branchMaps.map(_.keySet).reduce(_ intersect _)
     common.toSeq.sortBy(_.id).flatMap { key =>
-      val attr = branchMaps.flatMap(_.get(key)).head._1
-      // union across branches, first-seen order (deterministic: plan order)
-      val lits = branchMaps.flatMap(_.get(key).toSeq.flatMap(_._2)).foldLeft(Seq.empty[Literal]) {
-        (acc, l) => if (acc.exists(_.semanticEquals(l))) acc else acc :+ l
-      }
-      if (lits.isEmpty || lits.size > MaxDomainValues) None
-      else if (lits.size == 1) Some(EqualTo(attr, lits.head))
-      else Some(In(attr, lits))
+      val facts = branchMaps.map(_(key))
+      val attr = facts.head.attr
+      exactDomain(attr, facts).map(Seq(_)).getOrElse(envelope(attr, facts))
     }
   }
 
-  /** attribute → literal set the branch pins it to; an attribute equated to
-    * two different literal sets in one branch keeps their intersection (the
-    * branch implies both).
+  /** `a IN (∪ branch literals)` when every branch pins `a`. Capped at the
+    * OptimizeIn InSet threshold: a larger derived IN would be rewritten to
+    * InSet, which the next iteration's implied-check could not recognize —
+    * the fixed point would churn. (The envelope below still fires.)
     */
-  private def branchEqualities(branch: Expression)
-      : Map[ExprId, (Attribute, Seq[Literal])] = {
+  private def exactDomain(attr: Attribute, facts: Seq[BranchFact]): Option[Expression] = {
+    if (!facts.forall(_.exact.isDefined)) return None
+    val lits = facts.flatMap(_.exact.get).foldLeft(Seq.empty[Literal]) {
+      (acc, l) => if (acc.exists(_.semanticEquals(l))) acc else acc :+ l
+    }
+    if (lits.isEmpty || lits.size >= conf.optimizerInSetConversionThreshold) None
+    else if (lits.size == 1) Some(EqualTo(attr, lits.head))
+    else Some(In(attr, lits))
+  }
+
+  /** Range envelope: a lower (upper) bound exists when EVERY branch bounds
+    * the attribute from that side; the envelope is the loosest per-branch
+    * tightest bound — strict only if every branch achieving the extreme is
+    * strict.
+    */
+  private def envelope(attr: Attribute, facts: Seq[BranchFact]): Seq[Expression] =
+    ordering(attr).toSeq.flatMap { ord =>
+      def extreme(side: BranchFact => Option[(Literal, Boolean)], takeMin: Boolean)
+          : Option[(Literal, Boolean)] = {
+        val bounds = facts.map(side)
+        if (bounds.exists(_.isEmpty)) None
+        else Some(bounds.flatten.reduce { (x, y) =>
+          val c = ord.compare(x._1.value, y._1.value)
+          if (c == 0) (x._1, x._2 && y._2)
+          else if ((c < 0) == takeMin) x else y
+        })
+      }
+      val lo = extreme(_.lower, takeMin = true).map { case (l, strict) =>
+        if (strict) GreaterThan(attr, l) else GreaterThanOrEqual(attr, l)
+      }
+      val hi = extreme(_.upper, takeMin = false).map { case (l, strict) =>
+        if (strict) LessThan(attr, l) else LessThanOrEqual(attr, l)
+      }
+      lo.toSeq ++ hi.toSeq
+    }
+
+  /** Per-attribute facts of one branch; within the branch, exact sets
+    * intersect and bounds tighten (the branch implies ALL its conjuncts).
+    * An attribute whose intersection empties out is dropped — the branch is
+    * unsatisfiable there, and dropping the attribute only weakens the
+    * derivation (sound).
+    */
+  private def branchFacts(branch: Expression): Map[ExprId, BranchFact] = {
     val pins = splitConjunctivePredicates(branch).collect {
-      case EqualTo(a: Attribute, l: Literal) if l.value != null => (a, Seq(l))
-      case EqualTo(l: Literal, a: Attribute) if l.value != null => (a, Seq(l))
-      case EqualNullSafe(a: Attribute, l: Literal) if l.value != null => (a, Seq(l))
-      case EqualNullSafe(l: Literal, a: Attribute) if l.value != null => (a, Seq(l))
+      case EqualTo(a: Attribute, l: Literal) if ok(a, l) =>
+        BranchFact(a, Some(Seq(l)), Some((l, false)), Some((l, false)))
+      case EqualTo(l: Literal, a: Attribute) if ok(a, l) =>
+        BranchFact(a, Some(Seq(l)), Some((l, false)), Some((l, false)))
+      case EqualNullSafe(a: Attribute, l: Literal) if ok(a, l) =>
+        BranchFact(a, Some(Seq(l)), Some((l, false)), Some((l, false)))
+      case EqualNullSafe(l: Literal, a: Attribute) if ok(a, l) =>
+        BranchFact(a, Some(Seq(l)), Some((l, false)), Some((l, false)))
       case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
-            case l: Literal => l.value != null
+            case l: Literal => ok(a, l)
             case _ => false
           } =>
-        (a, vs.map(_.asInstanceOf[Literal]))
+        val ls = vs.map(_.asInstanceOf[Literal])
+        val minMax = ordering(a).map { ord =>
+          (ls.reduce((x, y) => if (ord.compare(x.value, y.value) <= 0) x else y),
+            ls.reduce((x, y) => if (ord.compare(x.value, y.value) >= 0) x else y))
+        }
+        BranchFact(a, Some(ls), minMax.map(m => (m._1, false)), minMax.map(m => (m._2, false)))
+      case GreaterThan(a: Attribute, l: Literal) if ok(a, l) =>
+        BranchFact(a, None, Some((l, true)), None)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) if ok(a, l) =>
+        BranchFact(a, None, Some((l, false)), None)
+      case LessThan(a: Attribute, l: Literal) if ok(a, l) =>
+        BranchFact(a, None, None, Some((l, true)))
+      case LessThanOrEqual(a: Attribute, l: Literal) if ok(a, l) =>
+        BranchFact(a, None, None, Some((l, false)))
+      case GreaterThan(l: Literal, a: Attribute) if ok(a, l) =>
+        BranchFact(a, None, None, Some((l, true)))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) if ok(a, l) =>
+        BranchFact(a, None, None, Some((l, false)))
+      case LessThan(l: Literal, a: Attribute) if ok(a, l) =>
+        BranchFact(a, None, Some((l, true)), None)
+      case LessThanOrEqual(l: Literal, a: Attribute) if ok(a, l) =>
+        BranchFact(a, None, Some((l, false)), None)
     }
-    pins.groupBy(_._1.exprId).map { case (id, group) =>
-      val attr = group.head._1
-      val lits = group.map(_._2).reduce { (x, y) =>
-        x.filter(l => y.exists(_.semanticEquals(l)))
+    pins.groupBy(_.attr.exprId).flatMap { case (id, group) =>
+      val merged = group.reduce(mergeWithin)
+      // drop attrs whose exact intersection emptied (unsatisfiable branch)
+      if (merged.exact.exists(_.isEmpty)) None else Some(id -> merged)
+    }
+  }
+
+  private def ok(a: Attribute, l: Literal): Boolean =
+    l.value != null && l.dataType == a.dataType
+
+  /** Conjunction of two facts about the same attribute in one branch. */
+  private def mergeWithin(x: BranchFact, y: BranchFact): BranchFact = {
+    val ord = ordering(x.attr)
+    def tighter(a: Option[(Literal, Boolean)], b: Option[(Literal, Boolean)], takeMax: Boolean) =
+      (a, b, ord) match {
+        case (Some(p), Some(q), Some(o)) =>
+          val c = o.compare(p._1.value, q._1.value)
+          Some(if (c == 0) (p._1, p._2 || q._2)
+          else if ((c > 0) == takeMax) p else q)
+        case _ => a.orElse(b)
       }
-      id -> (attr, lits)
-    }.filter(_._2._2.nonEmpty)
+    val exact = (x.exact, y.exact) match {
+      case (Some(xs), Some(ys)) => Some(xs.filter(l => ys.exists(_.semanticEquals(l))))
+      case _ => x.exact.orElse(y.exact)
+    }
+    BranchFact(x.attr, exact,
+      tighter(x.lower, y.lower, takeMax = true),
+      tighter(x.upper, y.upper, takeMax = false))
   }
 }

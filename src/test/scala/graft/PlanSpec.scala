@@ -738,6 +738,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Q19: engine derives the disjunctive range envelope to both scans") {
+    // Every Or branch bounds l_quantity/p_size with an interval, so the
+    // disjunction implies the interval UNION's envelope — the one derived
+    // predicate that thins the FACT side of the Q19 shape at 100 TB.
+    val metas = scanMetas(ops.RelationalExtras.disjunctiveJoin(spark, sfDir))
+    val li = metas.find(_.getOrElse("ReadSchema", "").contains("l_quantity")).get
+    val liPushed = li.getOrElse("PushedFilters", "")
+    assert(liPushed.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      liPushed.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity envelope not pushed to the lineitem scan: $liPushed")
+    val p = metas.find(_.getOrElse("ReadSchema", "").contains("p_size")).get
+    val pPushed = p.getOrElse("PushedFilters", "")
+    assert(pPushed.contains("In(p_brand") &&
+      pPushed.contains("GreaterThanOrEqual(p_size,1)") &&
+      pPushed.contains("LessThanOrEqual(p_size,50)"),
+      s"brand domain / size envelope not pushed to the part scan: $pPushed")
+  }
+
   test("derived predicates converge (no fixed-point churn in the optimized plan)") {
     // If either rule re-derived what it already added, the fixed-point
     // batch would accumulate duplicate conjuncts (and warn at 100

@@ -90,6 +90,36 @@ class Round16PropertySpec extends SparkSpec {
     assert(run("") === run(bothRules), "derived In changed null semantics")
   }
 
+  test("q19: derived range envelope preserves results (rule-on == rule-off)") {
+    ruleOnOffLaw(ops.RelationalExtras.disjunctiveJoin)
+  }
+
+  test("range envelope strictness: a strict and a non-strict branch at the same bound") {
+    // (x > 5 ∧ …) ∨ (x >= 5 ∧ …): the envelope must be x >= 5 — taking
+    // the strict bound would wrongly drop the second branch's x = 5 rows.
+    import spark.implicits._
+    val df = Seq((0, 5, "a"), (1, 5, "b"), (2, 6, "a"), (3, 4, "a")).toDF("id", "x", "t")
+    def run(excl: String): Seq[Int] = {
+      if (excl.nonEmpty) spark.conf.set("spark.sql.optimizer.excludedRules", excl)
+      try df.filter(($"x" > 5 && $"t" === "a") || ($"x" >= 5 && $"t" === "b"))
+        .select("id").collect().map(_.getInt(0)).sorted.toSeq
+      finally if (excl.nonEmpty) spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+    assert(run("") === Seq(1, 2), s"strictness bug dropped a boundary row: ${run("")}")
+    assert(run("") === run(bothRules))
+  }
+
+  test("range envelope: one-sided branches derive only the shared side") {
+    // (x > 10) ∨ (x = 3 ∧ t='b'): every branch bounds x below (3 via the
+    // equality), no branch bounds it above in common — envelope is x >= 3
+    // only, and the x = 3 row must survive.
+    import spark.implicits._
+    val df = Seq((0, 11, "a"), (1, 3, "b"), (2, 3, "a"), (3, 2, "b")).toDF("id", "x", "t")
+    val got = df.filter(($"x" > 10) || ($"x" === 3 && $"t" === "b"))
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(got === Seq(0, 1), s"envelope over- or under-derived: $got")
+  }
+
   test("disjunctive domains derive nothing when a branch leaves the attribute free") {
     // (u='a') ∨ (v='q'): neither attribute is pinned in EVERY branch, so
     // no domain exists — the rule must not invent one (it would wrongly
