@@ -31,4 +31,13 @@ object GraftSession {
       // one full suite's classes stay resident.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // Single-JVM local mode shares RPC dispatcher threads with the 32
+      // executor threads: under full CPU saturation on a 1000×-scale
+      // corpus the 10 s default heartbeat can time out 60 consecutive
+      // times, the executor exits, and the context dies mid-suite (the
+      // r16 sf100 re-measure hit exactly this). Heartbeats between a
+      // driver and an executor in the SAME process carry no liveness
+      // signal worth killing the JVM over — make them patient.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
 }

@@ -224,11 +224,21 @@ ORDER BY new_id, corpus_id
     val urgent = table(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
-    // build: one binary sketch scalar (est 100k keys / 800k bits ≈ the
-    // optimizer rule's 8-bits-per-key default), collected like the rule's
-    // ScalarSubquery result — ~100 KB to the driver, never the keys
+    // build: one binary sketch scalar, collected like the optimizer rule's
+    // ScalarSubquery result — the SKETCH travels to the driver, never the
+    // keys. Sized from the build side's measured cardinality (one cheap
+    // count over the filtered dim): the r16 sf100 sweep caught the
+    // previous bench-sized constants (100k keys / 800k bits) SATURATING at
+    // 30M urgent keys — every probe answered true, zero pruning, and the
+    // query ran the naive join plus per-row hash overhead (268 s; 0.76 s
+    // at sf0.1 = 353×, the sweep's only super-linear line). 8 bits/key
+    // ≈ 2% FPP; the 256M-bit (32 MB) cap keeps the scalar broadcastable —
+    // beyond ~32M keys FPP degrades gracefully instead of the size blowing
+    // up, and the exact join still removes every false positive.
+    val nKeys = math.max(1L, urgent.count())
+    val bits = math.min(256L << 20, math.max(800000L, nKeys * 8))
     val sketch = urgent.agg(call_function("bloom_agg",
-      xxhash64(col("o_orderkey")), lit(100000L), lit(800000L)).as("bf"))
+      xxhash64(col("o_orderkey")), lit(nKeys), lit(bits)).as("bf"))
       .first().getAs[Array[Byte]]("bf")
     val fact = table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))

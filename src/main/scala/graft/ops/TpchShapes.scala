@@ -110,9 +110,10 @@ ORDER BY o_orderpriority
   // ---------------------------------------------------------------- Q5
   /** Q5 local-supplier volume: the 6-table star join with the extra
     * *non-star* equality c_nationkey = s_nationkey (customer and supplier
-    * in the same nation). supplier/nation/region broadcast; customer
-    * broadcasts too (O(SF·150k) — at 100 TB it flips to shuffle and AQE
-    * handles that choice per-stats).
+    * in the same nation). Only the fixed dimensions (region, nation, the
+    * ≤25-row nation key sets) carry broadcast hints; the ASIA-reduced
+    * supplier and customer are O(SF), so AQE sizes those joins from
+    * runtime stats (broadcast at bench SFs, shuffle at 100 TB).
     */
   def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
@@ -137,7 +138,7 @@ ORDER BY o_orderpriority
     val c = table(s, dir, "customer")
       .join(broadcast(nAsia.select(col("n_nationkey").as("cn_key"))),
         col("c_nationkey") === col("cn_key"), "left_semi")
-    li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+    li.join(su, li("l_suppkey") === su("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c,
         o("o_custkey") === c("c_custkey") && c("c_nationkey") === su("s_nationkey"))
@@ -186,7 +187,7 @@ ORDER BY revenue DESC, n_name
     val c = table(s, dir, "customer")
       .join(broadcast(n2), col("c_nationkey") === col("n2.n_nationkey"))
     val oc = o.join(c, o("o_custkey") === c("c_custkey"))
-    li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+    li.join(su, li("l_suppkey") === su("s_suppkey"))
       .join(oc, li("l_orderkey") === o("o_orderkey"))
       .filter(
         // pair chosen to be non-empty at every bundled SF (incl. sf0.001)
@@ -230,10 +231,13 @@ ORDER BY supp_nation, cust_nation, l_year
     val n2 = table(s, dir, "nation").as("n2") // supplier nation -> market share
     val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
     val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    // part (type-filtered), customer (15M rows at sf100) and supplier all
+    // scale with the corpus — UNhinted, AQE-sized; nation/region keep
+    // their hints (fixed dimensions)
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
       .join(broadcast(n1), c("c_nationkey") === col("n1.n_nationkey"))
       .join(broadcast(r), col("n1.n_regionkey") === r("r_regionkey"))
       .join(broadcast(n2), su("s_nationkey") === col("n2.n_nationkey"))
@@ -284,9 +288,12 @@ ORDER BY o_year
     val su = table(s, dir, "supplier")
     val p = table(s, dir, "part").filter(col("p_name").contains("widget"))
     val n = table(s, dir, "nation")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    // part (substring-filtered, data-dependent selectivity) and supplier
+    // (O(SF)) are UNhinted — AQE sizes both from runtime stats; only the
+    // fixed 25-row nation keeps its hint
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_profit"))
@@ -317,8 +324,11 @@ ORDER BY nation, o_year DESC
       .filter(col("o_orderdate") >= d("2000-01-01") && col("o_orderdate") < d("2000-04-01"))
     val c = table(s, dir, "customer")
     val n = table(s, dir, "nation")
+    // customer is UNhinted: 15M rows at sf100 — the forced broadcast was
+    // the 61 s term in the r16 sf100 sweep (AQE-sized: broadcast at bench
+    // SFs, shuffle at scale); nation stays hinted (fixed 25 rows)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
         col("c_mktsegment"))
@@ -411,8 +421,9 @@ ORDER BY custdist DESC, c_count DESC
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("total_revenue"))
     val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
     val su = table(s, dir, "supplier")
+    // mx is a 1-row scalar (hint stays); supplier is O(SF) — AQE-sized
     rev.join(broadcast(mx), rev("total_revenue") === mx("max_revenue"))
-      .join(broadcast(su), rev("supplier_no") === su("s_suppkey"))
+      .join(su, rev("supplier_no") === su("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
@@ -440,10 +451,13 @@ ORDER BY s_suppkey
   def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
     val p = table(s, dir, "part").filter(col("p_brand") === "Brand#1")
-    val filtered = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    // brand-filtered part is 1/25 of an O(SF) table and avgQty is a
+    // data-dependent per-part aggregate — both UNhinted (AQE broadcasts
+    // them at bench SFs, shuffles at scale)
+    val filtered = li.join(p, li("l_partkey") === p("p_partkey"))
     val avgQty = filtered.groupBy(col("l_partkey").as("a_partkey"))
       .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
-    filtered.join(broadcast(avgQty),
+    filtered.join(avgQty,
         filtered("l_partkey") === avgQty("a_partkey") &&
         filtered("l_quantity") < lit(0.2) * avgQty("avg_qty"))
       .agg((dsum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"))
@@ -547,8 +561,11 @@ ORDER BY n_name
         col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
     val excluded = table(s, dir, "supplier")
       .filter(col("s_acctbal") < 0.0).select("s_suppkey")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(broadcast(excluded), li("l_suppkey") === excluded("s_suppkey"),
+    // both sides scale with the corpus (the size-list keeps ~16% of part;
+    // the negative-balance supplier set is a constant fraction of
+    // supplier) — UNhinted, AQE sizes them
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(excluded, li("l_suppkey") === excluded("s_suppkey"),
         "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
@@ -581,8 +598,10 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
       col("l_shipdate") >= d("2000-01-01") && col("l_shipdate") < d("2001-01-01"))
     val pSmall = table(s, dir, "part")
       .filter(col("p_name").like("small%")).select("p_partkey")
+    // pSmall (name-prefix part subset) and the qualifying-supplier set are
+    // both data-dependent O(SF) relations — UNhinted, AQE-sized
     val qualifying = li
-      .join(broadcast(pSmall), li("l_partkey") === pSmall("p_partkey"))
+      .join(pSmall, li("l_partkey") === pSmall("p_partkey"))
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum("l_quantity").as("shipped_qty"))
       .filter(col("shipped_qty") > 45.0)
@@ -590,7 +609,7 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     val su = table(s, dir, "supplier")
     val n = table(s, dir, "nation").filter(col("n_name").like("NATION_1%"))
     su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-      .join(broadcast(qualifying), su("s_suppkey") === qualifying("l_suppkey"),
+      .join(qualifying, su("s_suppkey") === qualifying("l_suppkey"),
         "left_semi")
       .select("s_name", "s_acctbal")
       .orderBy("s_name")
@@ -653,7 +672,7 @@ ORDER BY s_name
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
     val su = table(s, dir, "supplier")
     val n = table(s, dir, "nation")
-    perOrder.join(broadcast(su), col("late_supp") === su("s_suppkey"))
+    perOrder.join(su, col("late_supp") === su("s_suppkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .groupBy("s_name")
       .agg(sum(col("late_lines")).as("numwait"))

@@ -101,7 +101,7 @@ object DeriveNonEquiJoinBounds extends Rule[LogicalPlan] with DerivedPredicateHe
       case j @ Join(left, right, jt, Some(cond), _)
           if (jt == Inner || jt == LeftSemi || jt == Cross) &&
             hasInequalityConjunct(cond) && cond.deterministic =>
-        val (leftAdd, rightAdd) = derive(j, left, right, cond)
+        val (leftAdd, rightAdd) = derive(left, right, cond)
         if (leftAdd.isEmpty && rightAdd.isEmpty) j
         else j.copy(
           left = leftAdd.reduceOption(And).map(Filter(_, left)).getOrElse(left),
@@ -130,7 +130,7 @@ object DeriveNonEquiJoinBounds extends Rule[LogicalPlan] with DerivedPredicateHe
     (leftOut.contains(a) && rightOut.contains(b)) ||
       (rightOut.contains(a) && leftOut.contains(b))
 
-  private def derive(j: Join, left: LogicalPlan, right: LogicalPlan, cond: Expression)
+  private def derive(left: LogicalPlan, right: LogicalPlan, cond: Expression)
       : (Seq[Expression], Seq[Expression]) = {
     val leftOut = left.outputSet
     val rightOut = right.outputSet
