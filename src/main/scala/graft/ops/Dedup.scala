@@ -867,6 +867,264 @@ WHERE inter * 10 >= least(sa.n, sb.n) * 8
 ORDER BY i, j
 """
 
+  // ----------------------------------------- survivor-collapsed pair twins
+  /** Identical-shingle-SET classes (key = sorted distinct 5-gram hashes,
+    * sid = min member doc_id, m = member count) — the survivor base of the
+    * collapsed set-similarity twins, the same collapse-first discipline as
+    * [[graft.ops.Similarity]]'s `collapsed` vector base. Grouping is by the
+    * ACTUAL sorted array (one linear shuffle of what is already the posting
+    * payload), not a hash of it, so no collision can merge distinct
+    * classes. Session-memoized: all three collapsed twins and any curation
+    * pipeline read one materialization.
+    */
+  private val setClassCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def setClasses(s: SparkSession, dir: String): DataFrame =
+    setClassCache.getOrElseUpdate(s, dir) {
+      shingleArrays(s, dir)
+        .groupBy(sort_array(col("sh")).as("key"))
+        .agg(min("doc_id").as("sid"), count(lit(1)).as("m"))
+        .localCheckpoint()
+    }
+
+  /** Identical-shingle-MULTISET classes — the cosine twin's base: two docs
+    * collapse only when every shingle occurs the same number of times
+    * (cosine is tf-weighted, so set-identical docs with different repeat
+    * counts must NOT merge).
+    */
+  private val multisetClassCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def multisetClasses(s: SparkSession, dir: String): DataFrame =
+    multisetClassCache.getOrElseUpdate(s, dir) {
+      tfBase(s, dir)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("sh"), col("tf")))).as("key"))
+        .groupBy("key")
+        .agg(min("doc_id").as("sid"), count(lit(1)).as("m"))
+        .localCheckpoint()
+    }
+
+  /** Survivor-collapsed twin of [[jaccardPairs]] (r12 verdict #5): the
+    * pair-listing query's OUTPUT is quadratic in group size on a replica
+    * corpus (k duplicates of one doc are k·(k−1)/2 jaccard-1.0 rows — at
+    * the 1000× corpus that is the dominant term by construction, which is
+    * why the sf100 sweep excludes the pair form). The collapsed twin
+    * reports at SURVIVOR grain, linear in distinct content:
+    *
+    *   - cross rows (i < j): the pair pipeline over the survivor corpus —
+    *     identical-set members share every similarity, so one survivor
+    *     pair carries all mi·mj member pairs (`n_pairs`);
+    *   - intra rows (i = j): a class's own m·(m−1)/2 jaccard-1.0 member
+    *     pairs, emitted only when the class's capped set is non-empty
+    *     (an all-boilerplate class shares no indexable shingle, exactly
+    *     as the pair query would find no candidate).
+    *
+    * Member-level reconstruction is EXACT (Round17PropertySpec pins
+    * expansion == [[jaccardPairs]] on a duplicate-injected corpus): class
+    * membership is set-identity, so every member pair (a,b) has the
+    * survivor pair's jaccard. The df cap applies to the SURVIVOR corpus —
+    * the right boilerplate definition at scale ("template across distinct
+    * documents", not inflated by replication); both caps are inert at
+    * every tested SF (max df ≪ 1024) and the oracle mirrors the survivor
+    * cap exactly.
+    */
+  def jaccardCollapsed(s: SparkSession, dir: String): DataFrame = {
+    val cls = setClasses(s, dir)
+    val ex = applyDfCap(
+      cls.select(col("sid").as("doc_id"), explode(col("key")).as("s")))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cross = jaccardFromCandidates(ex, candidatesFromIndex(ex))
+      .join(cls.select(col("sid").as("i"), col("m").as("mi")), "i")
+      .join(cls.select(col("sid").as("j"), col("m").as("mj")), "j")
+      .select(col("i"), col("j"), col("jaccard"),
+        (col("mi") * col("mj")).as("n_pairs"))
+    val intra = cls.filter(col("m") >= 2)
+      .join(sizes, cls("sid") === sizes("doc_id"))
+      .select(col("sid").as("i"), col("sid").as("j"),
+        lit(1.0).as("jaccard"), expr("m * (m - 1) div 2").as("n_pairs"))
+    cross.unionByName(intra).orderBy("i", "j")
+  }
+
+  private val jaccardCollapsedOracle = s"""
+WITH sh AS (
+  SELECT doc_id,
+    list_sort(list_distinct([array_to_string(toks[i:i+4], ' ')
+                   for i in range(1, len(toks) - 3)])) AS key
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 5),
+cls AS (SELECT key, min(doc_id) AS sid, count(*) AS m FROM sh GROUP BY key),
+ex AS (
+  SELECT doc_id, ss
+  FROM (SELECT sid AS doc_id, unnest(key) AS ss FROM cls)
+  QUALIFY count(*) OVER (PARTITION BY ss) <= $PostingDfCap),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM ex a JOIN ex b ON a.ss = b.ss AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+cross_pairs AS (
+  SELECT i, j, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
+    CAST(ci.m * cj.m AS BIGINT) AS n_pairs
+  FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+  JOIN cls ci ON ci.sid = i JOIN cls cj ON cj.sid = j
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+intra AS (
+  SELECT sid AS i, sid AS j, CAST(1.0 AS DOUBLE) AS jaccard,
+    CAST((m * (m - 1)) // 2 AS BIGINT) AS n_pairs
+  FROM cls JOIN sz ON sz.doc_id = sid
+  WHERE m >= 2)
+SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra ORDER BY i, j
+"""
+
+  /** Survivor-collapsed twin of [[containmentPairs]] — same survivor base
+    * as [[jaccardCollapsed]] (containment is a set measure, so the classes
+    * coincide); intra rows report the class's capped set size as
+    * inter = na = nb with both flags true (identical sets contain each
+    * other by definition).
+    */
+  def containmentCollapsed(s: SparkSession, dir: String): DataFrame = {
+    val cls = setClasses(s, dir)
+    val ex = applyDfCap(
+      cls.select(col("sid").as("doc_id"), explode(col("key")).as("s")))
+    val cand = candidatesFromIndex(ex)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cross = cand
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .filter(col("inter") * 10 >= least(col("sa.n"), col("sb.n")) * 8)
+      .join(cls.select(col("sid").as("i"), col("m").as("mi")), "i")
+      .join(cls.select(col("sid").as("j"), col("m").as("mj")), "j")
+      .select(col("i"), col("j"), col("inter"),
+        col("sa.n").as("na"), col("sb.n").as("nb"),
+        (col("inter").cast("double") / least(col("sa.n"), col("sb.n")))
+          .as("containment"),
+        (col("inter") * 10 >= col("sa.n") * 8).as("i_in_j"),
+        (col("inter") * 10 >= col("sb.n") * 8).as("j_in_i"),
+        (col("mi") * col("mj")).as("n_pairs"))
+    val intra = cls.filter(col("m") >= 2)
+      .join(sizes, cls("sid") === sizes("doc_id"))
+      .select(col("sid").as("i"), col("sid").as("j"),
+        col("n").as("inter"), col("n").as("na"), col("n").as("nb"),
+        lit(1.0).as("containment"), lit(true).as("i_in_j"),
+        lit(true).as("j_in_i"), expr("m * (m - 1) div 2").as("n_pairs"))
+    cross.unionByName(intra).orderBy("i", "j")
+  }
+
+  private val containmentCollapsedOracle = s"""
+WITH sh AS (
+  SELECT doc_id,
+    list_sort(list_distinct([array_to_string(toks[i:i+4], ' ')
+                   for i in range(1, len(toks) - 3)])) AS key
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 5),
+cls AS (SELECT key, min(doc_id) AS sid, count(*) AS m FROM sh GROUP BY key),
+ex AS (
+  SELECT doc_id, ss
+  FROM (SELECT sid AS doc_id, unnest(key) AS ss FROM cls)
+  QUALIFY count(*) OVER (PARTITION BY ss) <= $PostingDfCap),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM ex a JOIN ex b ON a.ss = b.ss AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+cross_pairs AS (
+  SELECT i, j, CAST(inter AS BIGINT) AS inter, sa.n AS na, sb.n AS nb,
+    CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment,
+    inter * 10 >= sa.n * 8 AS i_in_j,
+    inter * 10 >= sb.n * 8 AS j_in_i,
+    CAST(ci.m * cj.m AS BIGINT) AS n_pairs
+  FROM cand JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+  JOIN cls ci ON ci.sid = i JOIN cls cj ON cj.sid = j
+  WHERE inter * 10 >= least(sa.n, sb.n) * 8),
+intra AS (
+  SELECT sid AS i, sid AS j, sz.n AS inter, sz.n AS na, sz.n AS nb,
+    CAST(1.0 AS DOUBLE) AS containment, true AS i_in_j, true AS j_in_i,
+    CAST((m * (m - 1)) // 2 AS BIGINT) AS n_pairs
+  FROM cls JOIN sz ON sz.doc_id = sid
+  WHERE m >= 2)
+SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra ORDER BY i, j
+"""
+
+  /** Survivor-collapsed twin of [[shingleCosinePairs]] — classes are
+    * identical MULTISETS ([[multisetClasses]]): cosine weights repeats, so
+    * set-identical docs with different tf vectors must stay distinct
+    * survivors. Identical multisets have cosine exactly 1, so intra rows
+    * are 1.0 with the class's m·(m−1)/2 multiplicity, gated on a non-empty
+    * capped tf vector like the set twins.
+    */
+  def shingleCosineCollapsed(s: SparkSession, dir: String): DataFrame = {
+    val cls = multisetClasses(s, dir)
+    val tf = applyDfCap(
+      cls.select(col("sid").as("doc_id"), explode(col("key")).as("kv"))
+        .select(col("doc_id"), col("kv.sh").as("sh"), col("kv.tf").as("tf")),
+      "sh")
+    val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = tf.as("a"); val b = tf.as("b")
+    val cand = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val cross = cand
+      .join(norms.select(col("doc_id").as("i"), col("n2").as("na")), "i")
+      .join(norms.select(col("doc_id").as("j"), col("n2").as("nb")), "j")
+      .filter(col("dot").cast("decimal(38,0)") * col("dot") * 25 >=
+        col("na").cast("decimal(38,0)") * col("nb") * 16)
+      .join(cls.select(col("sid").as("i"), col("m").as("mi")), "i")
+      .join(cls.select(col("sid").as("j"), col("m").as("mj")), "j")
+      .select(col("i"), col("j"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"),
+        (col("mi") * col("mj")).as("n_pairs"))
+    val intra = cls.filter(col("m") >= 2)
+      .join(norms, cls("sid") === norms("doc_id"))
+      .select(col("sid").as("i"), col("sid").as("j"),
+        lit(1.0).as("cosine"), expr("m * (m - 1) div 2").as("n_pairs"))
+    cross.unionByName(intra).orderBy("i", "j")
+  }
+
+  private val shingleCosineCollapsedOracle = s"""
+WITH sh AS (
+  SELECT doc_id,
+    [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 5),
+tf0 AS (
+  SELECT doc_id, shingle, count(*) AS tf
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+  GROUP BY 1, 2),
+k AS (
+  SELECT doc_id, list_sort(list({'s': shingle, 't': tf})) AS key
+  FROM tf0 GROUP BY doc_id),
+cls AS (SELECT key, min(doc_id) AS sid, count(*) AS m FROM k GROUP BY key),
+tf AS (
+  SELECT doc_id, shingle, tf
+  FROM (SELECT sid AS doc_id, u.s AS shingle, u.t AS tf
+        FROM (SELECT sid, unnest(key) AS u FROM cls))
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= $PostingDfCap),
+norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, sum(a.tf * b.tf) AS dot
+  FROM tf a JOIN tf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+cross_pairs AS (
+  SELECT i, j,
+    CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine,
+    CAST(ci.m * cj.m AS BIGINT) AS n_pairs
+  FROM cand
+  JOIN norms na ON na.doc_id = i
+  JOIN norms nb ON nb.doc_id = j
+  JOIN cls ci ON ci.sid = i JOIN cls cj ON cj.sid = j
+  WHERE CAST(dot AS HUGEINT) * dot * 25 >= CAST(na.n2 AS HUGEINT) * nb.n2 * 16),
+intra AS (
+  SELECT sid AS i, sid AS j, CAST(1.0 AS DOUBLE) AS cosine,
+    CAST((m * (m - 1)) // 2 AS BIGINT) AS n_pairs
+  FROM cls JOIN norms ON norms.doc_id = sid
+  WHERE m >= 2)
+SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra ORDER BY i, j
+"""
+
   // ------------------------------------------------- paragraph-level dedup
   /** Tokens per paragraph block. The corpus is single-line text, so
     * "paragraphs" are the fixed 16-token grid — the operator is byte-for-
@@ -1139,7 +1397,13 @@ FROM nt JOIN cov USING (doc_id) ORDER BY nt.doc_id
       QueryDef(paragraphDedup, Some(paragraphDedupOracle)),
     "dedup_shingle_cosine" ->
       QueryDef(shingleCosinePairs, Some(shingleCosineOracle)),
+    "dedup_shingle_cosine_collapsed" ->
+      QueryDef(shingleCosineCollapsed, Some(shingleCosineCollapsedOracle)),
     "dedup_containment" -> QueryDef(containmentPairs, Some(containmentOracle)),
+    "dedup_containment_collapsed" ->
+      QueryDef(containmentCollapsed, Some(containmentCollapsedOracle)),
+    "dedup_ngram_jaccard_collapsed" ->
+      QueryDef(jaccardCollapsed, Some(jaccardCollapsedOracle)),
     "dedup_simhash_pairs" -> QueryDef(simhashPairs, Some(simhashPairsOracle)),
     "dedup_exact" -> QueryDef(exactDedup, Some(exactDedupOracle)),
     "dedup_normalized_tokens" -> QueryDef(normalizedDedup, Some(normalizedDedupOracle)),

@@ -235,9 +235,27 @@ ORDER BY new_id, corpus_id
     // ≈ 2% FPP; the 256M-bit (32 MB) cap keeps the scalar broadcastable —
     // beyond ~32M keys FPP degrades gracefully instead of the size blowing
     // up, and the exact join still removes every false positive.
-    val nKeys = math.max(1L, urgent.count())
-    val bits = math.min(256L << 20, math.max(800000L, nKeys * 8))
-    val sketch = urgent.agg(call_function("bloom_agg",
+    // BloomFilterAggregate clamps numItems/numBits to the session's
+    // runtime.bloomFilter.maxNumItems/maxNumBits confs via Math.min —
+    // GraftSession raises those ceilings to 32M/256M, but a caller-provided
+    // vanilla session keeps Spark's 4M/64M defaults, under which an
+    // unclamped 30M-key request would be silently cut to ~2 bits/key.
+    // Clamp HERE to the effective conf values so the sizing claim (8
+    // bits/key ≈ 2% FPP up to the cap) holds on any session, and the cap
+    // in force is visible in the plan literals rather than applied
+    // invisibly inside the aggregate. localCheckpoint materializes the
+    // filtered dim once for the count + the sketch aggregation + the
+    // final join (three consumers, one orders scan).
+    val conf = s.sessionState.conf
+    val maxItems = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val urgentCp = urgent.localCheckpoint()
+    val nKeys = math.min(maxItems, math.max(1L, urgentCp.count()))
+    val bits = math.min(maxBits,
+      math.min(256L << 20, math.max(800000L, nKeys * 8)))
+    val sketch = urgentCp.agg(call_function("bloom_agg",
       xxhash64(col("o_orderkey")), lit(nKeys), lit(bits)).as("bf"))
       .first().getAs[Array[Byte]]("bf")
     val fact = table(s, dir, "lineitem")
@@ -245,7 +263,7 @@ ORDER BY new_id, corpus_id
     // probe: the constant sketch filters the scan before the join
     val pruned = fact.filter(call_function("bloom_might_contain",
       lit(sketch), xxhash64(col("l_orderkey"))))
-    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+    pruned.join(urgentCp, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_extendedprice").cast(DecimalType(25, 2))).cast("double")

@@ -49,27 +49,89 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 private[plans] trait DerivedPredicateHelper extends PredicateHelper {
   /** Non-null literal bound predicates over `a` found in `known`, as
-    * (isLower, isStrict, literal).
+    * (isLower, isStrict, literal). The bound may sit behind an
+    * order-preserving injective cast of `a` (the analyzer's type-coercion
+    * wrapper — dates compared as timestamps are the common case): for an
+    * up-cast `f`, `f(a) cmp c ⟺ a cmp f⁻¹(c)` whenever `c` round-trips
+    * through the cast exactly, so the bound is inverted into `a`'s own
+    * type (see [[invertUpCast]]). An equality `a = c` contributes both a
+    * non-strict lower and upper bound.
     */
   protected def literalBounds(known: ExpressionSet, a: Attribute): Seq[(Boolean, Boolean, Literal)] =
-    known.toSeq.collect {
-      case GreaterThanOrEqual(x: Attribute, l: Literal) if x.semanticEquals(a) && l.value != null =>
-        (true, false, l)
-      case GreaterThan(x: Attribute, l: Literal) if x.semanticEquals(a) && l.value != null =>
-        (true, true, l)
-      case LessThanOrEqual(l: Literal, x: Attribute) if x.semanticEquals(a) && l.value != null =>
-        (true, false, l)
-      case LessThan(l: Literal, x: Attribute) if x.semanticEquals(a) && l.value != null =>
-        (true, true, l)
-      case LessThanOrEqual(x: Attribute, l: Literal) if x.semanticEquals(a) && l.value != null =>
-        (false, false, l)
-      case LessThan(x: Attribute, l: Literal) if x.semanticEquals(a) && l.value != null =>
-        (false, true, l)
-      case GreaterThanOrEqual(l: Literal, x: Attribute) if x.semanticEquals(a) && l.value != null =>
-        (false, false, l)
-      case GreaterThan(l: Literal, x: Attribute) if x.semanticEquals(a) && l.value != null =>
-        (false, true, l)
+    known.toSeq.flatMap {
+      case GreaterThanOrEqual(x, l: Literal) => boundOn(x, a, isLower = true, strict = false, l)
+      case GreaterThan(x, l: Literal) => boundOn(x, a, isLower = true, strict = true, l)
+      case LessThanOrEqual(l: Literal, x) => boundOn(x, a, isLower = true, strict = false, l)
+      case LessThan(l: Literal, x) => boundOn(x, a, isLower = true, strict = true, l)
+      case LessThanOrEqual(x, l: Literal) => boundOn(x, a, isLower = false, strict = false, l)
+      case LessThan(x, l: Literal) => boundOn(x, a, isLower = false, strict = true, l)
+      case GreaterThanOrEqual(l: Literal, x) => boundOn(x, a, isLower = false, strict = false, l)
+      case GreaterThan(l: Literal, x) => boundOn(x, a, isLower = false, strict = true, l)
+      case EqualTo(x, l: Literal) =>
+        boundOn(x, a, isLower = true, strict = false, l) ++
+          boundOn(x, a, isLower = false, strict = false, l)
+      case EqualTo(l: Literal, x) =>
+        boundOn(x, a, isLower = true, strict = false, l) ++
+          boundOn(x, a, isLower = false, strict = false, l)
+      case _ => Nil
     }
+
+  private def boundOn(x: Expression, a: Attribute, isLower: Boolean, strict: Boolean,
+      l: Literal): Seq[(Boolean, Boolean, Literal)] = {
+    if (l.value == null) return Nil
+    x match {
+      case attr: Attribute if attr.semanticEquals(a) => Seq((isLower, strict, l))
+      case c @ Cast(attr: Attribute, dt, _, _)
+          if attr.semanticEquals(a) && Cast.canUpCast(attr.dataType, dt) =>
+        invertUpCast(l, attr.dataType, dt, c.timeZoneId)
+          .map((isLower, strict, _)).toSeq
+      case _ => Nil
+    }
+  }
+
+  /** Inverts a bound stated on an up-cast: up-casts are injective and
+    * order-preserving, so on image points `f(a) cmp c ⟺ a cmp f⁻¹(c)` with
+    * identical strictness. `f⁻¹(c)` exists exactly when the down-cast
+    * round-trips back to `c`; off-image literals (a timestamp that is not
+    * midnight, a long beyond int range) yield None — the derivation is
+    * simply not made, which is sound. TRY eval mode so overflow is a null,
+    * never a throw, inside an optimizer rule.
+    */
+  protected def invertUpCast(l: Literal, from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType, tz: Option[String]): Option[Literal] = {
+    val down = Cast(l, from, tz, EvalMode.TRY)
+    if (!down.resolved) return None
+    val downV = down.eval(null)
+    if (downV == null) return None
+    val inverted = Literal.create(downV, from)
+    val up = Cast(inverted, to, tz, EvalMode.TRY)
+    if (!up.resolved) return None
+    val roundTrip = up.eval(null)
+    if (roundTrip != null && Literal.create(roundTrip, to).semanticEquals(l)) Some(inverted)
+    else None
+  }
+
+  /** Lifts a literal bound on `a` into the comparison domain of an up-cast
+    * endpoint: `a ≥ c ⟹ f(a) ≥ f(c)` (monotone), and up-casts never
+    * overflow so the eval always succeeds.
+    */
+  protected def liftUpCast(l: Literal, cast: Option[Cast]): Option[Literal] = cast match {
+    case None => Some(l)
+    case Some(c) =>
+      val up = Cast(l, c.dataType, c.timeZoneId, EvalMode.TRY)
+      if (!up.resolved) None
+      else Option(up.eval(null)).map(Literal.create(_, c.dataType))
+  }
+
+  /** Unwraps a comparison endpoint to its underlying attribute: a bare
+    * attribute, or an order-preserving injective (up-)cast of one.
+    */
+  protected def endpoint(e: Expression): Option[(Attribute, Option[Cast])] = e match {
+    case a: Attribute => Some((a, None))
+    case c @ Cast(a: Attribute, dt, _, _) if Cast.canUpCast(a.dataType, dt) =>
+      Some((a, Some(c)))
+    case _ => None
+  }
 }
 
 /** Derives literal bounds across non-equi join predicates (see file
@@ -84,14 +146,16 @@ object DeriveNonEquiJoinBounds extends Rule[LogicalPlan] with DerivedPredicateHe
 
   /** Cheap syntactic gate: computing `constraints` is the expensive part
     * (it walks the whole subtree), so no join without an inequality
-    * conjunct between bare attributes may pay for it.
+    * conjunct between attribute endpoints (bare or up-cast-wrapped — the
+    * analyzer coerces a date-vs-timestamp comparison by casting the date
+    * side up) may pay for it.
     */
   private def hasInequalityConjunct(cond: Expression): Boolean =
     splitConjunctivePredicates(cond).exists {
-      case GreaterThan(_: Attribute, _: Attribute) => true
-      case GreaterThanOrEqual(_: Attribute, _: Attribute) => true
-      case LessThan(_: Attribute, _: Attribute) => true
-      case LessThanOrEqual(_: Attribute, _: Attribute) => true
+      case GreaterThan(a, b) => endpoint(a).isDefined && endpoint(b).isDefined
+      case GreaterThanOrEqual(a, b) => endpoint(a).isDefined && endpoint(b).isDefined
+      case LessThan(a, b) => endpoint(a).isDefined && endpoint(b).isDefined
+      case LessThanOrEqual(a, b) => endpoint(a).isDefined && endpoint(b).isDefined
       case _ => false
     }
 
@@ -110,19 +174,25 @@ object DeriveNonEquiJoinBounds extends Rule[LogicalPlan] with DerivedPredicateHe
   }
 
   /** (greater, lesser, strict) normal form of an inequality conjunct whose
-    * operands are bare attributes from opposite sides.
+    * operands are attribute endpoints (bare or up-cast) from opposite
+    * sides.
     */
+  private type Endpoint = (Attribute, Option[Cast])
   private def ordered(e: Expression, leftOut: AttributeSet, rightOut: AttributeSet)
-      : Option[(Attribute, Attribute, Boolean)] = e match {
-    case GreaterThan(a: Attribute, b: Attribute) if opposite(a, b, leftOut, rightOut) =>
-      Some((a, b, true))
-    case GreaterThanOrEqual(a: Attribute, b: Attribute) if opposite(a, b, leftOut, rightOut) =>
-      Some((a, b, false))
-    case LessThan(a: Attribute, b: Attribute) if opposite(a, b, leftOut, rightOut) =>
-      Some((b, a, true))
-    case LessThanOrEqual(a: Attribute, b: Attribute) if opposite(a, b, leftOut, rightOut) =>
-      Some((b, a, false))
-    case _ => None
+      : Option[(Endpoint, Endpoint, Boolean)] = {
+    def mk(g: Expression, l: Expression, strict: Boolean): Option[(Endpoint, Endpoint, Boolean)] =
+      for {
+        ge <- endpoint(g)
+        le <- endpoint(l)
+        if opposite(ge._1, le._1, leftOut, rightOut)
+      } yield (ge, le, strict)
+    e match {
+      case GreaterThan(a, b) => mk(a, b, strict = true)
+      case GreaterThanOrEqual(a, b) => mk(a, b, strict = false)
+      case LessThan(a, b) => mk(b, a, strict = true)
+      case LessThanOrEqual(a, b) => mk(b, a, strict = false)
+      case _ => None
+    }
   }
 
   private def opposite(a: Attribute, b: Attribute,
@@ -145,23 +215,38 @@ object DeriveNonEquiJoinBounds extends Rule[LogicalPlan] with DerivedPredicateHe
         if (leftOut.contains(target)) leftAdd += derived else rightAdd += derived
       }
     }
+    // A bound travels source-attr → (lift through the source's cast into
+    // the comparison domain) → (invert through the target's cast back into
+    // the target attr's own type). Both hops are identity for bare attrs;
+    // an off-image literal at the invert hop just skips the derivation.
+    def transfer(src: Endpoint, lit: Literal, tgt: Endpoint): Option[Literal] =
+      liftUpCast(lit, src._2).flatMap { inCmp =>
+        tgt._2 match {
+          case None => Some(inCmp)
+          case Some(c) => invertUpCast(inCmp, tgt._1.dataType, c.dataType, c.timeZoneId)
+        }
+      }
 
     splitConjunctivePredicates(cond).flatMap(ordered(_, leftOut, rightOut)).foreach {
       case (greater, lesser, strictCmp) =>
         // lesser ≥/> c  ⟹  greater > c (≥ only if both non-strict)
-        literalBounds(planOf(lesser).constraints, lesser).foreach {
+        literalBounds(planOf(lesser._1).constraints, lesser._1).foreach {
           case (true, strictBound, lit) =>
-            add(greater,
-              if (strictCmp || strictBound) GreaterThan(greater, lit)
-              else GreaterThanOrEqual(greater, lit))
+            transfer(lesser, lit, greater).foreach { t =>
+              add(greater._1,
+                if (strictCmp || strictBound) GreaterThan(greater._1, t)
+                else GreaterThanOrEqual(greater._1, t))
+            }
           case _ => ()
         }
         // greater ≤/< c  ⟹  lesser < c (≤ only if both non-strict)
-        literalBounds(planOf(greater).constraints, greater).foreach {
+        literalBounds(planOf(greater._1).constraints, greater._1).foreach {
           case (false, strictBound, lit) =>
-            add(lesser,
-              if (strictCmp || strictBound) LessThan(lesser, lit)
-              else LessThanOrEqual(lesser, lit))
+            transfer(greater, lit, lesser).foreach { t =>
+              add(lesser._1,
+                if (strictCmp || strictBound) LessThan(lesser._1, t)
+                else LessThanOrEqual(lesser._1, t))
+            }
           case _ => ()
         }
     }

@@ -770,4 +770,45 @@ class PlanSpec extends SparkSpec {
     assert("2000-01-01".r.findAllIn(q4).length <= 6,
       s"non-equi-bound churn:\n${q4.take(3000)}")
   }
+
+  test("derived-predicate rules are inert on non-matching plans (identity + zero effective runs)") {
+    // The 10 largest registry plans WITHOUT a qualifying shape (no
+    // attr-vs-attr inequality join conjunct, no all-branch literal-pinned
+    // Or): the rules must be pure overhead-free no-ops there — the
+    // optimized plan is identical with the rules excluded (no added
+    // Filter nodes ⟹ no extra fixed-point iterations), and the rule
+    // metering records ZERO effective runs across all ten.
+    val inert = Seq(
+      "q1_pricing_summary", "q13_customer_distribution", "retention_cohorts",
+      "events_top_paths", "search_bm25_topk", "text_langid_confusion",
+      "stats_moments_corr", "funnel_conversion", "heavy_hitter_tokens",
+      "join_region_revenue")
+    val rules =
+      "graft.plans.DeriveNonEquiJoinBounds,graft.plans.DeriveDisjunctiveDomains"
+    // exprIds and the global lambda-variable counter differ between two
+    // constructions of the same query — normalize both before comparing
+    def norm(p: String): String =
+      p.replaceAll("#\\d+", "#x").replaceAll("\\bx_\\d+", "x_n")
+    val meter = org.apache.spark.sql.catalyst.rules.QueryExecutionMetering.INSTANCE
+    meter.resetMetrics()
+    val on = inert.map(n =>
+      n -> norm(Registry.all(n).fn(spark, sfDir).queryExecution.optimizedPlan.toString))
+    val dump = meter.dumpTimeSpent()
+    Seq("DeriveNonEquiJoinBounds", "DeriveDisjunctiveDomains").foreach { r =>
+      val line = dump.linesIterator.find(_.contains(r))
+      assert(line.isDefined, s"$r never ran (not registered?)\n$dump")
+      val eff = "(\\d+) / (\\d+)\\s*$".r.findFirstMatchIn(line.get).map(_.group(1))
+      assert(eff.contains("0"),
+        s"$r reported effective runs on inert plans: ${line.get}")
+    }
+    spark.conf.set("spark.sql.optimizer.excludedRules", rules)
+    try {
+      inert.zip(on).foreach { case (n, (_, onPlan)) =>
+        val offPlan = norm(
+          Registry.all(n).fn(spark, sfDir).queryExecution.optimizedPlan.toString)
+        assert(onPlan == offPlan,
+          s"rule changed an inert plan ($n):\nON:\n${onPlan.take(1500)}\nOFF:\n${offPlan.take(1500)}")
+      }
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
 }

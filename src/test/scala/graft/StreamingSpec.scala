@@ -1030,4 +1030,63 @@ class StreamingSpec extends SparkSpec {
     // opened a new tail that stays in state
     assert(got == Seq((7L, 1700000000L, 3L)))
   }
+
+  test("derived non-equi bound fires inside a micro-batch plan (rule is session-global)") {
+    // q4's shape as a stream-static join: static dim carries ts >= c, the
+    // join condition is stream.ts > dim.o_ts — DeriveNonEquiJoinBounds
+    // must plant ts > c on the STREAM side of the micro-batch's optimized
+    // plan. The rules are registered via session extensions, so the
+    // incremental planner inherits them; this pins that as a law.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    // parquet round-trip: an in-memory dim folds to a LocalRelation (filter
+    // and all) before the rule reads constraints — prod dims are files
+    val dimPath = java.nio.file.Files.createTempDirectory("derived_dim").toString
+    Seq(
+      (10L, java.sql.Timestamp.valueOf("2022-01-02 00:00:00")),
+      (11L, java.sql.Timestamp.valueOf("2022-01-03 00:00:00")))
+      .toDF("dim_id", "o_ts")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter($"o_ts" >= java.sql.Timestamp.valueOf("2022-01-02 00:00:00"))
+    val stream = EventStream.readEvents(spark, eventsPath)
+      .join(dim, col("ts") > col("o_ts"))
+      .groupBy("dim_id").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory")
+      .queryName("derived_bound_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val plan = q.asInstanceOf[StreamingQueryWrapper]
+      .streamingQuery.lastExecution.optimizedPlan.toString
+    // pushdown substitutes the stream's ts projection into the derived
+    // bound, so match the STRICT comparison against the literal (the dim's
+    // own filter is the non-strict >=, which cannot match this)
+    assert(plan.contains(" > 2022-01-02 00:00:00"),
+      s"derived non-equi bound missing from the micro-batch plan:\n${plan.take(3000)}")
+  }
+
+  test("derived disjunctive envelope fires inside a micro-batch plan") {
+    // q19's envelope shape on a streaming Filter: every Or branch bounds
+    // `value` below, so the micro-batch plan must carry the derived
+    // value >= min(lows) conjunct (visible even after pushdown).
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    val stream = EventStream.readEvents(spark, eventsPath)
+      .filter((col("event_type") === "click" && col("value") >= 10.0 && col("value") <= 50.0) ||
+        (col("event_type") === "view" && col("value") >= 20.0 && col("value") <= 90.0))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory")
+      .queryName("derived_envelope_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val plan = q.asInstanceOf[StreamingQueryWrapper]
+      .streamingQuery.lastExecution.optimizedPlan.toString
+    assert(plan.contains(">= 10.0") && plan.contains("<= 90.0"),
+      s"derived envelope missing from the micro-batch plan:\n${plan.take(3000)}")
+    assert(plan.contains("In(event_type") || plan.contains("event_type#")
+      , "sanity: filter survived into the plan")
+  }
 }
