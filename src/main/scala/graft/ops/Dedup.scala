@@ -868,24 +868,87 @@ ORDER BY i, j
 """
 
   // ----------------------------------------- survivor-collapsed pair twins
-  /** Identical-shingle-SET classes (key = sorted distinct 5-gram hashes,
-    * sid = min member doc_id, m = member count) — the survivor base of the
-    * collapsed set-similarity twins, the same collapse-first discipline as
-    * [[graft.ops.Similarity]]'s `collapsed` vector base. Grouping is by the
-    * ACTUAL sorted array (one linear shuffle of what is already the posting
-    * payload), not a hash of it, so no collision can merge distinct
-    * classes. Session-memoized: all three collapsed twins and any curation
-    * pipeline read one materialization.
+  /** Member → identical-shingle-SET class map: (doc_id, key = sorted
+    * distinct 5-gram hashes, sid = min member doc_id, m = member count) —
+    * the survivor base of the collapsed set-similarity twins AND the
+    * member-expansion side of the collapse-first cluster map, the same
+    * collapse-first discipline as [[graft.ops.Similarity]]'s `collapsed`
+    * vector base. ONE shuffle (a window over the key) yields both the
+    * classes and every member's assignment; grouping is by the ACTUAL
+    * sorted array, not a hash of it, so no collision can merge distinct
+    * classes. Session-memoized: the three collapsed twins, the cluster
+    * family, and any curation pipeline read one materialization.
     */
-  private val setClassCache = new graft.SessionMemo[DataFrame]
+  private val setMembersCache = new graft.SessionMemo[DataFrame]
 
-  private[graft] def setClasses(s: SparkSession, dir: String): DataFrame =
-    setClassCache.getOrElseUpdate(s, dir) {
+  private[graft] def setMembers(s: SparkSession, dir: String): DataFrame =
+    setMembersCache.getOrElseUpdate(s, dir) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
       shingleArrays(s, dir)
-        .groupBy(sort_array(col("sh")).as("key"))
-        .agg(min("doc_id").as("sid"), count(lit(1)).as("m"))
+        .select(col("doc_id"), sort_array(col("sh")).as("key"))
+        .withColumn("sid", min("doc_id").over(w))
+        .withColumn("m", count(lit(1)).over(w))
         .localCheckpoint()
     }
+
+  /** One row per class (survivor rows of [[setMembers]], key retained). */
+  private[graft] def setClasses(s: SparkSession, dir: String): DataFrame =
+    setMembers(s, dir).filter(col("doc_id") === col("sid"))
+      .select("key", "sid", "m")
+
+  /** Weighted stop-shingle cap over survivor postings carrying a class
+    * multiplicity `m`: the MEMBER-level document frequency of a shingle is
+    * Σ m over the classes containing it, so capping on that sum makes the
+    * collapsed pipelines' similarity universe EXACTLY the pair queries'
+    * ([[applyDfCap]] counts posting rows, which after collapse would be
+    * survivor frequency — a different, replication-dependent universe).
+    * Same broadcast-anti-join posture as [[applyDfCap]].
+    */
+  private def applyMemberDfCap(ex: DataFrame, key: String): DataFrame = {
+    val stop = ex.groupBy(key).agg(sum(col("m")).as("df"))
+      .filter(col("df") > PostingDfCap).select(key)
+    ex.join(broadcast(stop), Seq(key), "left_anti")
+  }
+
+  /** Member-df-capped survivor set postings (doc_id = sid, m, s). */
+  private[graft] def survivorSetPostings(s: SparkSession, dir: String): DataFrame =
+    applyMemberDfCap(
+      setClasses(s, dir).select(col("sid").as("doc_id"), col("m"),
+        explode(col("key")).as("s")),
+      "s")
+
+  /** Capped set size + multiplicity per survivor; a class whose whole set
+    * was capped away is absent — exactly the pair query's unreachability
+    * (no indexable shingle, no candidate).
+    */
+  private def survivorSizes(ex: DataFrame): DataFrame =
+    ex.groupBy("doc_id").agg(count(lit(1)).as("n"), min("m").as("m"))
+
+  /** Cross-class survivor Jaccard pairs (i, j, jaccard, mi, mj) at the 0.8
+    * cut — the shared kernel of [[jaccardCollapsed]] and the collapse-first
+    * cluster map ([[DedupClusters.clusterMap]]). Because the cap is
+    * member-weighted, `jaccard` here equals the member-level pair query's
+    * value for every (a ∈ class i) × (b ∈ class j) pair on ANY corpus.
+    */
+  private[graft] def survivorJaccardCross(s: SparkSession, dir: String): DataFrame = {
+    val ex = survivorSetPostings(s, dir)
+    val sizes = survivorSizes(ex)
+    candidatesFromIndex(ex.select("doc_id", "s"))
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"),
+        col("sa.m").as("mi"), col("sb.m").as("mj"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Survivors whose class has ≥ 2 members and a non-empty capped set —
+    * the classes whose INTRA pairs exist in the member-level pair graph.
+    */
+  private[graft] def survivorIntraEligible(s: SparkSession, dir: String): DataFrame =
+    survivorSizes(survivorSetPostings(s, dir))
+      .filter(col("m") >= 2).select(col("doc_id").as("sid"), col("m"), col("n"))
 
   /** Identical-shingle-MULTISET classes — the cosine twin's base: two docs
     * collapse only when every shingle occurs the same number of times
@@ -919,27 +982,19 @@ ORDER BY i, j
     *     (an all-boilerplate class shares no indexable shingle, exactly
     *     as the pair query would find no candidate).
     *
-    * Member-level reconstruction is EXACT (Round17PropertySpec pins
-    * expansion == [[jaccardPairs]] on a duplicate-injected corpus): class
-    * membership is set-identity, so every member pair (a,b) has the
-    * survivor pair's jaccard. The df cap applies to the SURVIVOR corpus —
-    * the right boilerplate definition at scale ("template across distinct
-    * documents", not inflated by replication); both caps are inert at
-    * every tested SF (max df ≪ 1024) and the oracle mirrors the survivor
-    * cap exactly.
+    * Member-level reconstruction is EXACT on ANY corpus
+    * (Round17PropertySpec pins expansion == [[jaccardPairs]] on a
+    * duplicate-injected corpus): class membership is set-identity, so
+    * every member pair (a,b) has the survivor pair's jaccard, and the df
+    * cap is MEMBER-weighted ([[applyMemberDfCap]] — Σ class
+    * multiplicities), so the capped similarity universe is bit-identical
+    * to the pair query's even where the cap bites.
     */
   def jaccardCollapsed(s: SparkSession, dir: String): DataFrame = {
-    val cls = setClasses(s, dir)
-    val ex = applyDfCap(
-      cls.select(col("sid").as("doc_id"), explode(col("key")).as("s")))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cross = jaccardFromCandidates(ex, candidatesFromIndex(ex))
-      .join(cls.select(col("sid").as("i"), col("m").as("mi")), "i")
-      .join(cls.select(col("sid").as("j"), col("m").as("mj")), "j")
+    val cross = survivorJaccardCross(s, dir)
       .select(col("i"), col("j"), col("jaccard"),
         (col("mi") * col("mj")).as("n_pairs"))
-    val intra = cls.filter(col("m") >= 2)
-      .join(sizes, cls("sid") === sizes("doc_id"))
+    val intra = survivorIntraEligible(s, dir)
       .select(col("sid").as("i"), col("sid").as("j"),
         lit(1.0).as("jaccard"), expr("m * (m - 1) div 2").as("n_pairs"))
     cross.unionByName(intra).orderBy("i", "j")
@@ -955,8 +1010,8 @@ WITH sh AS (
 cls AS (SELECT key, min(doc_id) AS sid, count(*) AS m FROM sh GROUP BY key),
 ex AS (
   SELECT doc_id, ss
-  FROM (SELECT sid AS doc_id, unnest(key) AS ss FROM cls)
-  QUALIFY count(*) OVER (PARTITION BY ss) <= $PostingDfCap),
+  FROM (SELECT sid AS doc_id, m, unnest(key) AS ss FROM cls)
+  QUALIFY sum(m) OVER (PARTITION BY ss) <= $PostingDfCap),
 cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
   FROM ex a JOIN ex b ON a.ss = b.ss AND a.doc_id < b.doc_id
@@ -983,26 +1038,20 @@ SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra ORDER BY i, j
     * other by definition).
     */
   def containmentCollapsed(s: SparkSession, dir: String): DataFrame = {
-    val cls = setClasses(s, dir)
-    val ex = applyDfCap(
-      cls.select(col("sid").as("doc_id"), explode(col("key")).as("s")))
-    val cand = candidatesFromIndex(ex)
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cross = cand
+    val ex = survivorSetPostings(s, dir)
+    val sizes = survivorSizes(ex)
+    val cross = candidatesFromIndex(ex.select("doc_id", "s"))
       .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
       .filter(col("inter") * 10 >= least(col("sa.n"), col("sb.n")) * 8)
-      .join(cls.select(col("sid").as("i"), col("m").as("mi")), "i")
-      .join(cls.select(col("sid").as("j"), col("m").as("mj")), "j")
       .select(col("i"), col("j"), col("inter"),
         col("sa.n").as("na"), col("sb.n").as("nb"),
         (col("inter").cast("double") / least(col("sa.n"), col("sb.n")))
           .as("containment"),
         (col("inter") * 10 >= col("sa.n") * 8).as("i_in_j"),
         (col("inter") * 10 >= col("sb.n") * 8).as("j_in_i"),
-        (col("mi") * col("mj")).as("n_pairs"))
-    val intra = cls.filter(col("m") >= 2)
-      .join(sizes, cls("sid") === sizes("doc_id"))
+        (col("sa.m") * col("sb.m")).as("n_pairs"))
+    val intra = survivorIntraEligible(s, dir)
       .select(col("sid").as("i"), col("sid").as("j"),
         col("n").as("inter"), col("n").as("na"), col("n").as("nb"),
         lit(1.0).as("containment"), lit(true).as("i_in_j"),
@@ -1020,8 +1069,8 @@ WITH sh AS (
 cls AS (SELECT key, min(doc_id) AS sid, count(*) AS m FROM sh GROUP BY key),
 ex AS (
   SELECT doc_id, ss
-  FROM (SELECT sid AS doc_id, unnest(key) AS ss FROM cls)
-  QUALIFY count(*) OVER (PARTITION BY ss) <= $PostingDfCap),
+  FROM (SELECT sid AS doc_id, m, unnest(key) AS ss FROM cls)
+  QUALIFY sum(m) OVER (PARTITION BY ss) <= $PostingDfCap),
 cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
   FROM ex a JOIN ex b ON a.ss = b.ss AND a.doc_id < b.doc_id
@@ -1054,9 +1103,9 @@ SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra ORDER BY i, j
     */
   def shingleCosineCollapsed(s: SparkSession, dir: String): DataFrame = {
     val cls = multisetClasses(s, dir)
-    val tf = applyDfCap(
-      cls.select(col("sid").as("doc_id"), explode(col("key")).as("kv"))
-        .select(col("doc_id"), col("kv.sh").as("sh"), col("kv.tf").as("tf")),
+    val tf = applyMemberDfCap(
+      cls.select(col("sid").as("doc_id"), col("m"), explode(col("key")).as("kv"))
+        .select(col("doc_id"), col("m"), col("kv.sh").as("sh"), col("kv.tf").as("tf")),
       "sh")
     val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     val a = tf.as("a"); val b = tf.as("b")
@@ -1099,9 +1148,9 @@ k AS (
 cls AS (SELECT key, min(doc_id) AS sid, count(*) AS m FROM k GROUP BY key),
 tf AS (
   SELECT doc_id, shingle, tf
-  FROM (SELECT sid AS doc_id, u.s AS shingle, u.t AS tf
-        FROM (SELECT sid, unnest(key) AS u FROM cls))
-  QUALIFY count(*) OVER (PARTITION BY shingle) <= $PostingDfCap),
+  FROM (SELECT sid AS doc_id, m, u.s AS shingle, u.t AS tf
+        FROM (SELECT sid, m, unnest(key) AS u FROM cls))
+  QUALIFY sum(m) OVER (PARTITION BY shingle) <= $PostingDfCap),
 norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY doc_id),
 cand AS (
   SELECT a.doc_id AS i, b.doc_id AS j, sum(a.tf * b.tf) AS dot

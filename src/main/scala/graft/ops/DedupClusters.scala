@@ -40,12 +40,56 @@ object DedupClusters {
     */
   private val clusterCache = new graft.SessionMemo[DataFrame]
 
-  /** Memoized `(doc_id, cluster_rep)` component map for the corpus at `dir`. */
+  /** Memoized `(doc_id, cluster_rep)` component map for the corpus at
+    * `dir` — COLLAPSE-FIRST (r17): components run over the SURVIVOR
+    * Jaccard graph ([[Dedup.survivorJaccardCross]]) and members are
+    * expanded afterward, instead of over the member-level pair list.
+    *
+    * Why: on a replica corpus the member pair graph is quadratic in group
+    * size BY CONSTRUCTION (k identical docs are C(k,2) jaccard-1 edges —
+    * the r17 sf10 sweep watched the definitional form spill ~40 GB and
+    * exhaust the sandbox disk before finishing one warmup), while the
+    * survivor graph is linear in distinct content. The results are
+    * IDENTICAL on any corpus, not approximately:
+    *
+    *  - identical-set members are pairwise jaccard-1, so a class is
+    *    always entirely inside one component; cross-class member edges
+    *    (a ∈ A, b ∈ B) exist iff the survivor edge (A, B) does (jaccard
+    *    is a set function, and the member-weighted df cap keeps the
+    *    capped universe bit-identical to the pair query's);
+    *  - the member-level representative (component-min doc_id) equals
+    *    the survivor-level one: every survivor is its class minimum, so
+    *    the min over a component's members IS the min over its survivors;
+    *  - node coverage matches: a member appears in the pair graph iff its
+    *    class has a cross edge or (m ≥ 2 with a non-empty capped set) —
+    *    exactly the survivor-graph nodes ∪ [[Dedup.survivorIntraEligible]]
+    *    singletons.
+    *
+    * Round17PropertySpec pins collapse-first == definitional on a
+    * duplicate-injected corpus; the DuckDB oracle (member-level transitive
+    * closure) stays the semantic gate.
+    */
   def clusterMap(s: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate(s, dir) {
-      val pairs = Dedup.jaccardPairs(s, dir).select("i", "j")
-      connectedComponents(s, pairs).localCheckpoint(true)
+      val edges = Dedup.survivorJaccardCross(s, dir).select("i", "j")
+      val comps = connectedComponents(s, edges)
+      val intraOnly = Dedup.survivorIntraEligible(s, dir)
+        .join(comps.select(col("doc_id").as("sid")), Seq("sid"), "left_anti")
+        .select(col("sid").as("doc_id"), col("sid").as("cluster_rep"))
+      val repMap = comps.unionByName(intraOnly)
+        .select(col("doc_id").as("sid"), col("cluster_rep"))
+      Dedup.setMembers(s, dir).select("doc_id", "sid")
+        .join(repMap, "sid")
+        .select("doc_id", "cluster_rep")
+        .localCheckpoint(true)
     }
+
+  /** The definitional member-level form (components over the full pair
+    * list) — the collapse-first law's reference implementation; un-memoized
+    * and never registered, tests only.
+    */
+  private[graft] def clusterMapDefinitional(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(s, Dedup.jaccardPairs(s, dir).select("i", "j"))
 
   def clusters(s: SparkSession, dir: String): DataFrame =
     clusterMap(s, dir).orderBy("doc_id")

@@ -246,4 +246,55 @@ class Round17PropertySpec extends SparkSpec {
       s"multiset classes did not merge the identical docs: ${msCls.mkString(",")}")
     assert(msCls.length == 2 && setCls.length == 2)
   }
+
+  test("GraftSession posture: bloom ceilings always set, patient timeouts local-only") {
+    // BloomFilterAggregate silently clamps to these confs (the r12 ADVICE
+    // finding): the builder must raise them everywhere, but the patient
+    // heartbeat/network timeouts are a single-JVM-local rationale and must
+    // NOT ship to a cluster master where they would delay dead-executor
+    // detection by 20 minutes.
+    def options(master: String): Map[String, String] = {
+      val b = GraftSession.builder(master, 8)
+      val f = Iterator.iterate[Class[_]](b.getClass)(_.getSuperclass)
+        .takeWhile(_ != null)
+        .flatMap(_.getDeclaredFields.find(_.getName == "options"))
+        .next()
+      f.setAccessible(true)
+      f.get(b).asInstanceOf[scala.collection.mutable.HashMap[String, String]]
+        .toMap
+    }
+    val local = options("local[8]")
+    assert(local("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      == (256L << 20).toString)
+    assert(local("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      == (32L << 20).toString)
+    assert(local.contains("spark.network.timeout") &&
+      local.contains("spark.executor.heartbeatInterval"))
+    val cluster = options("spark://host:7077")
+    assert(cluster("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      == (256L << 20).toString, "bloom ceilings must apply on clusters too")
+    assert(!cluster.contains("spark.network.timeout") &&
+      !cluster.contains("spark.executor.heartbeatInterval"),
+      "patient single-JVM timeouts leaked into a cluster posture")
+  }
+
+  test("collapse-first clusterMap equals the definitional member-level components") {
+    // The r17 sf10 sweep watched the definitional form (components over
+    // the member pair list) spill ~40 GB on a replica corpus; the
+    // collapse-first form runs components over the survivor graph and
+    // expands members afterward. The law: identical (doc_id, cluster_rep)
+    // relations on a duplicate-injected corpus — same nodes (cross-edge
+    // classes AND intra-only m>=2 classes), same component minima.
+    val fast = ops.DedupClusters.clusterMap(spark, dupCorpusDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val slow = ops.DedupClusters.clusterMapDefinitional(spark, dupCorpusDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fast.nonEmpty, "dup injection produced no clusters")
+    assert(fast === slow,
+      s"collapse-first diverged: fast=${fast.size} rows slow=${slow.size} rows; " +
+        s"first diff=${fast.zip(slow).find(p => p._1 != p._2)}")
+    // non-vacuity: the injected clones must appear as m>=3 clusters
+    val groups = fast.groupBy(_._2).values.map(_.size)
+    assert(groups.exists(_ >= 3), s"no multi-member cluster: ${groups.toSeq.sorted}")
+  }
 }
