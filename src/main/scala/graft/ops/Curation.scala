@@ -78,6 +78,44 @@ losers AS (
     */
   def curatedCorpus(s: SparkSession, dir: String): DataFrame = {
     val p = passing(s, dir)
+    // COLLAPSE-FIRST loser marking (r17, same move as DedupClusters
+    // .clusterMap): the pair-restricted rule "drop j iff some passing
+    // i < j pairs with it at jaccard >= 0.8" needs only each class's
+    // MINIMUM PASSING member id, never the pairs themselves —
+    //  - intra-class: members are pairwise jaccard-1, so a passing member
+    //    b loses iff b > pmin(class b) (gated on the class having a
+    //    non-empty capped set, i.e. being pair-reachable at all);
+    //  - cross-class: (a in A) x (b in B) pairs exist iff the survivor
+    //    edge (A, B) clears 0.8 (jaccard is a set function on the
+    //    member-weighted capped universe), so b loses iff
+    //    b > min over adjacent A of pmin(A).
+    // Everything is linear in distinct content; results are identical to
+    // the definitional pair form on any corpus (Round17PropertySpec).
+    val members = Dedup.setMembers(s, dir).select("doc_id", "sid")
+    val pm = p.select("doc_id").join(members, "doc_id")
+    val pmin = pm.groupBy("sid").agg(min("doc_id").as("pmin"))
+    val edges = Dedup.survivorJaccardCross(s, dir).select("i", "j")
+    val nmin = edges
+      .unionByName(edges.select(col("j").as("i"), col("i").as("j")))
+      .join(pmin.select(col("sid").as("j"), col("pmin").as("apmin")), "j")
+      .groupBy(col("i").as("sid")).agg(min("apmin").as("nmin"))
+    val intraLosers = pm
+      .join(Dedup.survivorCappedClasses(s, dir), Seq("sid"), "left_semi")
+      .join(pmin, "sid").filter(col("doc_id") > col("pmin"))
+      .select("doc_id")
+    val crossLosers = pm.join(nmin, "sid")
+      .filter(col("doc_id") > col("nmin")).select("doc_id")
+    val losers = intraLosers.unionByName(crossLosers).distinct()
+    p.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The definitional pair-restricted loser form — the collapse-first
+    * law's reference; tests only.
+    */
+  private[graft] def curatedCorpusDefinitional(s: SparkSession, dir: String): DataFrame = {
+    val p = passing(s, dir)
     val ids = p.select("doc_id")
     val losers = Dedup.jaccardPairs(s, dir)
       .join(ids.withColumnRenamed("doc_id", "i"), "i")

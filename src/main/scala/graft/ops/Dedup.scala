@@ -950,6 +950,13 @@ ORDER BY i, j
     survivorSizes(survivorSetPostings(s, dir))
       .filter(col("m") >= 2).select(col("doc_id").as("sid"), col("m"), col("n"))
 
+  /** Classes with a NON-EMPTY capped set (any multiplicity) — the classes
+    * reachable by the member-level pair graph at all (an all-boilerplate
+    * class shares no indexable shingle, so its members never pair).
+    */
+  private[graft] def survivorCappedClasses(s: SparkSession, dir: String): DataFrame =
+    survivorSizes(survivorSetPostings(s, dir)).select(col("doc_id").as("sid"))
+
   /** Identical-shingle-MULTISET classes — the cosine twin's base: two docs
     * collapse only when every shingle occurs the same number of times
     * (cosine is tf-weighted, so set-identical docs with different repeat

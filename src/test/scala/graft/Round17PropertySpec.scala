@@ -297,4 +297,21 @@ class Round17PropertySpec extends SparkSpec {
     val groups = fast.groupBy(_._2).values.map(_.size)
     assert(groups.exists(_ >= 3), s"no multi-member cluster: ${groups.toSeq.sorted}")
   }
+
+  test("collapse-first curatedCorpus equals the definitional pair-restricted form") {
+    // The curation family's loser rule ("drop j iff a passing i < j pairs
+    // with it") now derives from class passing-minima + survivor edges;
+    // the law pins identity with the pair form on the dup-injected corpus
+    // (where intra-class losers actually exist) including the kept-count
+    // arithmetic downstream queries aggregate.
+    val fast = ops.Curation.curatedCorpus(spark, dupCorpusDir)
+      .collect().map(_.toSeq).toSeq
+    val slow = ops.Curation.curatedCorpusDefinitional(spark, dupCorpusDir)
+      .collect().map(_.toSeq).toSeq
+    assert(fast.nonEmpty && fast === slow,
+      s"collapse-first curation diverged: fast=${fast.size} slow=${slow.size}")
+    // non-vacuity: the clones must actually lose members vs the base corpus
+    val base = ops.Curation.curatedCorpus(spark, sfDir).count()
+    assert(fast.size < base + 50, "dup injection dropped nothing")
+  }
 }
