@@ -314,4 +314,36 @@ class Round17PropertySpec extends SparkSpec {
     val base = ops.Curation.curatedCorpus(spark, sfDir).count()
     assert(fast.size < base + 50, "dup injection dropped nothing")
   }
+
+  test("member-weighted df cap: collapsed == pair expansion where the caps diverge") {
+    // The one corpus shape where a survivor-frequency cap and the
+    // member-weighted cap give DIFFERENT answers: two classes of 600
+    // identical docs sharing 8 of their 9 shingles. Member-df of every
+    // shared shingle is 1200 > PostingDfCap (capped away, so the pair
+    // query finds NO cross pair — each class keeps only its unique
+    // shingle), while survivor-df is 2 (a survivor-frequency cap would
+    // keep them and emit a cross pair at jaccard 8/10 = 0.8). The law:
+    // the collapsed twin must agree with the member-level pair query —
+    // zero cross rows, and each class's intra row carries exactly
+    // C(600,2) member pairs, matching the pair query's count.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cap_diverge").toString
+    val aText = (1 to 13).map(i => s"a$i").mkString(" ")
+    val bText = ((1 to 12).map(i => s"a$i") :+ "b13").mkString(" ")
+    val docs = (0 until 600).map(i => (i.toLong * 2, aText)) ++
+      (0 until 600).map(i => (i.toLong * 2 + 1, bText))
+    docs.toDF("doc_id", "text").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val collapsed = ops.Dedup.jaccardCollapsed(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(collapsed.forall(r => r._1 == r._2),
+      s"cross survivor pair emitted through member-capped shingles: " +
+        s"${collapsed.filter(r => r._1 != r._2).toSeq}")
+    assert(collapsed.length == 2 &&
+      collapsed.forall(r => r._3 == 1.0 && r._4 == 600L * 599 / 2),
+      s"intra rows wrong: ${collapsed.toSeq}")
+    val pairs = ops.Dedup.jaccardPairs(spark, dir).count()
+    assert(pairs == 2L * (600L * 599 / 2),
+      s"pair query disagrees with expansion arithmetic: $pairs")
+  }
 }
