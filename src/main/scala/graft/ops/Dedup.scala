@@ -881,6 +881,15 @@ ORDER BY i, j
     */
   private val setMembersCache = new graft.SessionMemo[DataFrame]
 
+  /** NARROW member map (doc_id, sid, m) — the key is dropped before the
+    * checkpoint on purpose: the map is corpus-long, and consumers
+    * (cluster/curation member expansion, class multiplicities) never read
+    * the array. Checkpointing it wide was the r17 sf10 finding the bench
+    * telemetry attributed (zero codegen, zero eviction, pure scan time):
+    * every collapsed query's plan re-scanned the multi-GB wide checkpoint
+    * 6-8× through its unmemoized survivor derivations — ~85 s/query at
+    * 5M docs; narrow, the same scans are ~100 MB.
+    */
   private[graft] def setMembers(s: SparkSession, dir: String): DataFrame =
     setMembersCache.getOrElseUpdate(s, dir) {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
@@ -888,13 +897,26 @@ ORDER BY i, j
         .select(col("doc_id"), sort_array(col("sh")).as("key"))
         .withColumn("sid", min("doc_id").over(w))
         .withColumn("m", count(lit(1)).over(w))
+        .select("doc_id", "sid", "m")
         .localCheckpoint()
     }
 
-  /** One row per class (survivor rows of [[setMembers]], key retained). */
+  /** One row per class (key, sid, m) — SURVIVOR-count-sized, so it gets
+    * its own checkpoint: every survivor-side derivation (postings, sizes,
+    * candidates, intra eligibility) re-scans this instead of anything
+    * corpus-long.
+    */
+  private val setClassesCache = new graft.SessionMemo[DataFrame]
+
   private[graft] def setClasses(s: SparkSession, dir: String): DataFrame =
-    setMembers(s, dir).filter(col("doc_id") === col("sid"))
-      .select("key", "sid", "m")
+    setClassesCache.getOrElseUpdate(s, dir) {
+      shingleArrays(s, dir)
+        .join(setMembers(s, dir).filter(col("doc_id") === col("sid"))
+          .select(col("sid"), col("m")),
+          col("doc_id") === col("sid"))
+        .select(sort_array(col("sh")).as("key"), col("sid"), col("m"))
+        .localCheckpoint()
+    }
 
   /** Weighted stop-shingle cap over survivor postings carrying a class
     * multiplicity `m`: the MEMBER-level document frequency of a shingle is
