@@ -884,14 +884,24 @@ FROM agg ORDER BY source
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     // distinct-shingle postings from the session-memoized base
     val ex = Dedup.tfBase(s, dir).select(col("doc_id"), col("sh"))
+    // A doc's novel count is derivable from the first-occurrence relation
+    // ALONE (group the shingle → min-doc pairs by that min doc): the r17
+    // sf100 sweep caught the former posting ⋈ first-seen join re-shuffling
+    // the corpus-scale posting list on BOTH sides (~541 s at 1B postings,
+    // execution-memory-starved next to the pinned bases) to compute what
+    // two doc-sized aggregates already know. Both inputs here are
+    // map-side-combined aggregates of the postings; the only join is
+    // doc-count-sized. Docs sharing every shingle (novel = 0) are absent
+    // from `novel` — coalesce, not inner-join semantics.
     val firstSeen = ex.groupBy("sh").agg(min("doc_id").as("first_doc"))
-    ex.join(firstSeen, "sh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+    val novel = firstSeen.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("novelty"))
       .orderBy("doc_id")
   }
 
