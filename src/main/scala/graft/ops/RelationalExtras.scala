@@ -461,9 +461,14 @@ FROM j ORDER BY custkey
     // baskets are bounded, so no okey self-join and no second corpus
     // shuffle; the checkpointed basket table feeds margins, pairs and the
     // order count
+    // NO broadcast hint on part: it SCALES with the corpus (20M rows at
+    // the 1000x smoke — the forced broadcast was the r17 sweep's worst
+    // line, 744 s with 93 s of GC churn building/shipping a multi-GB
+    // driver-side hash relation). AQE broadcasts it at bench SFs and
+    // shuffle-joins at scale — the r15 q3/q18 de-hinting discipline.
     val baskets = Registry.table(s, dir, "lineitem")
-      .join(broadcast(Registry.table(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"))),
+      .join(Registry.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
