@@ -1354,13 +1354,24 @@ FROM wt GROUP BY replicate ORDER BY replicate
     */
   def hllMergeable(s: SparkSession, dir: String): DataFrame = {
     val o = Registry.table(s, dir, "orders")
+    // The sketch and the exact count are SEPARATE aggregations on purpose
+    // (r17 sf100 sweep, 360 s → split): mixing hll_sketch_agg with
+    // countDistinct in one Aggregate makes Catalyst's distinct-rewrite
+    // group stage 1 by (priority, custkey) — which instantiates and then
+    // merges one 4 KB sketch PER DISTINCT KEY (75M merges ≈ 300 GB of
+    // register traffic at 150M orders) instead of one partial sketch per
+    // task. Split, the sketch agg keeps its map-side partial path (32
+    // partials × 5 groups) and the distinct agg keeps its two-stage
+    // shuffle; the 5-row join reassembles them.
     // localCheckpoint the per-segment sketch rows (≤5): the merged-union
     // branch and the final select both consume them — without the cut each
     // branch replays the orders aggregation (the chi2Independence
     // precedent), and re-building per-segment HLL state twice is pure waste
     val per = o.groupBy("o_orderpriority")
-      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
-        countDistinct("o_custkey").as("exact_customers"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .join(o.groupBy("o_orderpriority")
+        .agg(countDistinct("o_custkey").as("exact_customers")),
+        "o_orderpriority")
       .localCheckpoint()
     val merged = per.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_all"))
