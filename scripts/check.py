@@ -13,7 +13,10 @@ import json, math, subprocess, sys, glob, os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') \
     else '/root/testdata/sf0.01'
-OUT = os.environ.get('GRAFT_VERIFY_OUT', '/tmp/graft_verify')
+# per-SF default dump dir: two concurrent checks at different SFs would
+# otherwise clobber each other's dumps and report phantom hash mismatches
+OUT = os.environ.get('GRAFT_VERIFY_OUT',
+                     '/tmp/graft_verify_' + os.path.basename(SF.rstrip('/')))
 ONLY = [a for i, a in enumerate(sys.argv) if i and sys.argv[i-1] == '-q']
 
 ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [

@@ -103,9 +103,8 @@ CHUNKS = {
 }
 
 
-def run_chunk(sfdir, queries, heap, reps, cpus):
-    cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(
-        glob.glob("/opt/spark/jars/*.jar"))
+def run_chunk(sfdir, queries, heap, reps, cpus, classes):
+    cp = f"{classes}:" + ":".join(glob.glob("/opt/spark/jars/*.jar"))
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sfdir,
                SPARK_GRAFT_CPUS=str(cpus),
@@ -136,6 +135,9 @@ def main():
     heap = opt("--heap", "48g")
     out = opt("--out", f"{REPO}/sweep_results.json")
     cpus = int(opt("--cpus", "32"))
+    # --classes: measure a SNAPSHOT of compiled classes, so sbt compiles in
+    # the working tree can't silently change code under a running sweep
+    classes = opt("--classes", f"{REPO}/target/scala-2.13/classes")
     chunks = dict(CHUNKS)
     if "--chunks" in args:
         keep = set(opt("--chunks", "").split(","))
@@ -147,7 +149,7 @@ def main():
     slot = acc.setdefault(sfdir, {"queries": {}, "errors": {},
                                   "telemetry": {}})
     for name, queries in chunks.items():
-        detail, err = run_chunk(sfdir, queries, heap, reps, cpus)
+        detail, err = run_chunk(sfdir, queries, heap, reps, cpus, classes)
         if detail is None:
             print(f"[sweep] {name}: CHUNK FAILED\n{err}", flush=True)
             slot["errors"][name] = "chunk_failed"

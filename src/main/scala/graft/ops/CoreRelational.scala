@@ -125,12 +125,22 @@ ORDER BY r_name, n_name
   def priorityShipping(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
     val o = table(s, dir, "orders")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // Eager aggregation (the join_region_revenue discipline): collapse
+    // lineitem to one row per orderkey BEFORE the join, so (a) the join
+    // shuffles 150M narrow partials instead of 600M fact rows at 1000×,
+    // and (b) countDistinct(l_orderkey) — which Spark plans as a second
+    // full expand-aggregate over the joined fact — becomes a plain count
+    // of the 1:1-joined partials. Exact: per-order item counts are
+    // integers, l_quantity is integral-valued (1..50) so its partial
+    // double sums are exact in any order, and o_orderkey is unique.
+    val perOrder = li.groupBy("l_orderkey").agg(
+      count(lit(1)).as("_n"), sum("l_quantity").as("_q"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        count(lit(1)).as("n_items"),
-        sum("l_quantity").as("total_qty"),
-        countDistinct("l_orderkey").as("n_orders"))
+        sum("_n").as("n_items"),
+        sum("_q").as("total_qty"),
+        count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
   }
 
@@ -237,16 +247,42 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
 """
 
   // ------------------------------------------------- grouping sets / rollup
+  /** Eager pre-aggregation below a multi-set aggregate: Spark plans
+    * ROLLUP/CUBE/GROUPING SETS as Aggregate-over-Expand, and Expand
+    * replicates EVERY INPUT ROW once per grouping set — a 3-4× fact-scan
+    * blowup through the partial aggregate (the r18 sf10 sweep measured
+    * rollup_revenue at 10.4 s where the plain Q1-style aggregate runs ~2 s).
+    * Aggregating to the tiny exact key grid FIRST (≤ |distinct keys| rows,
+    * single digit here) and expanding THAT leaves Expand with nothing to
+    * blow up. Exactness: the inner sums stay on the dsum decimal grid
+    * (never doubles), decimal addition is associative, and re-summing
+    * partials per grouping set is precisely what the direct plan's partial
+    * aggregation does — hash-identical by construction, including on EMPTY
+    * input, where a grouping-sets aggregate emits no rows in either form
+    * (law-pinned in Round18PropertySpec).
+    */
+  private def marginAgg(
+      base: DataFrame, keys: Seq[String], value: Column,
+      shape: DataFrame => org.apache.spark.sql.RelationalGroupedDataset)
+      : DataFrame = {
+    val pre = base.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("_n"),
+      sum(value.cast(DecimalType(30, 2))).as("_s"))
+    shape(pre).agg(
+      grouping_id().cast("long").as("gid"),
+      sum(col("_n")).as("n"),
+      sum(col("_s")).cast("double").as("sum_price"))
+  }
+
   /** ROLLUP over (returnflag, linestatus): subtotal rows carry NULL keys and
     * a grouping_id level marker, identical bit-encoding in both engines.
+    * Eagerly pre-aggregated (see [[marginAgg]]).
     */
   def rollupRevenue(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "lineitem")
-      .rollup("l_returnflag", "l_linestatus")
-      .agg(
-        grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        dsum(col("l_extendedprice"), 2).as("sum_price"))
+    marginAgg(
+      table(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"), col("l_extendedprice"),
+      _.rollup("l_returnflag", "l_linestatus"))
       .orderBy("gid", "l_returnflag", "l_linestatus")
 
   private val rollupRevenueOracle = """
@@ -259,14 +295,14 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
 
-  /** CUBE over (status, priority) on orders. */
+  /** CUBE over (status, priority) on orders. Eagerly pre-aggregated
+    * (see [[marginAgg]]).
+    */
   def cubeOrders(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "orders")
-      .cube("o_orderstatus", "o_orderpriority")
-      .agg(
-        grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        dsum(col("o_totalprice"), 2).as("sum_price"))
+    marginAgg(
+      table(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"), col("o_totalprice"),
+      _.cube("o_orderstatus", "o_orderpriority"))
       .orderBy("gid", "o_orderstatus", "o_orderpriority")
 
   private val cubeOrdersOracle = """
@@ -285,15 +321,13 @@ ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     * alone.
     */
   def groupingSets(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "lineitem")
-      .groupingSets(
+    marginAgg(
+      table(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"), col("l_extendedprice"),
+      _.groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
-        col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        dsum(col("l_extendedprice"), 2).as("sum_price"))
+        col("l_returnflag"), col("l_linestatus")))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
   private val groupingSetsOracle = """

@@ -167,15 +167,16 @@ ORDER BY event_id
   /** Promo revenue share over one shipping year — the TPC-H Q14 shape:
     * fact⋈dimension join with the filter pushed to the fact scan,
     * conditional aggregation, exact decimal sums, ONE double division at
-    * the end. The part side broadcasts; the date predicate prunes the
-    * lineitem scan before the join.
+    * the end. The part side is AQE-sized, NOT hinted: part SCALES with the
+    * corpus (200M rows at 1000×), so a forced broadcast is the r15 defect
+    * class — AQE still broadcasts it at bench SFs where it fits.
     */
   def promoRevenueRatio(s: SparkSession, dir: String): DataFrame = {
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     Registry.table(s, dir, "lineitem")
       .filter(col("l_shipdate") >= "1997-01-01" &&
         col("l_shipdate") < "1998-01-01")
-      .join(broadcast(Registry.table(s, dir, "part")),
+      .join(Registry.table(s, dir, "part").select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg(
         dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)), 4)
@@ -339,9 +340,12 @@ WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
   /** The TPC-H Q19 shape: an equi-join whose *residual* is a disjunction of
     * conjunction groups (brand × size-band × quantity-band alternatives).
     * Catalyst extracts the common `l_partkey = p_partkey` conjunct so the
-    * join stays a hash join (broadcast here — part is a dimension) and only
-    * the OR-residual is evaluated per matched row; a naive engine would
-    * fall back to a nested-loop over the cross product.
+    * join stays a hash join and only the OR-residual is evaluated per
+    * matched row; a naive engine would fall back to a nested-loop over the
+    * cross product. The part side is AQE-sized, NOT hinted: even after the
+    * DeriveDisjunctiveDomains brand/size envelope thins the scan, the
+    * surviving slice scales with the corpus (~tens of millions of rows at
+    * 1000×) — AQE broadcasts it exactly when it fits.
     */
   def disjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
     val li = Registry.table(s, dir, "lineitem")
@@ -353,7 +357,7 @@ WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
         col("l_quantity").between(10, 20)) ||
       (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
         col("l_quantity").between(20, 30))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && groups)
+    li.join(p, col("l_partkey") === col("p_partkey") && groups)
       .groupBy("p_brand")
       .agg(
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
