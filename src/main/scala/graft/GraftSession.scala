@@ -34,6 +34,34 @@ object GraftSession {
         (32L << 20).toString)
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
         (256L << 20).toString)
+      // Let AQE pick the REDUCER COUNT per exchange instead of pinning it
+      // to the thread count: exchanges start at 8× the configured shuffle
+      // parallelism and AQE coalesces back down by size. With the default
+      // (initial = shuffle.partitions = 32) AQE can only ever coalesce
+      // DOWN, so a 1000×-corpus join shuffles multi-GB reducer partitions
+      // that spill — the r18 sweep's 16-28× last-decade jumps
+      // (join_priority_shipping, q10, null_handling) all carried this
+      // signature. At bench SFs the coalescer folds the extra partitions
+      // straight back (parallelismFirst keeps ≥ one wave), so small-SF
+      // plans and numbers are unchanged; at 100 TB the same conf is what
+      // keeps reducer partitions near the 64 MB advisory size.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * 8).toString)
+      // Runtime semi-reduction (InjectRuntimeFilter): Spark 4 enables the
+      // rule by default but its thresholds are cluster-sized — the probe
+      // side must scan >10 GiB and the build side estimate <10 MiB, so at
+      // any shape we can measure locally it NEVER fires, and at 100 TB a
+      // 30M-key filtered dim (estimate ≫10 MiB) still wouldn't get a
+      // filter. Rescale both: inject when the probe scan exceeds 256 MiB
+      // and allow build sides up to 256 MiB (the sketch itself stays
+      // bounded by the maxNumItems/maxNumBits ceilings above — only
+      // selective-filtered build sides qualify, per the rule's own
+      // isLikelySelective gate). q10's R-flag lineitem vs 3-month orders
+      // slice drops its full fact shuffle for one bloom probe.
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        (256L << 20).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        (256L << 20).toString)
       // Static conf, so it must be set at session build. The default (100)
       // thrashes on a ~200-query suite: the warmup pass alone cycles more
       // codegen classes than the cache holds, so every timed query

@@ -78,6 +78,34 @@ class Round18PropertySpec extends SparkSpec {
     assert(canon(eagerRollup(base)) == direct)
   }
 
+  test("GraftSession posture: AQE-chosen reducer counts and rescaled runtime-filter thresholds") {
+    // initialPartitionNum must exceed the pinned shuffle parallelism (AQE
+    // can only coalesce DOWN — with initial == parallelism a 1000×-corpus
+    // exchange spills multi-GB reducer partitions, the r18 sweep's 16-28×
+    // last-decade signature), and the runtime bloom-filter thresholds must
+    // be rescaled from their cluster-sized defaults (10 GiB probe / 10 MiB
+    // build) under which the injection NEVER fires at a measurable shape.
+    def options(master: String): Map[String, String] = {
+      val b = GraftSession.builder(master, 8)
+      val f = Iterator.iterate[Class[_]](b.getClass)(_.getSuperclass)
+        .takeWhile(_ != null)
+        .flatMap(_.getDeclaredFields.find(_.getName == "options"))
+        .next()
+      f.setAccessible(true)
+      f.get(b).asInstanceOf[scala.collection.mutable.HashMap[String, String]]
+        .toMap
+    }
+    for (master <- Seq("local[8]", "spark://host:7077")) {
+      val o = options(master)
+      assert(o("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .toInt == 64, s"initial reducer count must be 8x parallelism ($master)")
+      assert(o("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        .toLong == (256L << 20), s"probe-side threshold unrescaled ($master)")
+      assert(o("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        .toLong == (256L << 20), s"build-side threshold unrescaled ($master)")
+    }
+  }
+
   test("registry forms: rollup/cube/grouping-sets margins re-add to their details") {
     // Internal consistency on real data: every subtotal level must equal
     // the sum of its detail cells — a broken re-aggregation (double sums,
