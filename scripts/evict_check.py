@@ -15,7 +15,13 @@ Pair-listing dedup queries are skipped by output shape at replica
 corpora (quadratic rows by construction — docs/ROUND15_NOTES.md §7);
 the list is passed through to SPARK_GRAFT_VERIFY_SKIP.
 
-Usage: python3 scripts/evict_check.py SFDIR BUDGET_MB [HEAP]
+Usage: python3 scripts/evict_check.py SFDIR BUDGET_MB [HEAP] [EXTRA_SKIP_FILE]
+
+EXTRA_SKIP_FILE (optional): comma-separated query names to skip on top
+of the built-in quadratic-output family — used to focus the certificate
+on the memo-USING families plus a stateless control sample (stateless
+queries never read a memo, so eviction cannot change their output;
+skipping them buys runtime, not risk).
 """
 import glob, json, os, subprocess, sys
 
@@ -41,11 +47,12 @@ SKIP = ",".join([
     "dedup_incremental_semantic", "dedup_incremental_batch"])
 
 
-def run_verify(sfdir, outdir, heap, budget_mb):
+def run_verify(sfdir, outdir, heap, budget_mb, extra_skip=""):
     cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
+    skip = SKIP + ("," + extra_skip if extra_skip else "")
     env = dict(os.environ, SPARK_GRAFT_CPUS="32",
-               SPARK_GRAFT_VERIFY_SKIP=SKIP)
+               SPARK_GRAFT_VERIFY_SKIP=skip)
     if budget_mb:
         env["SPARK_GRAFT_MEMO_BUDGET_MB"] = str(budget_mb)
     cmd = (["java"] + ADD_OPENS + [f"-Xmx{heap}",
@@ -74,9 +81,12 @@ def main():
     import duckdb
     sfdir, budget = sys.argv[1], int(sys.argv[2])
     heap = sys.argv[3] if len(sys.argv) > 3 else "48g"
+    extra = open(sys.argv[4]).read().strip() if len(sys.argv) > 4 else ""
     base, budgeted = "/tmp/evict_base", "/tmp/evict_budget"
-    for out, mb in [(base, None), (budgeted, budget)]:
-        rc, ev, fails, tail = run_verify(sfdir, out, heap, mb)
+    # budgeted pass FIRST: even a truncated session then holds the primary
+    # evidence (ALL OK + evictions fired); the identity compare needs both
+    for out, mb in [(budgeted, budget), (base, None)]:
+        rc, ev, fails, tail = run_verify(sfdir, out, heap, mb, extra)
         print(f"[evict] verify -> {out} rc={rc} evictions={ev} "
               f"fails={len(fails)}", flush=True)
         for f in fails:
