@@ -58,7 +58,8 @@ def run_verify(sfdir, outdir, heap, budget_mb, extra_skip=""):
     cmd = (["java"] + ADD_OPENS + [f"-Xmx{heap}",
            "-Dspark.ui.enabled=false", "-cp", cp, "graft.Verify",
            sfdir, outdir])
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=7200)
     evictions = r.stderr.count("memo budget: evicted")
     fails = [l for l in r.stderr.splitlines() if "failed:" in l]
     return r.returncode, evictions, fails, r.stderr[-2000:]
