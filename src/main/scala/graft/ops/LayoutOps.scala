@@ -282,6 +282,173 @@ SELECT source,
 FROM files GROUP BY source ORDER BY source
 """
 
+  // ------------------------------------------------------ bucketed layout
+  /** Rows per bucket the layout targets — sized so a bucket's widest
+    * consumer (the lineitem-side sort of a bucketed write, or one join
+    * task) stays comfortably in one executor core's memory at ~100 bytes
+    * a row. The bucket count derives from the FACT table's measured row
+    * count, so the same code lays out 8 buckets at sf0.1 and ~75 at the
+    * 1000× corpus.
+    */
+  private val RowsPerBucket = 8L << 20
+
+  /** Write `df` bucketed+sorted by `key` as an external parquet table.
+    * `repartition(nb, key)` first: the repartition hash IS the bucket
+    * hash (pmod of Murmur3), so each write task holds exactly one
+    * bucket's rows and emits ONE file per bucket — the precondition for
+    * Spark to also trust the sortBy order at read time (multi-file
+    * buckets lose `outputOrdering` and re-sort under every merge join).
+    */
+  def writeBucketed(df: DataFrame, key: String, nb: Int,
+      path: String, name: String): Unit = {
+    df.repartition(nb, col(key))
+      .write.mode("overwrite")
+      .bucketBy(nb, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
+  private val bucketedCache = new graft.SessionMemo[(DataFrame, DataFrame)]
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** The (lineitem, orders) pair laid out bucketed+sorted on the orderkey
+    * — the layout a pipeline that repeatedly joins or aggregates on one
+    * key maintains INSTEAD of paying a full fact shuffle per query. The
+    * r18 sweep's largest honest sf100 line (`join_priority_shipping`,
+    * 46.5 s) is exactly this shuffle: 600M lineitem rows re-hashed on
+    * l_orderkey every run. With both tables bucketed, the per-order
+    * aggregate needs NO exchange (the scan's `outputPartitioning` already
+    * satisfies the aggregate's distribution) and the orders join needs
+    * neither exchange NOR a sort on the orders side (one file per bucket
+    * keeps `sortBy` visible to the planner). The write costs one shuffle
+    * — amortized across every subsequent orderkey query in the session
+    * (and, on a real deployment, across every query against the table).
+    *
+    * The layout lands under java.io.tmpdir keyed by the corpus dir, and
+    * re-registration is idempotent: a second session in the same JVM
+    * reuses the existing catalog entry instead of rewriting.
+    */
+  /** Session posture a deliberately-maintained bucketed layout needs —
+    * set at prep time, [[Registry.prepareEventConfs]]-style (the queries
+    * stay correct on a vanilla session; these only keep the layout's
+    * plan benefits from being silently dropped):
+    *  - `autoBucketedScan.enabled=false`: Spark 4's
+    *    `DisableUnnecessaryBucketedScan` demotes a bucketed scan whenever
+    *    no operator above consumes the hash distribution — including a
+    *    pruning-only point lookup, which loses `SelectedBucketsCount`
+    *    and reads every bucket (verified against the bundled 4.1.2 rule:
+    *    it has no bucket-filter guard).
+    *  - `legacy.bucketedTableScan.outputOrdering=true`: since 3.0 the
+    *    write-time `sortBy` order is ignored at read unless this is on
+    *    (the gate exists because exposing it needs a planning-time file
+    *    listing to prove one-file-per-bucket — trivial here, ≤512 files,
+    *    and [[writeBucketed]] guarantees the one-file shape).
+    */
+  private def prepareBucketedConfs(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+  }
+
+  private[graft] def bucketedOrderkeyTables(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bucketedCache.getOrElseUpdate(s, dir) {
+      prepareBucketedConfs(s)
+      // Tag includes the PID: the layout is an external-path catalog table,
+      // and two JVMs pointed at the same corpus (e.g. a Verify gate and a
+      // Bench run overlapping on one host) would otherwise overwrite each
+      // other's files mid-read. Amortization is per-process anyway — the
+      // in-memory catalog doesn't outlive the JVM.
+      val tag = (dir.hashCode & 0x7fffffff).toHexString +
+        "_" + ProcessHandle.current().pid()
+      val (liName, oName) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+      if (!(s.catalog.tableExists(liName) && s.catalog.tableExists(oName))) {
+        val li = Registry.table(s, dir, "lineitem")
+        val nb = math.max(8, math.min(512,
+          ((li.count() + RowsPerBucket - 1) / RowsPerBucket).toInt))
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tag"
+        // the PID-unique layout dies with the JVM — without this, every
+        // sweep chunk (one JVM each) would leave a corpus-sized layout
+        // behind and a long sweep would exhaust the sandbox disk
+        sys.addShutdownHook(deleteRecursively(new java.io.File(base)))
+        writeBucketed(li, "l_orderkey", nb, s"$base/lineitem", liName)
+        writeBucketed(
+          Registry.table(s, dir, "orders").withColumnRenamed(
+            "o_orderkey", "l_orderkey"),
+          "l_orderkey", nb, s"$base/orders", oName)
+      }
+      (s.table(liName), s.table(oName))
+    }
+
+  /** The `join_priority_shipping` aggregation on the bucketed layout: per
+    * orderkey lineitem partials (ZERO exchange — bucketing pre-satisfies
+    * the grouping), merge-joined with bucketed orders (zero exchange,
+    * zero sort on the orders side), then the 5-row priority rollup. The
+    * only shuffle in the whole plan is the final tiny partial-agg
+    * exchange; `Round19PropertySpec` pins that shape. The merge hint
+    * makes the co-located path the measured one at every SF — at the
+    * target scale orders cannot broadcast anyway, so the small-SF plan
+    * should be the big-SF plan.
+    */
+  def bucketedColocatedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (li, o) = bucketedOrderkeyTables(s, dir)
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("_n"), sum("l_quantity").as("_q"))
+    perOrder.join(o.hint("merge"), Seq("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum("_n").as("n_items"), sum("_q").as("total_qty"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedJoinOracle = """
+SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS total_qty,
+  count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+  /** Items-per-order distribution on the bucketed layout: the per-order
+    * count runs with NO exchange (the expensive half — one row per
+    * orderkey over the full fact), and only the tiny histogram re-group
+    * shuffles. The unbucketed form shuffles the whole fact first.
+    */
+  def bucketedItemsHistogram(s: SparkSession, dir: String): DataFrame = {
+    val (li, _) = bucketedOrderkeyTables(s, dir)
+    li.groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+      .groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_items")
+  }
+
+  private val itemsHistogramOracle = """
+SELECT n_items, count(*) AS n_orders FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_items FROM lineitem GROUP BY l_orderkey)
+GROUP BY n_items ORDER BY n_items
+"""
+
+  /** Point lookup on the bucket key: an equality literal prunes the scan
+    * to ONE bucket file (`SelectedBucketsCount: 1 out of nb` in the plan)
+    * — the index-free O(data/nb) lookup path a bucketed layout buys on
+    * top of the join locality. Key 0 exists at every SF (dense 0-based
+    * orderkey domain, TESTDATA.md).
+    */
+  def bucketPrunedLookup(s: SparkSession, dir: String): DataFrame = {
+    val (li, _) = bucketedOrderkeyTables(s, dir)
+    li.filter(col("l_orderkey") === 0L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy("l_linenumber")
+  }
+
+  private val bucketLookupOracle = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_orderkey = 0 ORDER BY l_linenumber
+"""
+
   val queries: Map[String, QueryDef] = Map(
     "pipeline_manifest_diff" ->
       QueryDef(manifestDiff, Some(manifestDiffOracle)),
@@ -289,6 +456,12 @@ FROM files GROUP BY source ORDER BY source
     "pipeline_compaction_plan" ->
       QueryDef(compactionPlan, Some(compactionOracle)),
     "pipeline_zone_map_pruning" ->
-      QueryDef(zoneMapPruning, Some(zoneMapOracle))
+      QueryDef(zoneMapPruning, Some(zoneMapOracle)),
+    "bucketed_colocated_join" ->
+      QueryDef(bucketedColocatedJoin, Some(bucketedJoinOracle)),
+    "bucketed_items_histogram" ->
+      QueryDef(bucketedItemsHistogram, Some(itemsHistogramOracle)),
+    "bucket_pruned_lookup" ->
+      QueryDef(bucketPrunedLookup, Some(bucketLookupOracle))
   )
 }

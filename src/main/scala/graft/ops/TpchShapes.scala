@@ -555,20 +555,43 @@ ORDER BY n_name
     * only shuffle (Spark expands it to a two-phase distinct+count).
     */
   def q16PartsSupplier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val li = table(s, dir, "lineitem")
     val p = table(s, dir, "part").filter(
       col("p_brand") =!= "Brand#1" && col("p_type") =!= "SMALL" &&
         col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
     val excluded = table(s, dir, "supplier")
       .filter(col("s_acctbal") < 0.0).select("s_suppkey")
-    // both sides scale with the corpus (the size-list keeps ~16% of part;
-    // the negative-balance supplier set is a constant fraction of
-    // supplier) — UNhinted, AQE sizes them
-    li.join(p, li("l_partkey") === p("p_partkey"))
-      .join(excluded, li("l_suppkey") === excluded("s_suppkey"),
+    // Narrow-key discipline (the ann_knn member-join move, applied to the
+    // fact shuffles): the distinct-supplier count dedups on the GROUP
+    // columns, but (brand, type, size) is a few-hundred-value space —
+    // shuffling those strings with every one of the ~77M joined fact rows
+    // at 1000× is pure width tax (the r18 sweep's 45.8 s q16 line). Map
+    // each combo to a dense int gid ONCE (tiny distinct + row_number),
+    // attach gid to partkeys, and every corpus-scaled exchange — the fact
+    // join and the (gid, suppkey) dedup — moves 12-16 byte rows. Exact:
+    // gid ↔ (brand, type, size) is bijective by construction, so
+    // distinct (gid, suppkey) ≡ distinct (combo, suppkey) and the final
+    // per-gid count IS countDistinct(l_suppkey) per combo. The join back
+    // to combos for the output labels is a broadcast of the same tiny
+    // relation. pmap / excluded both scale with the corpus — UNhinted,
+    // AQE sizes them (and the runtime bloom filter prunes the lineitem
+    // scan against pmap's selective part filter before the shuffle).
+    val combos = p.select("p_brand", "p_type", "p_size").distinct()
+      .withColumn("gid", row_number().over(
+        Window.orderBy("p_brand", "p_type", "p_size")))
+      .localCheckpoint() // two consumers (pmap + label join); tiny
+    val pmap = p.join(combos, Seq("p_brand", "p_type", "p_size"))
+      .select("p_partkey", "gid")
+    li.select("l_partkey", "l_suppkey")
+      .join(pmap, col("l_partkey") === pmap("p_partkey"))
+      .join(excluded, col("l_suppkey") === excluded("s_suppkey"),
         "left_anti")
-      .groupBy("p_brand", "p_type", "p_size")
-      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .select("gid", "l_suppkey").distinct()
+      .groupBy("gid").agg(count(lit(1)).as("supplier_cnt"))
+      .join(combos, Seq("gid"))
+      .select("p_brand", "p_type", "p_size", "supplier_cnt")
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
         col("p_size"))
   }

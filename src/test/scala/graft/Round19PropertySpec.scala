@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round 19 laws: the bucketed-layout capability (LayoutOps) and the q16
+  * narrow-key rewrite.
+  *
+  * The bucketing laws pin the PLAN SHAPES the layout buys — they are the
+  * point of the capability, not an implementation detail: a regression
+  * that silently reintroduces an orderkey exchange would keep every
+  * result identical and cost ~50 s/query at the 1000× corpus (the r18
+  * sweep's join_priority_shipping line).
+  */
+class Round19PropertySpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // AQE: the final plan only exists after execution
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("bucketed colocated join: no exchange on the orderkey anywhere") {
+    val df = ops.LayoutOps.bucketedColocatedJoin(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("SortMergeJoin"), s"merge hint ignored:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed layout still shuffles on the bucket key:\n$plan")
+  }
+
+  test("bucketed colocated join: orders side is sort-free at the scan") {
+    // one file per bucket (writeBucketed pre-repartitions on the bucket
+    // hash) makes the sortBy order visible to the planner: the only Sort
+    // below the join is the aggregate side's (hash-agg output is
+    // unordered); the orders scan feeds the merge join directly.
+    val df = ops.LayoutOps.bucketedColocatedJoin(spark, sfDir)
+    val plan = finalPlan(df)
+    val sorts = "Sort \\[l_orderkey".r.findAllIn(plan).size
+    assert(sorts <= 1, s"expected at most one orderkey sort (agg side), " +
+      s"got $sorts — multi-file buckets lost the write order:\n$plan")
+  }
+
+  test("bucketed per-order aggregate runs without any exchange") {
+    val (li, _) = ops.LayoutOps.bucketedOrderkeyTables(spark, sfDir)
+    val perOrder = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    val plan = finalPlan(perOrder)
+    assert(!plan.contains("Exchange"),
+      s"grouping on the bucket key must be exchange-free:\n$plan")
+  }
+
+  test("bucket pruning: an equality literal reads exactly one bucket") {
+    val df = ops.LayoutOps.bucketPrunedLookup(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("SelectedBucketsCount: 1 out of"),
+      s"point lookup did not prune to one bucket:\n$plan")
+  }
+
+  test("bucketed queries agree with their unbucketed twins") {
+    val viaBucket = ops.LayoutOps.bucketedColocatedJoin(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val plain = ops.CoreRelational.priorityShipping(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaBucket == plain)
+
+    val histB = ops.LayoutOps.bucketedItemsHistogram(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val histP = Registry.table(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+      .groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_items").collect().map(_.toSeq).toSeq
+    assert(histB == histP)
+  }
+
+  test("q16 narrow-key rewrite equals the direct wide-group form") {
+    // the shipped plan dedups on a dense gid; the law re-derives the
+    // answer with the naive countDistinct over the string group columns
+    val got = ops.TpchShapes.q16PartsSupplier(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val li = Registry.table(spark, sfDir, "lineitem")
+    val p = Registry.table(spark, sfDir, "part").filter(
+      col("p_brand") =!= "Brand#1" && col("p_type") =!= "SMALL" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    val excluded = Registry.table(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    val want = li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(excluded, li("l_suppkey") === excluded("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+}
