@@ -368,7 +368,13 @@ FROM files GROUP BY source ORDER BY source
       val (liName, oName) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
       if (!(s.catalog.tableExists(liName) && s.catalog.tableExists(oName))) {
         val li = Registry.table(s, dir, "lineitem")
-        val nb = math.max(8, math.min(512,
+        // a bucketed scan's task count IS the bucket count — floor it at
+        // the session's parallelism or the layout caps every downstream
+        // query's concurrency (the first sf10 measurement ran the whole
+        // 60M-row aggregate on 8 of 32 cores); above that floor, size by
+        // rows so buckets stay sort-able in one task at the big corpora
+        val nb = math.min(512, math.max(
+          s.sparkContext.defaultParallelism,
           ((li.count() + RowsPerBucket - 1) / RowsPerBucket).toInt))
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tag"
         // the PID-unique layout dies with the JVM — without this, every
