@@ -58,6 +58,10 @@ CHUNKS = {
         "range_join_bands", "interval_join_clicks", "zorder_layout_stats",
         "pipeline_zone_map_pruning", "pipeline_compaction_plan",
         "pipeline_manifest_diff"],
+    # r19 bucketed-layout family: join_priority_shipping rides along as the
+    # shuffling twin so the co-located ratio is a within-chunk comparison
+    "bucketed": ["bucketed_colocated_join", "bucketed_items_histogram",
+                 "bucket_pruned_lookup", "join_priority_shipping"],
     "asof": ["asof_custom_strategy", "asof_tolerance_close"],
     "dedup": ["dedup_exact", "dedup_normalized_tokens", "dedup_simhash",
               "dedup_unicode_nfc"],
