@@ -326,13 +326,24 @@ ORDER BY nation, o_year DESC
     val n = table(s, dir, "nation")
     // customer is UNhinted: 15M rows at sf100 — the forced broadcast was
     // the 61 s term in the r16 sf100 sweep (AQE-sized: broadcast at bench
-    // SFs, shuffle at scale); nation stays hinted (fixed 25 rows)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
-        col("c_mktsegment"))
+    // SFs, shuffle at scale); nation stays hinted (fixed 25 rows).
+    // Eager aggregation on the custkey (the q16 narrow-key discipline):
+    // every output group key is functionally dependent on c_custkey
+    // (customer is unique on it), so revenue aggregates per o_custkey
+    // BEFORE the customer join — the fact-side shuffle carries (long,
+    // decimal partial) instead of dragging c_name/n_name/mktsegment
+    // strings through the join and a wide-key group-by; the label join is
+    // then 1:1 against the slice's distinct customers. Exact: same group
+    // contents (custkey determines the 5-key tuple), and dsum's DECIMAL
+    // partials are order-free.
+    val revPerCust = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+    revPerCust
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+        col("c_mktsegment"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
