@@ -131,6 +131,8 @@ def run_chunk(sfdir, queries, heap, reps, cpus, classes):
 
 def main():
     sfdir = sys.argv[1]
+    if not os.path.isdir(sfdir):  # e.g. a stray --help burning a JVM run
+        sys.exit(f"sweep: SFDIR {sfdir!r} is not a directory\n{__doc__}")
     args = sys.argv[2:]
 
     def opt(name, default):
