@@ -93,6 +93,25 @@ class Round19PropertySpec extends SparkSpec {
     assert(after == before, "recompute rewrote the layout instead of reusing it")
   }
 
+  test("writeBucketed emits exactly one data file per bucket") {
+    // the precondition the sort-free merge join rests on: with >1 file in
+    // any bucket the planner drops the scan's outputOrdering and re-sorts
+    ops.LayoutOps.bucketedOrderkeyTables(spark, sfDir)
+    val tag = (sfDir.hashCode & 0x7fffffff).toHexString +
+      "_" + ProcessHandle.current().pid()
+    for (t <- Seq("lineitem", "orders")) {
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tag/$t")
+      val parts = dir.listFiles().map(_.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      val buckets = parts.map(_.split("_")(1).take(5)) // part-NNNNN-uuid_BBBBB
+      assert(buckets.distinct.length == parts.length,
+        s"$t: some bucket has multiple files: ${parts.sorted.mkString(", ")}")
+      assert(parts.length == spark.sparkContext.defaultParallelism,
+        s"$t: expected one file per bucket at the parallelism floor")
+    }
+  }
+
   test("q16 narrow-key rewrite equals the direct wide-group form") {
     // the shipped plan dedups on a dense gid; the law re-derives the
     // answer with the naive countDistinct over the string group columns
