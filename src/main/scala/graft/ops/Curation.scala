@@ -25,17 +25,31 @@ object Curation {
   private val LangAllow = Seq("en")
 
   /** Candidate docs passing the cheap per-document filters (quality AND
-    * target language).
+    * target language), projected to the narrow (doc_id, lang, source,
+    * n_tokens) the curation consumers read — `text` is dropped before the
+    * checkpoint on purpose (the r17 narrow-member-map discipline).
+    *
+    * Session-memoized (r14 optimization): all three curation queries start
+    * here, and [[curatedCorpus]] alone reads it twice per plan (the member
+    * join and the final anti-join) — each read previously re-ran the
+    * tokenize + array_distinct scan of `documents.text`, the most
+    * expensive per-row expression in the family, because ExistingRDD-
+    * rooted subtrees are never shared by AQE stage reuse.
     */
-  private def passing(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    Registry.table(s, dir, "documents")
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("ttr",
-        size(array_distinct(toks)).cast("double") / size(toks))
-      .filter(col("n_tokens") >= MinTokens && col("ttr") >= MinTtr &&
-        col("lang").isin(LangAllow: _*))
-  }
+  private val passingCache = new graft.SessionMemo[DataFrame]
+
+  private def passing(s: SparkSession, dir: String): DataFrame =
+    passingCache.getOrElseUpdate(s, dir) {
+      val toks = split(col("text"), " ")
+      Registry.table(s, dir, "documents")
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("ttr",
+          size(array_distinct(toks)).cast("double") / size(toks))
+        .filter(col("n_tokens") >= MinTokens && col("ttr") >= MinTtr &&
+          col("lang").isin(LangAllow: _*))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+        .localCheckpoint()
+    }
 
   /** The shared dedup-losers SQL block (sh → ex → cand → sz → losers) —
     * was hand-copied into all three oracles in this file; one definition
@@ -92,7 +106,9 @@ losers AS (
     // Everything is linear in distinct content; results are identical to
     // the definitional pair form on any corpus (Round17PropertySpec).
     val members = Dedup.setMembers(s, dir).select("doc_id", "sid")
-    val pm = p.select("doc_id").join(members, "doc_id")
+    // consumed three times below (pmin, intra losers, cross losers);
+    // narrow (doc_id, sid), so one materialization beats three re-joins
+    val pm = p.select("doc_id").join(members, "doc_id").localCheckpoint()
     val pmin = pm.groupBy("sid").agg(min("doc_id").as("pmin"))
     val edges = Dedup.survivorJaccardCross(s, dir).select("i", "j")
     val nmin = edges

@@ -932,12 +932,32 @@ ORDER BY i, j
     ex.join(broadcast(stop), Seq(key), "left_anti")
   }
 
-  /** Member-df-capped survivor set postings (doc_id = sid, m, s). */
+  /** Member-df-capped survivor set postings (doc_id = sid, m, s).
+    *
+    * Session-memoized like the layers it derives from (r14 optimization):
+    * it fans out to MANY consumers per query — [[survivorJaccardCross]]
+    * reads it three times in one plan (self-join + sizes), the cap
+    * anti-join reads its input twice, and the whole collapsed family
+    * (three collapsed twins, the cluster map, curated corpus / curation
+    * report / corpus build) re-derives it per query. Spark cannot share
+    * those subtrees itself: AQE query-stage reuse keys on canonicalized
+    * plans and ExistingRDD scans (the setClasses checkpoint) never
+    * canonicalize equal across a self-join's re-aliasing, so every
+    * consumer re-ran the explode + stop-shingle anti-join — measured as
+    * the dominant term of curated_corpus/corpus_build_pipeline at sf0.1
+    * (each carried ~47 Exchanges pre-fix). Survivor-sized, so the pinned
+    * blocks stay far below any posting-family base.
+    */
+  private val survivorPostingsCache = new graft.SessionMemo[DataFrame]
+
   private[graft] def survivorSetPostings(s: SparkSession, dir: String): DataFrame =
-    applyMemberDfCap(
-      setClasses(s, dir).select(col("sid").as("doc_id"), col("m"),
-        explode(col("key")).as("s")),
-      "s")
+    survivorPostingsCache.getOrElseUpdate(s, dir) {
+      applyMemberDfCap(
+        setClasses(s, dir).select(col("sid").as("doc_id"), col("m"),
+          explode(col("key")).as("s")),
+        "s")
+        .localCheckpoint()
+    }
 
   /** Capped set size + multiplicity per survivor; a class whose whole set
     * was capped away is absent — exactly the pair query's unreachability
@@ -952,18 +972,29 @@ ORDER BY i, j
     * member-weighted, `jaccard` here equals the member-level pair query's
     * value for every (a ∈ class i) × (b ∈ class j) pair on ANY corpus.
     */
-  private[graft] def survivorJaccardCross(s: SparkSession, dir: String): DataFrame = {
-    val ex = survivorSetPostings(s, dir)
-    val sizes = survivorSizes(ex)
-    candidatesFromIndex(ex.select("doc_id", "s"))
-      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
-      .select(col("i"), col("j"),
-        (col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"),
-        col("sa.m").as("mi"), col("sb.m").as("mj"))
-      .filter(col("jaccard") >= 0.8)
-  }
+  private val survivorCrossCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def survivorJaccardCross(s: SparkSession, dir: String): DataFrame =
+    survivorCrossCache.getOrElseUpdate(s, dir) {
+      // Memoized (r14): the cross-pair kernel is read by the collapsed
+      // twins, the cluster map, AND three curation queries — and its own
+      // plan reads the posting base three ways (self-join + sizes).
+      // Pair-listing output at the 0.8 cut over SURVIVORS is tiny by the
+      // LSH/cap bounds, so the pinned blocks are negligible — same
+      // discipline as [[jaccardPairs]], whose member-level twin has been
+      // memoized since r9.
+      val ex = survivorSetPostings(s, dir)
+      val sizes = survivorSizes(ex)
+      candidatesFromIndex(ex.select("doc_id", "s"))
+        .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+        .select(col("i"), col("j"),
+          (col("inter").cast("double") /
+            (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"),
+          col("sa.m").as("mi"), col("sb.m").as("mj"))
+        .filter(col("jaccard") >= 0.8)
+        .localCheckpoint()
+    }
 
   /** Survivors whose class has ≥ 2 members and a non-empty capped set —
     * the classes whose INTRA pairs exist in the member-level pair graph.

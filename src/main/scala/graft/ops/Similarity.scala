@@ -1119,8 +1119,20 @@ FROM brute b GROUP BY b.query_id ORDER BY query_id
     // smoke, measured 286 s; identical values either way, so the oracle
     // is unchanged). distinct() lands after cosine: a pair sharing both
     // probed cells produces byte-identical rows, which it collapses.
+    // The assignment+vector side feeds BOTH halves of the cell self-join
+    // below, and Spark cannot share it between them: AQE query-stage reuse
+    // keys on canonicalized plans, and scans of an ExistingRDD (the
+    // checkpointed quantized base) never canonicalize equal across the
+    // DeduplicateRelations re-aliasing a self-join introduces — measured on
+    // the executed plan (plans/r14/ann_knn_join_before: the full two-level
+    // assignment subtree, 3 BNL joins + 2 window stages + 1 sort-merge
+    // join, appears twice; only the broadcast exchanges reuse). Materialize
+    // it once (guide §2.4: don't compute the same subtree twice): 2n rows
+    // of (vec_id, cell, qv, nrm), so the checkpoint is corpus-sized, and
+    // both scoring sides degrade to a scan of it.
     val asgv = knnAssignments(s, dir)
       .join(corpus.select(col("vec_id"), col("qv"), col("nrm")), "vec_id")
+      .localCheckpoint()
     val scored = asgv
       .select(col("vec_id").as("i"), col("cell"), col("qv").as("qa"),
         col("nrm").as("na"))
@@ -1268,8 +1280,13 @@ FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank
     val asg = ivfAssignTwoLevel(groups.select("vec_id", "qv", "nrm"),
       fine, coarse, KnnProbes)
     // fused scoring (the knnJoin shape): vectors + multiplicities ride
-    // the assignment sides; only narrow edges shuffle afterwards
-    val asgv = asg.join(groups, "vec_id")
+    // the assignment sides; only narrow edges shuffle afterwards.
+    // Checkpointed for the same reason as knnJoin's asgv: the self-join
+    // below consumes it twice and ExistingRDD-rooted stages never reuse,
+    // so without the materialization the whole two-level assignment
+    // computes twice per query (survivor-sized here, so the checkpoint is
+    // small by construction).
+    val asgv = asg.join(groups, "vec_id").localCheckpoint()
     val scored = asgv
       .select(col("vec_id").as("group_id"), col("cell"), col("qv").as("qa"),
         col("nrm").as("na"), col("m").as("m_i"))
@@ -1406,7 +1423,11 @@ FROM ranked WHERE rank <= $KnnK ORDER BY group_id, rank
 
   def knnExpandMembers(s: SparkSession, dir: String): DataFrame = {
     val groups = collapsed(s, dir)
+    // consumed twice (the k+1 id prefix AND the candidate expansion); the
+    // hash-thinned quantized⋈collapsed join behind it would otherwise run
+    // twice — same ExistingRDD stage-reuse gap as knnJoin's asgv
     val members = memberMap(s, dir).select("vec_id", "group_id")
+      .localCheckpoint()
     // k+1 smallest member ids per group: own-group candidates survive
     // self-exclusion; neighbor-group use sees at most the first k
     val wg = Window.partitionBy("group_id").orderBy("vec_id")
