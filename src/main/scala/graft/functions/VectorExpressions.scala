@@ -124,7 +124,11 @@ object VectorFunctions {
     ("kll_quantile_ub", classOf[KllQuantileQuery],
       (exprs: Seq[Expression]) => KllQuantileQuery(exprs(0), exprs(1), "ub")),
     ("kll_n", classOf[KllN],
-      (exprs: Seq[Expression]) => KllN(exprs.head)))
+      (exprs: Seq[Expression]) => KllN(exprs.head)),
+    ("md5_prefix60", classOf[Md5Prefix],
+      (exprs: Seq[Expression]) => Md5Prefix(exprs.head, 15)),
+    ("md5_prefix48", classOf[Md5Prefix],
+      (exprs: Seq[Expression]) => Md5Prefix(exprs.head, 12)))
 
   /** Idempotently register the custom expressions in the session's function
     * registry (usable from both the Column API via `expr` and plain SQL).
@@ -455,6 +459,64 @@ case class SimHash60(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): SimHash60 =
     copy(child = c)
+}
+
+/** First `nHex` hex digits of md5(string) as an unsigned long — the fused
+  * scalar form of the cross-engine hash the sampling/dedup/curation
+  * families key on: `conv(substring(md5(CAST(x AS STRING)), 1, nHex), 16,
+  * 10) CAST LONG` (DuckDB: `CAST('0x'||substr(md5(x),1,nHex) AS BIGINT)`),
+  * bit-identical by construction. The built-in chain materializes a
+  * 32-char hex UTF8String, substrings it, then `conv` re-parses it digit
+  * by digit into a DECIMAL STRING that a final cast parses AGAIN — four
+  * string (de)allocations per row to extract bits the digest already
+  * holds. This expression digests once and assembles the value from the
+  * first ⌈nHex/2⌉ bytes in a fixed loop, and it participates in
+  * whole-stage codegen via a static-call `defineCodeGen` (guide §4: no
+  * interpreted hot-path expressions). `nHex ≤ 15` keeps the value inside
+  * a non-negative long, exactly like the conv-based original.
+  *
+  * `nullable` is pinned `true` to match the old chain's schema (a cast's
+  * nullability), so output schemas carrying the hash are byte-stable.
+  */
+case class Md5Prefix(child: Expression, nHex: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nHex > 0 && nHex <= 15, "nHex must fit a non-negative long")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"md5_prefix$nHex"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Prefix.prefix(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nHex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Md5Prefix.prefix($c, $nHex)")
+
+  override protected def withNewChildInternal(c: Expression): Md5Prefix =
+    copy(child = c)
+}
+
+object Md5Prefix {
+  // MessageDigest is not thread-safe; per-thread instances keep a shared
+  // plan fragment safe to evaluate concurrently (the SimHash60 discipline).
+  private val md5tl =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static entry for both interpreted eval and generated code. */
+  def prefix(s: org.apache.spark.unsafe.types.UTF8String, nHex: Int): Long = {
+    val d = md5tl.get().digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
 }
 
 /** `SparkSessionExtensions` entry point: lets any deployment register the

@@ -200,9 +200,27 @@ ORDER BY e.event_id
     * is value-verified end to end.
     */
   def asofCustom(s: SparkSession, dir: String): DataFrame = {
+    // ONE user_id shuffle feeds everything (r14 optimization; was four
+    // exchanges / two events scans: probe shuffled by user_id, daily
+    // shuffled by (user_id, day) for its aggregate and then AGAIN by
+    // user_id for the as-of's ClusteredDistribution). Repartitioning the
+    // event projection by user_id makes every downstream requirement
+    // already satisfied: HashPartitioning(user_id) is coarser than
+    // ClusteredDistribution(user_id, day), so the daily-close aggregate
+    // plans with NO exchange, and both as-of children are user_id-
+    // clustered with the same partition count. The repartition subtree
+    // appears under both children statically, but it is scan-rooted, so
+    // AQE query-stage reuse folds the two shuffle map stages into one
+    // executed stage (ReusedQueryStage in the final plan) — unlike the
+    // ExistingRDD-rooted diamonds this round's batch-1 note documents, a
+    // localCheckpoint here would DEFEAT the sharing (LogicalRDD comes
+    // back with UnknownPartitioning, re-inserting both exchanges;
+    // measured on the static plan). Values are untouched (the DuckDB
+    // ASOF JOIN oracle hash-gates this query).
     val ev = Registry.events(s, dir)
       .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
         col("ts"), col("value"))
+      .repartition(col("user_id"))
     val probe = ev.select("event_id", "user_id", "day", "value")
     val daily = ev.groupBy("user_id", "day")
       .agg(max_by(col("value"), col("ts")).as("close_value"))

@@ -27,10 +27,17 @@ object SamplingOps {
   /** 60-bit md5-prefix hash of a column's string form — deterministic and
     * identical in Spark and DuckDB (`CAST('0x'||substr(md5(x),1,15) AS
     * BIGINT)`), non-negative. Shared by the sampling family and the corpus
-    * pipeline composites.
+    * pipeline composites. Evaluated by the fused codegen expression
+    * [[graft.functions.Md5Prefix]] (r14 optimization, guide §4): the old
+    * `conv(substring(md5(x),1,15),16,10) CAST LONG` chain paid four string
+    * (de)allocations per row to extract 60 bits the digest already holds —
+    * bit-identical by construction, and every hash-gated consumer's oracle
+    * re-verifies that.
     */
   private[ops] def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Md5Prefix(
+        org.apache.spark.sql.GraftSqlBridge.expr(c.cast("string")), 15))
 
   /** The shared decimal-bucket split (0-9) over [[hash60]]: `< 2` is the
     * "new batch" population every incremental pipeline (posting join,
@@ -461,8 +468,10 @@ FROM ranked ORDER BY stratum
     val cents = (col(weightCol)
       .cast(org.apache.spark.sql.types.DecimalType(30, 2)) * lit(100))
       .cast("long")
-    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 12),
-      16, 10).cast("long") + 1).as("u")
+    // 48-bit md5 prefix via the same fused expression as [[hash60]]
+    val u = (org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Md5Prefix(org.apache.spark.sql.GraftSqlBridge.expr(
+        col(keyCol).cast("string")), 12)) + 1).as("u")
     df.select(col(keyCol), cents.as("w_cents"), u)
       .withColumn("priority_key", expr("w_cents * 10000000000L div u"))
       .drop("u")

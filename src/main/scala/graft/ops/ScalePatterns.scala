@@ -221,9 +221,13 @@ ORDER BY new_id, corpus_id
     */
   def bloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    // project to the join key alone (r14, guide §2.3): o_orderdate rode
+    // through the 30M-row checkpoint and the join build at sf100 without a
+    // single consumer — column pruning cannot reach inside a materialized
+    // ExistingRDD, so dead columns must be dropped BEFORE the checkpoint
     val urgent = table(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey"), col("o_orderdate"))
+      .select(col("o_orderkey"))
     // build: one binary sketch scalar, collected like the optimizer rule's
     // ScalarSubquery result — the SKETCH travels to the driver, never the
     // keys. Sized from the build side's measured cardinality (one cheap

@@ -1363,6 +1363,21 @@ FROM wt GROUP BY replicate ORDER BY replicate
     // task. Split, the sketch agg keeps its map-side partial path (32
     // partials × 5 groups) and the distinct agg keeps its two-stage
     // shuffle; the 5-row join reassembles them.
+    //
+    // r14 optimization note — MEASURED AND REJECTED: collapsing the two
+    // countDistinct passes onto one localCheckpoint'ed distinct
+    // (priority, custkey) membership frame regressed 20.4 s → 34.4 s at
+    // the 1000× corpus. The membership is ~67M rows (≈ 2.7 GB of block-
+    // manager storage at that scale): materializing it costs more than
+    // the two thin countDistinct passes it replaces, because each of
+    // those dedups map-side before shuffling. Three thin passes over a
+    // 2-column columnar scan beat one fat materialization. (Re-rooting
+    // the SKETCH onto a distinct membership is off the table regardless:
+    // DataSketches HLL estimates are partial-structure-dependent — direct
+    // sketches keep the HIP accumulator, merged partials fall back to the
+    // composite estimator — so the approx values shift ±0.5%, and an
+    // optimization round must not change what a query computes.)
+    //
     // localCheckpoint the per-segment sketch rows (≤5): the merged-union
     // branch and the final select both consume them — without the cut each
     // branch replays the orders aggregation (the chi2Independence
@@ -1420,6 +1435,23 @@ FROM wt GROUP BY replicate ORDER BY replicate
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         count(lit(1)).as("exact_users")) // distinct by construction
       .localCheckpoint() // ≤5 rows, consumed by every pair
+    // ALL pairs' exact intersection/union counts from ONE membership pass
+    // (r14 optimization; was one filter+groupBy(user_id)+agg shuffle of
+    // the membership frame PER PAIR): the per-user type-flag frame reduces
+    // once, intersection = Σ flagA·flagB and union = |A| + |B| − |A∩B| by
+    // inclusion–exclusion on exact counts — the [[overlapExact]] kernel,
+    // value-identical to the old per-pair "users with both / with either"
+    // counts by construction.
+    val types = HllPairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val flagCols = types.map(t =>
+      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"has_$t"))
+    val exactAggs = types.map(t => sum(s"has_$t").as(s"n_$t")) ++
+      HllPairs.map { case (a, b) =>
+        sum(col(s"has_$a") * col(s"has_$b")).as(s"i_${a}_$b") }
+    val exactOne = membership.groupBy("user_id")
+      .agg(flagCols.head, flagCols.tail: _*)
+      .agg(exactAggs.head, exactAggs.tail: _*)
+      .localCheckpoint() // 1 row; every pair below projects it
     // Each sketch side reduces through a groupBy-less aggregate so a
     // hard-coded pair type ABSENT from the corpus still yields its one
     // row (null sketch/exact columns) instead of the crossJoin silently
@@ -1430,11 +1462,9 @@ FROM wt GROUP BY replicate ORDER BY replicate
         .agg(first("sk").as("sk_a"), first("exact_users").as("exact_a"))
       val skB = per.filter(col("event_type") === b)
         .agg(first("sk").as("sk_b"), first("exact_users").as("exact_b"))
-      val exact = membership.filter(col("event_type").isin(a, b))
-        .groupBy("user_id").agg(count(lit(1)).as("nt"))
-        .agg(sum(when(col("nt") === 2, 1L).otherwise(0L))
-          .as("exact_intersection"),
-          count(lit(1)).as("exact_union"))
+      val exact = exactOne.select(
+        col(s"i_${a}_$b").as("exact_intersection"),
+        (col(s"n_$a") + col(s"n_$b") - col(s"i_${a}_$b")).as("exact_union"))
       val estU = hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
       skA.crossJoin(skB).crossJoin(exact)
         .select(lit(a).as("type_a"), lit(b).as("type_b"),
@@ -1472,14 +1502,23 @@ FROM wt GROUP BY replicate ORDER BY replicate
     */
   def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val base = TextOps.termTf(s, dir).join(
-      Registry.table(s, dir, "documents").select("doc_id", "source"), "doc_id")
-    val per = base.groupBy("source")
+    // Only the per-source sketches need the documents join: termTf ⋈
+    // documents on doc_id is 1:1 (termTf derives from the same documents
+    // table), so the global sketch and the exact top-k fold the SAME
+    // (term, tf) multiset straight off the memoized postings kernel —
+    // joining first changed no multiset, it only re-scanned the postings
+    // and re-ran the broadcast join once per consumer (r14 optimization;
+    // was three joins, three postings scans).
+    val postings = TextOps.termTf(s, dir)
+    val per = postings.join(
+        Registry.table(s, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .groupBy("source")
       .agg(call_function("cms_sketch_2048", col("term"), col("tf")).as("sk"))
     val merged = per.agg(call_function("cms_merge_2048", col("sk")).as("msk"))
-    val global = base
+    val global = postings
       .agg(call_function("cms_sketch_2048", col("term"), col("tf")).as("gsk"))
-    val top = base.groupBy("term").agg(sum("tf").as("exact_occ"))
+    val top = postings.groupBy("term").agg(sum("tf").as("exact_occ"))
       .orderBy(col("exact_occ").desc, col("term")).limit(20)
     top.crossJoin(broadcast(merged)).crossJoin(broadcast(global))
       .select(col("term"), col("exact_occ"),

@@ -474,6 +474,15 @@ ORDER BY test_id, train_id
     */
   def boilerplateRemoval(s: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    // r14 optimization note — MEASURED AND REVERTED: the exploded segment
+    // frame's two consumers group by different keys (seg / doc_id), so the
+    // tokenize+explode subtree runs twice per query, and a localCheckpoint
+    // between looked like the batch-1 diamond fix. Measured at /tmp/sf10
+    // (reps=3 isolated): 7.54 s before vs 7.71 s with the checkpoint — a
+    // wash, because the segment strings ARE essentially the corpus text
+    // re-concatenated (concat_ws over every token), so materializing them
+    // costs what re-deriving them costs. Left as the two-pass form, which
+    // also avoids corpus-sized storage blocks at 100 TB.
     val seg = docs(s, dir)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) > 0)

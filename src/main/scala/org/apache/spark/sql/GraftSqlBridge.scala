@@ -16,4 +16,11 @@ object GraftSqlBridge {
     */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Catalyst Expression → Column, the inverse of [[expr]] — lets internal
+    * helpers build Columns over custom expressions without a session-bound
+    * function-registry round-trip.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

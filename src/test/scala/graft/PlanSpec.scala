@@ -104,11 +104,25 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(plan.contains("AsOfJoin "), "custom operator not planned")
-    // Catalyst must have inserted the key exchanges + (key, time) sorts
+    // r14 optimized shape: the query repartitions the event projection by
+    // user_id itself, which already satisfies BOTH the daily-close
+    // aggregate's ClusteredDistribution(user_id, day) AND the as-of's
+    // ClusteredDistribution on each side — so the ONLY hash exchanges are
+    // the explicit user_id repartitions; Catalyst must insert no
+    // ENSURE_REQUIREMENTS hash exchange (previously the right side was
+    // re-shuffled by r_user_id after its (user_id, day) aggregate: three
+    // hash exchanges, now two, and the aggregate itself is exchange-free).
     assert(plan.contains("Exchange hashpartitioning(user_id"))
-    assert(plan.contains("Exchange hashpartitioning(r_user_id"))
+    assert(!plan.contains("Exchange hashpartitioning(r_user_id"),
+      "aggregate-side re-shuffle is back: the user_id repartition no " +
+        "longer satisfies the as-of's right-side distribution")
+    assert("hashpartitioning\\(user_id#\\d+L?, day".r.findFirstIn(plan).isEmpty,
+      "daily-close aggregate re-shuffled by (user_id, day)")
+    // the (key, time) sorts are still Catalyst-inserted on both sides
     assert("Sort \\[user_id.*day".r.findFirstIn(plan).isDefined ||
       plan.contains("Sort [user_id"))
+    assert("Sort \\[r_user_id.*r_day".r.findFirstIn(plan).isDefined ||
+      plan.contains("Sort [r_user_id"))
   }
 
   test("GraftExtensions at session build time exposes the functions to plain SQL") {
