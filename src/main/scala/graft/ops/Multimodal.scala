@@ -408,17 +408,29 @@ FROM dig ORDER BY doc_id, chunk_idx
     * shuffles on digest (content-addressed key, uniform by construction).
     */
   def cdcSharedProfile(s: SparkSession, dir: String): DataFrame = {
-    // materialize the (doc, digest) table once: the df aggregate and the
-    // profile join both read it instead of re-running the boundary scan +
-    // per-chunk md5 twice
-    val dig = cdcDigests(s, dir).select("doc_id", "chunk_md5")
+    // materialize the (doc, digest) table once: every downstream pass reads
+    // it instead of re-running the boundary scan + per-chunk md5. The
+    // digest travels as its 16-byte unhex() binary, not the 32-char hex
+    // string — the digest is internal to this query (the output is per-doc
+    // counts), unhex is a bijection so grouping semantics are untouched,
+    // and every exchange/sort on the key moves half the bytes (guide §2.3).
+    val dig = cdcDigests(s, dir)
+      .select(col("doc_id"), unhex(col("chunk_md5")).as("ck"))
       .localCheckpoint()
-    val dfd = dig.groupBy("chunk_md5")
-      .agg(countDistinct(col("doc_id")).as("dn"))
-    dig.join(dfd, "chunk_md5")
+    // r14 rewrite (guide §2.4): the old form shuffled the RAW instance
+    // table by digest for a SortMergeJoin against the countDistinct
+    // aggregate (3 corpus-sized exchanges + 2 sorts). The per-digest doc
+    // count is a plain count over the (doc, digest)-deduped frame, so one
+    // groupBy builds the deduped frame (carrying the instance multiplicity
+    // k) and a window over the digest attaches dn without any join — two
+    // exchanges of the narrower deduped frame, one sort.
+    val gd = dig.groupBy("doc_id", "ck").agg(count(lit(1)).as("k"))
+    val dn = count(lit(1)).over(org.apache.spark.sql.expressions.Window
+      .partitionBy("ck"))
+    gd.withColumn("dn", dn)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("dn") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .agg(sum("k").as("n_chunks"),
+        sum(when(col("dn") >= 2, col("k")).otherwise(0L)).as("n_shared"))
       .withColumn("shared_fraction",
         col("n_shared").cast("double") / col("n_chunks"))
       .orderBy("doc_id")

@@ -31,20 +31,28 @@ object QualityOps {
     }
 
   // ------------------------------------------------------- column profile
-  /** One-pass profile of the `orders` columns: nulls and exact distinct
-    * counts per column, computed in a single aggregation (the multi-
-    * countDistinct expands to one `expand` + aggregate, not N scans), then
-    * melted to one row per column.
+  /** Profile of the `orders` columns: nulls and exact distinct counts per
+    * column, melted to one row per column. One plain pass for the null
+    * counts plus one SINGLE-distinct aggregate per column (r14, guide
+    * §2.2/§2.3): the earlier all-in-one aggregate made Catalyst plan
+    * Expand — every scan row replicated once per distinct column (4×)
+    * into wide partial-agg rows, so the exchange carried ~5× the fact
+    * rows with a 5-column grouping key. Split, each distinct pass scans
+    * exactly one parquet column (columnar pruning makes N single-column
+    * scans ≈ one N-column scan in I/O) and shuffles bare deduped values;
+    * a lone countDistinct plans as two stacked aggregates, never Expand.
+    * The five 1-row results recombine by broadcast cross join.
     */
   def profileOrders(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_orderpriority")
     def nNull(c: String): Column =
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")
-    def nDist(c: String): Column = countDistinct(col(c)).as(s"dist_$c")
-    val one = Registry.table(s, dir, "orders")
-      .agg(count(lit(1)).as("n_rows"),
-        cols.map(nNull) ++ cols.map(nDist): _*)
+    val o = Registry.table(s, dir, "orders")
+    val base = o.agg(count(lit(1)).as("n_rows"), cols.map(nNull): _*)
+    val one = cols.foldLeft(base)((acc, c) =>
+      acc.crossJoin(broadcast(
+        o.agg(countDistinct(col(c)).as(s"dist_$c")))))
     one.select(explode(map(
         cols.flatMap(c => Seq(lit(c),
           struct(col(s"null_$c").as("n_nulls"),
@@ -365,11 +373,19 @@ ORDER BY cdev.event_type, cdev.day
     val mid = o.agg(expr("(min(day) + max(day)) div 2").as("mid"))
     val half = o.crossJoin(broadcast(mid))
       .withColumn("p", when(col("day") < col("mid"), 1L).otherwise(2L))
+    // single-distinct aggregates per pass (r14, same Expand-removal as
+    // [[profileOrders]]): the combined form replicated every order row 3×
+    // through Expand; each split pass shuffles only its own deduped
+    // column, and the two distinct passes join back on the 2-row period
+    // key. AQE reuses the broadcast mid stage across the three arms.
     val per = half.groupBy("p")
       .agg(count(lit(1)).as("row_count"),
-        expr("sum(c) div count(1)").as("mean_cents"),
-        countDistinct(col("o_custkey")).as("distinct_customers"),
-        countDistinct(col("o_orderpriority")).as("distinct_priorities"))
+        expr("sum(c) div count(1)").as("mean_cents"))
+      .join(half.groupBy("p")
+        .agg(countDistinct(col("o_custkey")).as("distinct_customers")), "p")
+      .join(half.groupBy("p")
+        .agg(countDistinct(col("o_orderpriority"))
+          .as("distinct_priorities")), "p")
     val metrics =
       Seq("row_count", "mean_cents", "distinct_customers",
         "distinct_priorities")

@@ -191,12 +191,31 @@ LIMIT 50
       .withColumn("cum_in", sum("wt").over(wIn))
     val wOff = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = inBucket.groupBy("bkt").agg(sum("wt").as("bw"))
+    // per-bucket totals, built straight from the scan (NOT from the
+    // windowed frame — ColumnPruning drops the unused window either way,
+    // but writing it this way makes the shared subtree explicit): both the
+    // offset window and the grand total below fold this one aggregate, so
+    // AQE reuses its shuffle stage and neither pays a second orders pass
+    val bucketTotals = Registry.table(s, dir, "orders")
+      .select(col("o_orderkey"), cents.as("wt"))
+      .withColumn("bkt", expr("o_orderkey div 4096"))
+      .groupBy("bkt").agg(sum("wt").as("bw"))
+    val offsets = bucketTotals
       .withColumn("off", coalesce(sum("bw").over(wOff), lit(0L)))
       .select("bkt", "off")
     val cum = inBucket.join(broadcast(offsets), "bkt")
       .withColumn("cum", col("cum_in") + col("off"))
-    val tot = cum.agg(max("cum").as("bigw"))
+    // W = max(cum) = the plain sum of all weights (weights are price cents,
+    // strictly positive, so the cumulative sum is monotone and its max is
+    // its last value). Folding the per-bucket totals — a few thousand rows
+    // whose shuffle stage the offsets branch already materialized — instead
+    // of max() OVER the windowed frame drops a full Sort+Window+join pass
+    // over orders from the executed plan (r14, guide §2.4: the window
+    // subtree re-ran under the total's aggregate — AQE reused only the
+    // shuffle write, not the sort/window work above it. A standalone
+    // orders-scan aggregate was measured first and REJECTED: the fresh
+    // scan cost more at the 100× corpus than the sort+window it saved).
+    val tot = bucketTotals.agg(sum("bw").as("bigw"))
     // decimal(38,0) for the 2k·cum product: at ~2.2e13 cents/SF the int64
     // form overflows near sf 2000 (ANSI throw / silent wrap vs DuckDB's
     // overflow error — engines could not even disagree gracefully);

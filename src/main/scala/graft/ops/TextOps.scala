@@ -233,7 +233,14 @@ FROM customer ORDER BY c_custkey
     val ex = docs(s, dir).select(col("doc_id"),
       explode(call_function("shingle_hashes_2", WS_TOKENS)).as("b"))
     val model = ex.groupBy("b").agg(count(lit(1)).as("c"))
-    ex.join(model, "b")
+    // broadcast() is static, not an AQE outcome: without it the join plans
+    // sort-merge from size estimates and the probe side's full bigram
+    // occurrence table pays a shuffle write+read before AQE flips the join
+    // to broadcast at runtime (r14 executed-plan audit: an orphan Exchange
+    // under the BHJ probe). The model is vocabulary²-bounded by
+    // construction — broadcastable at any corpus size — so forcing the
+    // hint removes the only corpus-sized exchange in the query (guide §3.1).
+    ex.join(broadcast(model), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("c").as("freq_sum"))
       .select(col("doc_id"), col("n_bigrams"),

@@ -35,8 +35,23 @@ object TimeSeriesOps {
     * event time (the engine form of the reference's sort+first/last windows
     * W1/W2), high/low/volume as plain aggregates. `(user_id, ts)` is
     * tie-free in the testdata, so arg-min/max are deterministic.
+    *
+    * Session-memoized + `localCheckpoint`ed (r14, guide §2.4 duplicated
+    * work): SEVEN indicator queries (volatility, bollinger, drawdown, rsi,
+    * ewma, ffill, v-bottom) each re-ran the full tick scan — including the
+    * per-event `from_json(props)` parse — plus the (user, day) aggregation
+    * exchange just to rebuild these bars. One build per (session, corpus)
+    * instead; the bars relation is the column-complete aggregate every
+    * consumer starts from (same discipline as `TextOps.termTf` and the
+    * dedup posting bases), so no consumer's semantics can change — pinned
+    * by the memo-vs-direct law in OptR14Spec.
     */
-  private def daily(s: SparkSession, dir: String): DataFrame =
+  private val dailyCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def daily(s: SparkSession, dir: String): DataFrame =
+    dailyCache.getOrElseUpdate(s, dir)(dailyUncached(s, dir).localCheckpoint())
+
+  private[graft] def dailyUncached(s: SparkSession, dir: String): DataFrame =
     Registry.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
         col("value"),
